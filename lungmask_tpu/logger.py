@@ -1,0 +1,20 @@
+"""Logging setup for lungmask_tpu.
+
+Capability parity with the reference logger (/root/reference/lungmask/logger.py:1-13):
+a named, non-propagating stdout logger at INFO level with a timestamped format.
+"""
+
+import logging
+import sys
+
+logger = logging.getLogger("lungmask_tpu")
+logger.setLevel(logging.INFO)
+logger.propagate = False
+if not logger.handlers:
+    _formatter = logging.Formatter(
+        fmt="lungmask_tpu %(asctime)s %(message)s", datefmt="%Y-%m-%d %H:%M:%S"
+    )
+    _handler = logging.StreamHandler(sys.stdout)
+    _handler.setFormatter(_formatter)
+    _handler.setLevel(logging.INFO)
+    logger.addHandler(_handler)

@@ -1,0 +1,275 @@
+"""TPU-native 2-D U-Net forward pass in pure JAX.
+
+Capability parity target: the reference's PyTorch U-Net
+(/root/reference/lungmask/resunet.py:8-155) in its production configuration
+(/root/reference/lungmask/mask.py:58-65): ``in_channels=1, depth=5, wf=6,
+padding=True, batch_norm=True, up_mode='upsample', residual=False``.
+
+Design (TPU-first, not a port):
+
+* **Layout**: NHWC activations with HWIO kernels — the native layout for TPU
+  convolutions (feature dim on the 128-lane axis).
+* **Parameters** are a plain pytree (nested dicts of ``jnp.ndarray``), so the
+  whole forward pass is a pure function ``unet_apply(params, x)`` that composes
+  freely with ``jit`` / ``vmap`` / ``pjit`` / ``shard_map``.
+* **BatchNorm is folded at conversion time** into a per-channel affine
+  ``y = x * scale + bias`` (inference only; the reference always runs its net in
+  ``eval()`` mode — /root/reference/lungmask/mask.py:67). XLA fuses the affine
+  into the neighboring convolution epilogue, so it is free at runtime.
+* The ``LogSoftmax`` head (/root/reference/lungmask/resunet.py:56,70) is exposed
+  as :func:`unet_apply` (log-probs, for API parity) while the hot inference path
+  uses :func:`unet_argmax` — ``argmax`` commutes with ``log_softmax`` so the
+  normalization is skipped entirely on device.
+* Mixed precision: ``compute_dtype=bfloat16`` runs convs on the MXU in bf16 with
+  float32 accumulation (``preferred_element_type``); ``float32`` (default) uses
+  HIGHEST precision for bit-parity testing against the reference weights.
+
+Architecture (production config), encoder channels 1→64→128→256→512→1024 with
+2×2 average-pooling between levels, decoder mirrors with bilinear 2× upsampling
+followed by a 1×1 projection, skip concatenation, and a 1×1 classifier head:
+see /root/reference/lungmask/resunet.py:39-70.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+Params = Dict[str, Any]
+
+# Production architecture constants (reference: mask.py:58-65, resunet.py:9).
+IN_CHANNELS = 1
+DEPTH = 5
+WF = 6
+BN_EPS = 1e-5  # torch.nn.BatchNorm2d default, folded at conversion time.
+
+_DIMENSION_NUMBERS = ("NHWC", "HWIO", "NHWC")
+
+
+def encoder_channels(depth: int = DEPTH, wf: int = WF) -> List[int]:
+    """Channel counts of the encoder levels: [64, 128, 256, 512, 1024]."""
+    return [2 ** (wf + i) for i in range(depth)]
+
+
+def _conv(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, *, precision) -> jnp.ndarray:
+    out = lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(1, 1),
+        padding="SAME" if w.shape[0] > 1 else "VALID",
+        dimension_numbers=_DIMENSION_NUMBERS,
+        precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+    return out + b.astype(out.dtype)
+
+
+def _affine(x: jnp.ndarray, p: Params) -> jnp.ndarray:
+    """Folded inference-mode BatchNorm: per-channel scale/bias."""
+    return x * p["scale"].astype(x.dtype) + p["bias"].astype(x.dtype)
+
+
+def _conv_block(p: Params, x: jnp.ndarray, *, precision, compute_dtype) -> jnp.ndarray:
+    """conv3x3 → ReLU → BN → conv3x3 → ReLU → BN.
+
+    Non-residual ordering per /root/reference/lungmask/resunet.py:93-105 (BN sits
+    *after* the ReLU, so it folds to an affine rather than into the conv).
+    """
+    x = _conv(x, p["conv1"]["w"], p["conv1"]["b"], precision=precision)
+    x = jnp.maximum(x, 0.0)
+    x = _affine(x, p["bn1"]).astype(compute_dtype)
+    x = _conv(x, p["conv2"]["w"], p["conv2"]["b"], precision=precision)
+    x = jnp.maximum(x, 0.0)
+    x = _affine(x, p["bn2"]).astype(compute_dtype)
+    return x
+
+
+def _avg_pool2(x: jnp.ndarray) -> jnp.ndarray:
+    """2×2/2 average pooling (reference: F.avg_pool2d(x, 2), resunet.py:64)."""
+    summed = lax.reduce_window(
+        x, 0.0 if x.dtype == jnp.float32 else jnp.zeros((), x.dtype),
+        lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID",
+    )
+    return summed * jnp.asarray(0.25, summed.dtype)
+
+
+def _bilinear_up2(x: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear 2× upsampling, half-pixel centers (align_corners=False).
+
+    Matches torch.nn.Upsample(mode='bilinear', scale_factor=2) used at
+    /root/reference/lungmask/resunet.py:132. For an exact ×2 ratio the
+    half-pixel-center resample reduces to a fixed 4-tap [1/4, 3/4] stencil,
+    which ``jax.image.resize(method='bilinear')`` implements exactly.
+    """
+    n, h, w, c = x.shape
+    return jax.image.resize(x, (n, 2 * h, 2 * w, c), method="bilinear")
+
+
+def _up_block(
+    p: Params,
+    x: jnp.ndarray,
+    skip: jnp.ndarray,
+    *,
+    precision,
+    compute_dtype,
+) -> jnp.ndarray:
+    """Bilinear ×2 → 1×1 conv → concat(skip) → conv block.
+
+    Reference: UNetUpBlock.forward at /root/reference/lungmask/resunet.py:144-148.
+    The reference's ``center_crop`` is a no-op at power-of-two sizes with
+    padding=True (SURVEY §2 row 9), and this framework only ever runs the
+    production 256² input, so no crop is emitted.
+    """
+    up = _bilinear_up2(x)
+    up = _conv(up, p["proj"]["w"], p["proj"]["b"], precision=precision).astype(
+        compute_dtype
+    )
+    x = jnp.concatenate([up, skip], axis=-1)
+    return _conv_block(p["conv_block"], x, precision=precision, compute_dtype=compute_dtype)
+
+
+def unet_logits(
+    params: Params,
+    x: jnp.ndarray,
+    *,
+    compute_dtype: jnp.dtype = jnp.float32,
+    precision: lax.Precision | None = None,
+) -> jnp.ndarray:
+    """Raw classifier logits (pre log-softmax), NHWC.
+
+    Args:
+        params: parameter pytree (see :func:`init_params` /
+            ``lungmask_tpu.models.convert``).
+        x: input batch, shape (N, H, W, 1), float.
+        compute_dtype: activation dtype (bfloat16 for MXU throughput, float32
+            for parity testing).
+        precision: conv precision; defaults to HIGHEST for float32 (parity) and
+            DEFAULT for bfloat16.
+    """
+    if precision is None:
+        precision = (
+            lax.Precision.HIGHEST if compute_dtype == jnp.float32 else lax.Precision.DEFAULT
+        )
+    x = x.astype(compute_dtype)
+
+    skips = []
+    for i, block in enumerate(params["down"]):
+        x = _conv_block(block, x, precision=precision, compute_dtype=compute_dtype)
+        if i != len(params["down"]) - 1:
+            skips.append(x)
+            x = _avg_pool2(x)
+
+    for i, block in enumerate(params["up"]):
+        x = _up_block(
+            block, x, skips[-i - 1], precision=precision, compute_dtype=compute_dtype
+        )
+
+    logits = _conv(x, params["last"]["w"], params["last"]["b"], precision=precision)
+    return logits  # float32 (preferred_element_type) regardless of compute dtype
+
+
+def unet_apply(
+    params: Params,
+    x: jnp.ndarray,
+    *,
+    compute_dtype: jnp.dtype = jnp.float32,
+    precision: lax.Precision | None = None,
+) -> jnp.ndarray:
+    """Log-probabilities, matching the reference's LogSoftmax(dim=1) head
+    (/root/reference/lungmask/resunet.py:56,70) — here over the channel-last axis.
+    """
+    logits = unet_logits(params, x, compute_dtype=compute_dtype, precision=precision)
+    return jax.nn.log_softmax(logits, axis=-1)
+
+
+def unet_argmax(
+    params: Params,
+    x: jnp.ndarray,
+    *,
+    compute_dtype: jnp.dtype = jnp.float32,
+    precision: lax.Precision | None = None,
+) -> jnp.ndarray:
+    """Per-pixel class prediction (uint8), the hot inference head.
+
+    argmax ∘ log_softmax == argmax, so the softmax normalization of the
+    reference head (/root/reference/lungmask/mask.py:183-185) is elided.
+    """
+    logits = unet_logits(params, x, compute_dtype=compute_dtype, precision=precision)
+    return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+
+def init_params(
+    key: jax.Array,
+    n_classes: int,
+    *,
+    in_channels: int = IN_CHANNELS,
+    depth: int = DEPTH,
+    wf: int = WF,
+    dtype: jnp.dtype = jnp.float32,
+) -> Params:
+    """Random parameter pytree with the production architecture's shapes.
+
+    Initialization follows torch's Conv2d default (Kaiming-uniform with
+    a=sqrt(5), i.e. U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for both weight and
+    bias), so randomly-initialized parity tests exercise realistic magnitudes.
+    Folded-BN affines start as identity (scale=1, bias=0).
+    """
+    chans = encoder_channels(depth, wf)
+
+    def conv_init(key, kh, kw, cin, cout):
+        wkey, bkey = jax.random.split(key)
+        bound = 1.0 / np.sqrt(kh * kw * cin)
+        w = jax.random.uniform(wkey, (kh, kw, cin, cout), dtype, -bound, bound)
+        b = jax.random.uniform(bkey, (cout,), dtype, -bound, bound)
+        return {"w": w, "b": b}
+
+    def affine_init(cout):
+        return {"scale": jnp.ones((cout,), dtype), "bias": jnp.zeros((cout,), dtype)}
+
+    def conv_block_init(key, cin, cout):
+        k1, k2 = jax.random.split(key)
+        return {
+            "conv1": conv_init(k1, 3, 3, cin, cout),
+            "bn1": affine_init(cout),
+            "conv2": conv_init(k2, 3, 3, cout, cout),
+            "bn2": affine_init(cout),
+        }
+
+    keys = jax.random.split(key, 2 * depth)
+    down = []
+    prev = in_channels
+    for i in range(depth):
+        down.append(conv_block_init(keys[i], prev, chans[i]))
+        prev = chans[i]
+
+    up = []
+    for j, i in enumerate(reversed(range(depth - 1))):
+        cout = chans[i]
+        kproj, kblock = jax.random.split(keys[depth + j])
+        up.append(
+            {
+                "proj": conv_init(kproj, 1, 1, prev, cout),
+                "conv_block": conv_block_init(kblock, 2 * cout, cout),
+            }
+        )
+        prev = cout
+
+    last = conv_init(keys[-1], 1, 1, prev, n_classes)
+    return {"down": down, "up": up, "last": last}
+
+
+def n_classes_of(params: Params) -> int:
+    """Number of output classes (length of the final conv bias), mirroring the
+    reference's n_classes inference from the last state-dict tensor
+    (/root/reference/lungmask/mask.py:56)."""
+    return int(params["last"]["b"].shape[0])
+
+
+def cast_params(params: Params, dtype: jnp.dtype) -> Params:
+    """Cast all parameters (weights + folded affines) to ``dtype``."""
+    return jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype), params)
