@@ -1,0 +1,152 @@
+"""Device-side connected components: iterative min-label propagation + pointer
+jumping, fully inside ``jit``/``vmap``.
+
+Used by the per-slice bodymask pipeline (the reference labels 128² bodymasks
+per slice, /root/reference/lungmask/utils.py:75-78, and an 8-connectivity pass
+at full slice resolution in crop_and_resize, utils.py:102) — hundreds of tiny
+CC problems per volume, which batch perfectly on the VPU via ``vmap`` instead
+of a host round-trip per slice.
+
+Algorithm: every foreground pixel starts with label = its linear index + 1
+(so a component's final label is its raster-first pixel index + 1, giving the
+same scan-order component ordering as skimage — SURVEY §7 hard part #2). Each
+iteration does
+
+1. a neighborhood min-propagation (labels flow between same-value neighbors), and
+2. a pointer-jumping contraction ``label = min(label, label[label-1])`` twice,
+
+inside a ``lax.while_loop`` until fixpoint. Pointer jumping contracts label
+chains exponentially, so convergence is ~O(log diameter) iterations instead of
+O(diameter).
+
+Components are identified by *root linear index*; the segment-sum helpers below
+provide the region reductions the bodymask needs (areas, largest-component
+masks with skimage-compatible tie-breaking, first-region bounding boxes).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from jax import lax
+
+from lungmask_tpu.ops.morphology import _neighbor_offsets, _shift
+
+
+def _shift_by(x: jnp.ndarray, off) -> jnp.ndarray:
+    for axis, d in enumerate(off):
+        if d:
+            x = _shift(x, axis, d)
+    return x
+
+
+def label(image: jnp.ndarray, connectivity: Optional[int] = None) -> jnp.ndarray:
+    """Connected components of a (possibly multi-class) integer/bool image.
+
+    Returns int32 labels where each foreground component's label is
+    (raster-first linear index + 1); background is 0. Same partition and
+    scan-order component ordering as ``skimage.measure.label`` /
+    ``cc_host.label`` (label *values* differ by a monotone renumbering, which
+    none of the downstream reductions depend on).
+    """
+    ndim = image.ndim
+    if connectivity is None:
+        connectivity = ndim
+    if connectivity not in (1, ndim):
+        raise NotImplementedError("connectivity must be 1 or ndim")
+    structure = "cross" if connectivity == 1 else "full"
+    offsets = _neighbor_offsets(ndim, structure)
+
+    is_binary = image.dtype == jnp.bool_
+    fg = image if is_binary else image != 0
+    lin = (jnp.arange(image.size, dtype=jnp.int32) + 1).reshape(image.shape)
+    labels0 = jnp.where(fg, lin, 0)
+    flat_size = image.size
+    big = jnp.int32(2**31 - 1)
+
+    def propagate(labels):
+        out = labels
+        for off in offsets:
+            shifted = _shift_by(labels, off)
+            ok = shifted > 0
+            if not is_binary:
+                ok = ok & (_shift_by(image, off) == image)
+            cand = jnp.where(ok, shifted, big)
+            out = jnp.minimum(out, cand)
+        return jnp.where(fg, out, 0)
+
+    def contract(labels):
+        flat = labels.reshape(flat_size)
+        for _ in range(2):
+            parent = flat[jnp.maximum(flat - 1, 0)]
+            flat = jnp.where(flat > 0, jnp.minimum(flat, parent), 0)
+        return flat.reshape(labels.shape)
+
+    def body(state):
+        labels, _ = state
+        new = contract(propagate(labels))
+        return new, jnp.any(new != labels)
+
+    labels, _ = lax.while_loop(lambda s: s[1], body, (labels0, jnp.bool_(True)))
+    return labels
+
+
+def areas_by_root(labels: jnp.ndarray) -> jnp.ndarray:
+    """Component areas indexed by root label (1 + linear index of first pixel).
+
+    Shape (size+1,); index 0 counts background.
+    """
+    flat = labels.reshape(-1)
+    return jnp.zeros(labels.size + 1, jnp.int32).at[flat].add(1)
+
+
+def largest_component_mask(labels: jnp.ndarray) -> jnp.ndarray:
+    """Binary mask of the largest component; area ties broken by the
+    scan-order-FIRST component (smallest root label) — matching np.argmax over
+    skimage regions in simple_bodymask (/root/reference/lungmask/utils.py:78).
+    Empty input → all-False."""
+    areas = areas_by_root(labels).at[0].set(0)
+    best_root = jnp.argmax(areas)  # argmax returns the smallest index on ties
+    return labels == best_root
+
+
+def largest_component_mask_last_tie(labels: jnp.ndarray) -> jnp.ndarray:
+    """As above but area ties go to the scan-order-LAST component — matching
+    the reference's np.argsort(areas)[-1] in keep_largest_connected_component
+    (/root/reference/lungmask/utils.py:402)."""
+    areas = areas_by_root(labels).at[0].set(0)
+    n = areas.shape[0]
+    best_root = n - 1 - jnp.argmax(areas[::-1])
+    return labels == best_root
+
+
+def bbox_of_mask(mask: jnp.ndarray) -> jnp.ndarray:
+    """Tight bounding box (r0, c0, r1, c1 half-open) of a 2-D bool mask, with
+    full-image fallback when empty — the reference's fallback at
+    /root/reference/lungmask/utils.py:103-106."""
+    h, w = mask.shape
+    rows = jnp.any(mask, axis=1)
+    cols = jnp.any(mask, axis=0)
+    ridx = jnp.arange(h, dtype=jnp.int32)
+    cidx = jnp.arange(w, dtype=jnp.int32)
+    big = jnp.int32(1 << 30)
+    r0 = jnp.min(jnp.where(rows, ridx, big))
+    r1 = jnp.max(jnp.where(rows, ridx, -1)) + 1
+    c0 = jnp.min(jnp.where(cols, cidx, big))
+    c1 = jnp.max(jnp.where(cols, cidx, -1)) + 1
+    empty = ~jnp.any(rows)
+    r0 = jnp.where(empty, 0, r0)
+    r1 = jnp.where(empty, h, r1)
+    c0 = jnp.where(empty, 0, c0)
+    c1 = jnp.where(empty, w, c1)
+    return jnp.stack([r0, c0, r1, c1]).astype(jnp.int32)
+
+
+def first_component_bbox(labels: jnp.ndarray) -> jnp.ndarray:
+    """Bounding box of the scan-order-first component (smallest root label) —
+    the reference's ``reg[0].bbox`` in crop_and_resize
+    (/root/reference/lungmask/utils.py:102-104), with full-image fallback."""
+    pos = jnp.where(labels > 0, labels, jnp.int32(1 << 30))
+    first_root = jnp.min(pos)
+    return bbox_of_mask(labels == first_root)

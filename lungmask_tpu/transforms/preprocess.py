@@ -1,0 +1,149 @@
+"""Device-side preprocessing: bodymask → crop box → 256² normalized slices.
+
+TPU-native re-design of the reference's per-slice CPU loop
+(/root/reference/lungmask/utils.py:32-111 driven from mask.py:166-168): the
+whole volume is processed as one batched device program —
+
+1. clip HU to [−1024, 600] (utils.py:45),
+2. per-slice bodymask at 128²: threshold > −500 HU, binary closing, hole fill,
+   erosion ×2, largest 4-connected component, dilation ×2 (utils.py:55-82) —
+   ``vmap``ped over slices, all VPU work,
+3. nearest-upzoom to slice resolution, 8-connected labeling, bounding box of
+   the scan-order-first region (utils.py:98-106),
+4. fused crop+bilinear-resize of each slice to 256² with scipy-exact gather
+   plans (utils.py:107-110), including scipy's round-half-away integer cast
+   for integer inputs,
+5. intensity window and scale: min(x, 600), (x + 1024) / 1624 (mask.py:167-168).
+
+Steps 1-3 and 4-5 are two ``jit`` programs separated by the one host
+round-trip that ships the (N, 4) box array up to build the exact float64
+resample plan (see ops/resample.py). A fully-traced single-dispatch variant
+(:func:`preprocess_traced`) exists for benchmarking/compile-checking; it uses
+float32 on-device resample coordinates.
+
+Slice counts are padded to a bucket multiple so jit programs are reused across
+volumes; padded slices are −1024 everywhere and are dropped after.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lungmask_tpu.ops import cc, morphology, resample
+
+HU_LO = -1024
+HU_HI = 600
+BODY_THRESHOLD = -500
+SLICE_BUCKET = 16
+
+
+def _round_half_away(x: jnp.ndarray) -> jnp.ndarray:
+    """scipy's integer-output cast for interpolated values: trunc(x ± 0.5)."""
+    return jnp.trunc(x + jnp.where(x >= 0, 0.5, -0.5))
+
+
+def _bodymask128(small: jnp.ndarray) -> jnp.ndarray:
+    """Bodymask pipeline on one 128² slice (already zoomed)."""
+    mask = small > BODY_THRESHOLD
+    mask = morphology.binary_closing(mask)
+    mask = morphology.binary_fill_holes(mask, structure="full")
+    mask = morphology.binary_erosion(mask, iterations=2)
+    labels = cc.label(mask, connectivity=1)
+    has_region = jnp.any(labels > 0)
+    largest = cc.largest_component_mask(labels)
+    dilated = morphology.binary_dilation(largest, iterations=2)
+    # Reference keeps the eroded mask untouched if no region exists
+    # (utils.py:77-80 guard).
+    return jnp.where(has_region, dilated, mask)
+
+
+def _box_of_slice(slice_hu: jnp.ndarray) -> jnp.ndarray:
+    """Crop box (r0, c0, r1, c1) of one clipped HU slice."""
+    small = resample.resize(slice_hu, (128, 128), order=0)
+    mask128 = _bodymask128(small)
+    mask_full = resample.resize(mask128, slice_hu.shape, order=0)
+    labels = cc.label(mask_full)  # 8-connectivity (ndim default)
+    return cc.first_component_bbox(labels)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _boxes_for_volume(clipped: jnp.ndarray) -> jnp.ndarray:
+    return jax.vmap(_box_of_slice)(clipped)
+
+
+@functools.partial(jax.jit, static_argnames=("integer_input",))
+def _crop_normalize(clipped: jnp.ndarray, plan, *, integer_input: bool) -> jnp.ndarray:
+    slices = resample.apply_crop_resize(clipped, plan)
+    if integer_input:
+        slices = _round_half_away(slices)
+    slices = jnp.minimum(slices, float(HU_HI))
+    return (slices + 1024.0) / 1624.0
+
+
+def pad_slices(n: int, bucket: int = SLICE_BUCKET) -> int:
+    return ((n + bucket - 1) // bucket) * bucket
+
+
+def compute_boxes(volume: np.ndarray) -> np.ndarray:
+    """Crop boxes for every slice of a volume (host entry point).
+
+    Pads the slice count to a bucket multiple to bound jit recompilation.
+    Returns (N, 4) int32 boxes.
+    """
+    n, h, w = volume.shape
+    n_pad = pad_slices(n)
+    clipped = np.clip(volume, HU_LO, HU_HI)
+    if n_pad != n:
+        pad = np.full((n_pad - n, h, w), HU_LO, dtype=clipped.dtype)
+        clipped = np.concatenate([clipped, pad], axis=0)
+    boxes = np.asarray(_boxes_for_volume(jnp.asarray(clipped)))
+    return boxes[:n]
+
+
+def preprocess(
+    volume: np.ndarray, resolution: Tuple[int, int] = (256, 256)
+) -> Tuple[jnp.ndarray, np.ndarray]:
+    """Full device preprocessing of a (N, H, W) HU volume.
+
+    Returns:
+        normalized: (N_pad, res, res) float32 device array in [0, 1], ready for
+            the U-Net (padded slices are the normalized −1024 background).
+        boxes: (N, 4) int32 numpy crop boxes (for the paste-back plan).
+    """
+    n, h, w = volume.shape
+    n_pad = pad_slices(n)
+    integer_input = np.issubdtype(volume.dtype, np.integer)
+    clipped = np.clip(volume, HU_LO, HU_HI)
+    if n_pad != n:
+        pad = np.full((n_pad - n, h, w), HU_LO, dtype=clipped.dtype)
+        clipped = np.concatenate([clipped, pad], axis=0)
+    clipped_dev = jnp.asarray(clipped)
+    boxes = np.asarray(_boxes_for_volume(clipped_dev))
+    plan = resample.crop_resize_plan(boxes, resolution, order=1)
+    normalized = _crop_normalize(clipped_dev, plan, integer_input=integer_input)
+    return normalized, boxes[:n]
+
+
+def preprocess_traced(
+    clipped: jnp.ndarray, resolution: Tuple[int, int] = (256, 256)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fully-traced single-dispatch preprocessing (float32 box coordinates).
+
+    ``clipped`` must already be HU-clipped. Jittable end-to-end; used by the
+    compile-check entry point and throughput benchmarks.
+    """
+    boxes = jax.vmap(_box_of_slice)(clipped)
+
+    def crop_one(sl, box):
+        out = resample.resize_from_box(sl, box, resolution, order=1)
+        if jnp.issubdtype(clipped.dtype, jnp.integer):
+            out = _round_half_away(out)
+        out = jnp.minimum(out, float(HU_HI))
+        return (out + 1024.0) / 1624.0
+
+    return jax.vmap(crop_one)(clipped, boxes), boxes
