@@ -1,0 +1,145 @@
+"""Command-line interface: ``lungmask INPUT OUTPUT``.
+
+Flag-for-flag parity with the reference CLI
+(/root/reference/lungmask/__main__.py:20-144): positional input (file or DICOM
+directory) and output path; ``--modelname`` (incl. the fused
+``LTRCLobes_R231`` mode, which forbids ``--modelpath``), ``--modelpath``,
+``--cpu`` (forces batch size 1), ``--nopostprocess``, ``--batchsize``,
+``--noprogress``, ``--version``, ``--removemetadata``. Output carries the
+input geometry and, unless disabled, the keep-listed DICOM tags plus the
+marker tags (SeriesDescription "Created with lungmask", WC=1/WW=2).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from lungmask_tpu import __version__
+from lungmask_tpu.inferer import LMInferer
+from lungmask_tpu.io import loader
+from lungmask_tpu.logger import logger
+
+
+def path(string: str) -> str:
+    if os.path.exists(string):
+        return string
+    sys.exit(f"File not found: {string}")
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter
+    )
+    parser.add_argument(
+        "input",
+        metavar="input",
+        type=path,
+        help="Path to the input image, can be a folder for dicoms",
+    )
+    parser.add_argument(
+        "output", metavar="output", type=str, help="Filepath for output lungmask"
+    )
+    parser.add_argument(
+        "--modelname",
+        help="spcifies the trained model, Default: R231",
+        type=str,
+        choices=["R231", "LTRCLobes", "LTRCLobes_R231", "R231CovidWeb"],
+        default="R231",
+    )
+    parser.add_argument(
+        "--modelpath", help="spcifies the path to the trained model", default=None
+    )
+    parser.add_argument(
+        "--cpu",
+        help="Force using the CPU even when a TPU is available, will override batchsize to 1",
+        action="store_true",
+    )
+    parser.add_argument(
+        "--nopostprocess",
+        help="Deactivates postprocessing (removal of unconnected components and hole filling)",
+        action="store_true",
+    )
+    parser.add_argument(
+        "--batchsize",
+        type=int,
+        help="Number of slices processed simultaneously. Lower number requires less memory but may be slower.",
+        default=20,
+    )
+    parser.add_argument(
+        "--noprogress",
+        action="store_true",
+        help="If set, no tqdm progress bar will be shown",
+    )
+    parser.add_argument(
+        "--version",
+        help="Shows the current version of lungmask",
+        action="version",
+        version=__version__,
+    )
+    parser.add_argument(
+        "--removemetadata",
+        action="store_true",
+        help="Do not keep study/patient related metadata of the input, if any. Only affects output file formats that can store such information (e.g. DICOM).",
+    )
+
+    args = parser.parse_args(sys.argv[1:] if argv is None else argv)
+
+    batchsize = args.batchsize
+    if args.cpu:
+        batchsize = 1
+
+    keepmetadata = not args.removemetadata
+
+    logger.info("Load model")
+
+    input_image = loader.load_input_image(
+        args.input, disable_tqdm=args.noprogress, read_metadata=keepmetadata
+    )
+
+    logger.info("Infer lungmask")
+    if args.modelname == "LTRCLobes_R231":
+        assert (
+            args.modelpath is None
+        ), "Modelpath can not be specified for LTRCLobes_R231 mode"
+        inferer = LMInferer(
+            modelname="LTRCLobes",
+            force_cpu=args.cpu,
+            fillmodel="R231",
+            batch_size=batchsize,
+            volume_postprocessing=not args.nopostprocess,
+            tqdm_disable=args.noprogress,
+        )
+    else:
+        inferer = LMInferer(
+            modelname=args.modelname,
+            modelpath=args.modelpath,
+            force_cpu=args.cpu,
+            batch_size=batchsize,
+            volume_postprocessing=not args.nopostprocess,
+            tqdm_disable=args.noprogress,
+        )
+    result = inferer.apply(input_image)
+
+    result_out = input_image.with_array(result)
+
+    if keepmetadata:
+        kept = {
+            k: v
+            for k, v in input_image.metadata.items()
+            if k in loader.DICOM_METADATA_TO_KEEP
+        }
+        kept["0008|103e"] = "Created with lungmask"  # SeriesDescription
+        kept["0028|1050"] = "1"  # Window Center
+        kept["0028|1051"] = "2"  # Window Width
+        result_out.metadata = kept
+    else:
+        result_out.metadata = {}
+
+    logger.info(f"Save result to: {args.output}")
+    loader.write_image(result_out, args.output)
+
+
+if __name__ == "__main__":
+    main()

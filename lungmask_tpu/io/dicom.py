@@ -1,0 +1,431 @@
+"""Minimal-dependency DICOM reader/writer for CT series.
+
+Replaces the reference's pydicom header scanning + SimpleITK series decoding
+(/root/reference/lungmask/utils.py:132-230) with a self-contained parser.
+
+Supported transfer syntaxes: Implicit VR Little Endian (1.2.840.10008.1.2) and
+Explicit VR Little Endian (1.2.840.10008.1.2.1) — the uncompressed encodings
+CT series overwhelmingly use. Compressed syntaxes raise a clear error.
+
+The reader exposes tags under ``"gggg|eeee"`` lowercase-hex keys (the
+SimpleITK key format the reference CLI's metadata propagation relies on,
+/root/reference/lungmask/__main__.py:129-141).
+
+The writer emits Explicit VR LE secondary-capture-style CT slices — enough to
+round-trip through this reader and through common DICOM tooling; it is used
+for mask output and for synthesizing test fixtures (mirroring the recipe the
+reference preserves at /root/reference/tests/test_utils.py:18-56).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from lungmask_tpu.logger import logger
+
+IMPLICIT_VR_LE = "1.2.840.10008.1.2"
+EXPLICIT_VR_LE = "1.2.840.10008.1.2.1"
+CT_STORAGE_UID = "1.2.840.10008.5.1.4.1.1.2"
+
+# VRs whose explicit encoding uses a 2-byte reserved field + 4-byte length.
+_LONG_VRS = {b"OB", b"OW", b"OF", b"OL", b"OD", b"SQ", b"UC", b"UR", b"UT", b"UN"}
+
+_TAG_PIXEL_DATA = (0x7FE0, 0x0010)
+_TAG_ITEM = (0xFFFE, 0xE000)
+_TAG_ITEM_DELIM = (0xFFFE, 0xE00D)
+_TAG_SEQ_DELIM = (0xFFFE, 0xE0DD)
+
+
+def tag_key(group: int, elem: int) -> str:
+    return f"{group:04x}|{elem:04x}"
+
+
+@dataclass
+class DicomFile:
+    """Parsed single DICOM file: string-ified tags + optional pixel array."""
+
+    path: str
+    tags: Dict[str, str]
+    pixels: Optional[np.ndarray] = None  # (rows, cols), rescaled to HU if CT
+
+    def get(self, key: str, default: str = "") -> str:
+        return self.tags.get(key, default)
+
+    @property
+    def image_type(self) -> List[str]:
+        return [s.strip() for s in self.get("0008|0008").split("\\") if s.strip()]
+
+    @property
+    def study_uid(self) -> str:
+        return self.get("0020|000d").strip()
+
+    @property
+    def series_uid(self) -> str:
+        return self.get("0020|000e").strip()
+
+    @property
+    def position(self) -> Optional[Tuple[float, float, float]]:
+        raw = self.get("0020|0032").strip()
+        if not raw:
+            return None
+        parts = raw.split("\\")
+        if len(parts) != 3:
+            return None
+        return tuple(float(p) for p in parts)
+
+
+class DicomError(Exception):
+    pass
+
+
+def _decode_pixels(tags: Dict[str, str], raw: bytes) -> np.ndarray:
+    rows = int(tags.get("0028|0010", "0"))
+    cols = int(tags.get("0028|0011", "0"))
+    bits_alloc = int(tags.get("0028|0100", "16"))
+    pixel_rep = int(tags.get("0028|0103", "0") or 0)
+    samples = int(tags.get("0028|0002", "1") or 1)
+    if samples != 1:
+        raise DicomError(f"SamplesPerPixel={samples} not supported")
+    if bits_alloc == 16:
+        dtype = np.int16 if pixel_rep == 1 else np.uint16
+    elif bits_alloc == 8:
+        dtype = np.int8 if pixel_rep == 1 else np.uint8
+    else:
+        raise DicomError(f"BitsAllocated={bits_alloc} not supported")
+    n = rows * cols
+    arr = np.frombuffer(raw[: n * (bits_alloc // 8)], dtype=dtype).reshape(rows, cols)
+    slope = float(tags.get("0028|1053", "1") or 1)
+    intercept = float(tags.get("0028|1052", "0") or 0)
+    if slope != 1 or intercept != 0:
+        out = arr.astype(np.float64) * slope + intercept
+        # CT HU fits int16/int32
+        if float(out.min()) >= -(2**15) and float(out.max()) < 2**15:
+            return out.astype(np.int16)
+        return out.astype(np.int32)
+    return arr.astype(np.int16) if dtype == np.uint16 and arr.max() < 2**15 else arr
+
+
+_NUMERIC_VRS = {
+    b"US": ("<H", 2),
+    b"SS": ("<h", 2),
+    b"UL": ("<I", 4),
+    b"SL": ("<i", 4),
+    b"FL": ("<f", 4),
+    b"FD": ("<d", 8),
+}
+
+
+def _stringify(vr: bytes, value: bytes) -> str:
+    if vr in _NUMERIC_VRS:
+        fmt, width = _NUMERIC_VRS[vr]
+        if len(value) % width:
+            return ""
+        vals = [
+            struct.unpack_from(fmt, value, i)[0] for i in range(0, len(value), width)
+        ]
+        return "\\".join(str(v) for v in vals)
+    if vr in (b"OB", b"OW", b"UN", b"OF", b"OL", b"OD"):
+        return ""  # binary payloads are not exposed as string metadata
+    try:
+        s = value.decode("latin-1")
+    except Exception:
+        return ""
+    return s.rstrip("\x00").rstrip()
+
+
+def _read_element(buf: memoryview, pos: int, explicit: bool):
+    """Returns (group, elem, vr, value_offset, value_length, next_pos)."""
+    if pos + 8 > len(buf):
+        raise DicomError("truncated element header")
+    group, elem = struct.unpack_from("<HH", buf, pos)
+    if (group, elem) in (_TAG_ITEM, _TAG_ITEM_DELIM, _TAG_SEQ_DELIM):
+        (length,) = struct.unpack_from("<I", buf, pos + 4)
+        return group, elem, b"  ", pos + 8, length, pos + 8
+    if explicit:
+        vr = bytes(buf[pos + 4 : pos + 6])
+        if vr in _LONG_VRS:
+            (length,) = struct.unpack_from("<I", buf, pos + 8)
+            return group, elem, vr, pos + 12, length, pos + 12
+        (length,) = struct.unpack_from("<H", buf, pos + 6)
+        return group, elem, vr, pos + 8, length, pos + 8
+    (length,) = struct.unpack_from("<I", buf, pos + 4)
+    return group, elem, b"UN", pos + 8, length, pos + 8
+
+
+def _skip_undefined_sequence(buf: memoryview, pos: int, explicit: bool) -> int:
+    """Skip an undefined-length sequence body, returning the position after its
+    sequence delimiter."""
+    depth = 1
+    while depth > 0:
+        if pos + 8 > len(buf):
+            raise DicomError("unterminated sequence")
+        group, elem = struct.unpack_from("<HH", buf, pos)
+        (length,) = struct.unpack_from("<I", buf, pos + 4)
+        pos += 8
+        if (group, elem) == _TAG_SEQ_DELIM:
+            depth -= 1
+        elif (group, elem) == _TAG_ITEM:
+            if length != 0xFFFFFFFF:
+                pos += length
+            # undefined-length item: keep scanning, item delimiter handled below
+        elif (group, elem) == _TAG_ITEM_DELIM:
+            pass
+        else:
+            # nested element inside an undefined-length item
+            pos -= 8
+            g, e, vr, voff, vlen, after = _read_element(buf, pos, explicit)
+            if vlen == 0xFFFFFFFF:
+                pos = _skip_undefined_sequence(buf, after, explicit)
+            else:
+                pos = voff + vlen
+    return pos
+
+
+def read_file(
+    path: str, stop_before_pixels: bool = False
+) -> DicomFile:
+    """Parse one DICOM file (implicit/explicit VR little endian)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    buf = memoryview(data)
+    pos = 0
+    if len(data) > 132 and data[128:132] == b"DICM":
+        pos = 132
+    elif len(data) >= 8:
+        # Headerless (force=True-style) — require a plausible group number.
+        group = struct.unpack_from("<H", buf, 0)[0]
+        if group not in (0x0002, 0x0008, 0x0010, 0x0018, 0x0020, 0x0028):
+            raise DicomError(f"{path}: not a DICOM file")
+    else:
+        raise DicomError(f"{path}: not a DICOM file")
+
+    tags: Dict[str, str] = {}
+    transfer_syntax = EXPLICIT_VR_LE
+    explicit = True
+
+    # File meta group (0002) is always explicit LE.
+    while pos + 8 <= len(buf):
+        group = struct.unpack_from("<H", buf, pos)[0]
+        if group != 0x0002:
+            break
+        g, e, vr, voff, vlen, _ = _read_element(buf, pos, explicit=True)
+        value = bytes(buf[voff : voff + vlen])
+        tags[tag_key(g, e)] = _stringify(vr, value)
+        if (g, e) == (0x0002, 0x0010):
+            transfer_syntax = value.decode("ascii").rstrip("\x00").strip()
+        pos = voff + vlen
+
+    if transfer_syntax == IMPLICIT_VR_LE:
+        explicit = False
+    elif transfer_syntax == EXPLICIT_VR_LE:
+        explicit = True
+    else:
+        raise DicomError(
+            f"{path}: transfer syntax {transfer_syntax} not supported "
+            "(only uncompressed little-endian)"
+        )
+
+    pixels = None
+    while pos + 8 <= len(buf):
+        g, e, vr, voff, vlen, _ = _read_element(buf, pos, explicit)
+        if (g, e) == _TAG_PIXEL_DATA:
+            if stop_before_pixels:
+                break
+            if vlen == 0xFFFFFFFF:
+                raise DicomError(f"{path}: encapsulated pixel data not supported")
+            pixels = _decode_pixels(tags, bytes(buf[voff : voff + vlen]))
+            pos = voff + vlen
+            continue
+        if vlen == 0xFFFFFFFF:
+            pos = _skip_undefined_sequence(buf, voff, explicit)
+            continue
+        if vr == b"UN" and (g, e) in _VR_FOR_TAG:
+            vr = _VR_FOR_TAG[(g, e)]  # implicit VR: resolve known tags
+        if vr != b"SQ":  # defined-length sequences are skipped as opaque
+            tags[tag_key(g, e)] = _stringify(vr, bytes(buf[voff : voff + vlen]))
+        pos = voff + vlen
+
+    return DicomFile(path=path, tags=tags, pixels=pixels)
+
+
+# ---------------------------------------------------------------------------
+# Writer
+# ---------------------------------------------------------------------------
+
+_VR_FOR_TAG = {
+    (0x0008, 0x0008): b"CS", (0x0008, 0x0016): b"UI", (0x0008, 0x0018): b"UI",
+    (0x0008, 0x0020): b"DA", (0x0008, 0x0030): b"TM", (0x0008, 0x0050): b"SH",
+    (0x0008, 0x0060): b"CS", (0x0008, 0x0090): b"PN", (0x0008, 0x1030): b"LO",
+    (0x0008, 0x103E): b"LO",
+    (0x0010, 0x0010): b"PN", (0x0010, 0x0020): b"LO", (0x0010, 0x0030): b"DA",
+    (0x0010, 0x0040): b"CS",
+    (0x0018, 0x0050): b"DS", (0x0018, 0x5100): b"CS",
+    (0x0020, 0x000D): b"UI", (0x0020, 0x000E): b"UI", (0x0020, 0x0010): b"SH",
+    (0x0020, 0x0013): b"IS", (0x0020, 0x0032): b"DS", (0x0020, 0x0037): b"DS",
+    (0x0028, 0x0002): b"US", (0x0028, 0x0004): b"CS", (0x0028, 0x0010): b"US",
+    (0x0028, 0x0011): b"US", (0x0028, 0x0030): b"DS", (0x0028, 0x0100): b"US",
+    (0x0028, 0x0101): b"US", (0x0028, 0x0102): b"US", (0x0028, 0x0103): b"US",
+    (0x0028, 0x1050): b"DS", (0x0028, 0x1051): b"DS", (0x0028, 0x1052): b"DS",
+    (0x0028, 0x1053): b"DS",
+}
+
+_UID_ROOT = "1.2.826.0.1.3680043.10.1464"  # generated instance UIDs
+_uid_counter = [0]
+
+
+def generate_uid() -> str:
+    _uid_counter[0] += 1
+    return f"{_UID_ROOT}.{os.getpid()}.{_uid_counter[0]}"
+
+
+def _encode_element(group: int, elem: int, vr: bytes, value: bytes) -> bytes:
+    if len(value) % 2:
+        value += b"\x00" if vr != b"UI" else b"\x00"
+    head = struct.pack("<HH", group, elem)
+    if vr in _LONG_VRS:
+        return head + vr + b"\x00\x00" + struct.pack("<I", len(value)) + value
+    return head + vr + struct.pack("<H", len(value)) + value
+
+
+def _us(v: int) -> bytes:
+    return struct.pack("<H", v)
+
+
+def write_slice(
+    path: str,
+    pixels: np.ndarray,
+    *,
+    tags: Optional[Dict[Tuple[int, int], str]] = None,
+    series_uid: Optional[str] = None,
+    study_uid: Optional[str] = None,
+    sop_uid: Optional[str] = None,
+    position=(0.0, 0.0, 0.0),
+    orientation=(1, 0, 0, 0, 1, 0),
+    spacing=(1.0, 1.0),
+    slice_thickness: float = 1.0,
+    image_type: str = "ORIGINAL\\PRIMARY\\AXIAL",
+    rescale: Tuple[float, float] = (1.0, 0.0),
+) -> None:
+    """Write one int16 CT slice as Explicit VR LE."""
+    pixels = np.ascontiguousarray(pixels.astype(np.int16))
+    rows, cols = pixels.shape
+    sop_uid = sop_uid or generate_uid()
+    series_uid = series_uid or generate_uid()
+    study_uid = study_uid or generate_uid()
+
+    meta = b""
+    meta_elems = [
+        ((0x0002, 0x0001), b"OB", b"\x00\x01"),
+        ((0x0002, 0x0002), b"UI", CT_STORAGE_UID.encode()),
+        ((0x0002, 0x0003), b"UI", sop_uid.encode()),
+        ((0x0002, 0x0010), b"UI", EXPLICIT_VR_LE.encode()),
+        ((0x0002, 0x0012), b"UI", f"{_UID_ROOT}.1".encode()),
+    ]
+    for (g, e), vr, v in meta_elems:
+        meta += _encode_element(g, e, vr, v)
+    group_len = _encode_element(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta)))
+
+    slope, intercept = rescale
+    body_tags: Dict[Tuple[int, int], bytes] = {
+        (0x0008, 0x0008): image_type.encode(),
+        (0x0008, 0x0016): CT_STORAGE_UID.encode(),
+        (0x0008, 0x0018): sop_uid.encode(),
+        (0x0008, 0x0060): b"CT",
+        (0x0018, 0x0050): f"{slice_thickness}".encode(),
+        (0x0020, 0x000D): study_uid.encode(),
+        (0x0020, 0x000E): series_uid.encode(),
+        (0x0020, 0x0032): "\\".join(str(float(p)) for p in position).encode(),
+        (0x0020, 0x0037): "\\".join(str(float(o)) for o in orientation).encode(),
+        (0x0028, 0x0002): _us(1),
+        (0x0028, 0x0004): b"MONOCHROME2",
+        (0x0028, 0x0010): _us(rows),
+        (0x0028, 0x0011): _us(cols),
+        (0x0028, 0x0030): f"{spacing[0]}\\{spacing[1]}".encode(),
+        (0x0028, 0x0100): _us(16),
+        (0x0028, 0x0101): _us(16),
+        (0x0028, 0x0102): _us(15),
+        (0x0028, 0x0103): _us(1),
+        (0x0028, 0x1052): f"{intercept}".encode(),
+        (0x0028, 0x1053): f"{slope}".encode(),
+    }
+    for (g, e), v in (tags or {}).items():
+        body_tags[(g, e)] = v.encode() if isinstance(v, str) else v
+
+    body = b""
+    for (g, e) in sorted(body_tags):
+        vr = _VR_FOR_TAG.get((g, e), b"LO")
+        val = body_tags[(g, e)]
+        if vr == b"US" and isinstance(val, str):
+            val = _us(int(val))
+        body += _encode_element(g, e, vr, val)
+    body += _encode_element(0x7FE0, 0x0010, b"OW", pixels.tobytes())
+
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM" + group_len + meta + body)
+
+
+def scan_directory(
+    path: str,
+    primary: bool = True,
+    original: bool = True,
+) -> List[List[DicomFile]]:
+    """Recursive scan → filtered, deduped, series-grouped, z-sorted header list.
+
+    Reference semantics (/root/reference/lungmask/utils.py:132-213):
+    * skip files named DICOMDIR; non-DICOM files are logged and skipped,
+    * require ImageType present; filter PRIMARY/ORIGINAL per flags; always
+      exclude LOCALIZER,
+    * dedupe by (StudyUID, SeriesUID, ImagePositionPatient),
+    * group into volumes by SeriesUID (sorted), slices sorted by the z
+      component of ImagePositionPatient.
+    """
+    all_files: List[str] = []
+    for d, _, fnames in os.walk(path):
+        all_files.extend(os.path.join(d, f) for f in fnames)
+
+    headers: List[DicomFile] = []
+    seen = set()
+    for fname in sorted(all_files):
+        base = os.path.splitext(os.path.basename(fname))[0]
+        if base == "DICOMDIR":
+            continue
+        try:
+            hdr = read_file(fname, stop_before_pixels=True)
+        except Exception as e:
+            logger.error(f"Unexpected error: {e}")
+            logger.warning(f"Doesn't seem to be DICOM, will be skipped: {fname}")
+            continue
+        itype = hdr.image_type
+        if not itype:
+            continue
+        if primary and "PRIMARY" not in itype:
+            continue
+        if original and "ORIGINAL" not in itype:
+            continue
+        if "LOCALIZER" in itype:
+            continue
+        key = (hdr.study_uid, hdr.series_uid, hdr.get("0020|0032"))
+        if key in seen:
+            continue
+        seen.add(key)
+        headers.append(hdr)
+
+    series: Dict[str, List[DicomFile]] = {}
+    for h in headers:
+        series.setdefault(h.series_uid, []).append(h)
+
+    volumes = []
+    for uid in sorted(series):
+        slices = series[uid]
+        slices.sort(key=lambda h: (h.position or (0, 0, 0))[2])
+        volumes.append(slices)
+    n = len(volumes)
+    logger.info(
+        f"There {'is' if n == 1 else 'are'} {n} volume{'' if n == 1 else 's'} in the study"
+    )
+    return volumes

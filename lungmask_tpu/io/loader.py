@@ -1,0 +1,160 @@
+"""Input loading & output writing: file-format dispatch + DICOM series assembly.
+
+Capability parity with the reference's ``load_input_image`` / ``read_dicoms``
+(/root/reference/lungmask/utils.py:132-269): a file path loads directly by
+format; a directory is scanned for DICOM series (filtered, deduped, z-sorted)
+and the largest volume wins. Output writing matches the CLI's behavior
+(/root/reference/lungmask/__main__.py:119-144): geometry copied from the
+input, keep-listed DICOM tags propagated.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+from lungmask_tpu.io import dicom, mha, nifti
+from lungmask_tpu.io.image import MedicalImage
+from lungmask_tpu.logger import logger
+
+# DICOM tags carried input → output — the reference's keep list
+# (/root/reference/lungmask/utils.py:17-30).
+DICOM_METADATA_TO_KEEP = (
+    "0008|0020",  # StudyDate
+    "0008|0030",  # StudyTime
+    "0008|0050",  # AccessionNumber
+    "0008|0090",  # ReferringPhysicianName
+    "0008|1030",  # StudyDescription
+    "0010|0010",  # PatientName
+    "0010|0020",  # PatientID
+    "0010|0030",  # PatientBirthDate
+    "0010|0040",  # PatientSex
+    "0018|5100",  # Patient Position
+    "0020|000d",  # StudyInstanceUID
+    "0020|0010",  # StudyID
+)
+
+
+def get_DICOM_tags_to_keep():
+    """Reference API parity (/root/reference/lungmask/utils.py:406-415)."""
+    return DICOM_METADATA_TO_KEEP
+
+
+def _volume_from_series(
+    slices: List[dicom.DicomFile], read_metadata: bool = False
+) -> MedicalImage:
+    """Assemble a z-sorted DICOM slice list into a MedicalImage."""
+    arrays = []
+    for hdr in slices:
+        full = dicom.read_file(hdr.path)
+        if full.pixels is None:
+            raise dicom.DicomError(f"{hdr.path}: no pixel data")
+        arrays.append(full.pixels)
+    vol = np.stack(arrays, axis=0)
+
+    first = slices[0]
+    ps = first.get("0028|0030", "1\\1").split("\\")
+    sx, sy = float(ps[1]), float(ps[0])  # PixelSpacing is row\col = (y, x)
+    pos0 = first.position or (0.0, 0.0, 0.0)
+    if len(slices) > 1 and slices[1].position is not None:
+        dz_vec = np.asarray(slices[1].position) - np.asarray(pos0)
+        sz = float(np.linalg.norm(dz_vec))
+        zdir = dz_vec / sz if sz > 0 else np.array([0.0, 0.0, 1.0])
+    else:
+        sz = float(first.get("0018|0050", "1") or 1)
+        zdir = None
+
+    iop = first.get("0020|0037", "1\\0\\0\\0\\1\\0").split("\\")
+    row_cos = np.asarray([float(v) for v in iop[:3]])  # direction of +x (cols)
+    col_cos = np.asarray([float(v) for v in iop[3:6]])  # direction of +y (rows)
+    if zdir is None:
+        zdir = np.cross(row_cos, col_cos)
+    direction = np.stack([row_cos, col_cos, zdir], axis=1)
+
+    metadata = dict(first.tags) if read_metadata else {}
+    return MedicalImage(
+        array=vol,
+        spacing=(sx, sy, sz),
+        origin=tuple(pos0),
+        direction=direction,
+        metadata=metadata,
+    )
+
+
+def read_dicoms(
+    path: str,
+    primary: bool = True,
+    original: bool = True,
+    disable_tqdm: bool = False,
+    read_metadata: bool = False,
+) -> List[MedicalImage]:
+    """Reference ``read_dicoms`` (/root/reference/lungmask/utils.py:132-230):
+    list of assembled volumes, one per DICOM series under ``path``."""
+    series = dicom.scan_directory(path, primary=primary, original=original)
+    return [_volume_from_series(s, read_metadata=read_metadata) for s in series]
+
+
+_READERS = {
+    ".nii": nifti.read,
+    ".nii.gz": nifti.read,
+    ".mha": mha.read,
+}
+_WRITERS = {
+    ".nii": nifti.write,
+    ".nii.gz": nifti.write,
+    ".mha": mha.write,
+}
+
+
+def _format_of(path: str) -> Optional[str]:
+    lower = path.lower()
+    for ext in (".nii.gz", ".nii", ".mha"):
+        if lower.endswith(ext):
+            return ext
+    return None
+
+
+def load_input_image(
+    path: str, disable_tqdm: bool = False, read_metadata: bool = False
+) -> MedicalImage:
+    """File → load by format (DICOM single file included); directory → DICOM
+    scan, largest volume wins (/root/reference/lungmask/utils.py:233-269)."""
+    if os.path.isfile(path):
+        logger.info(f"Read input: {path}")
+        ext = _format_of(path)
+        if ext is not None:
+            img = _READERS[ext](path)
+            return img
+        # Fall back to single-file DICOM.
+        f = dicom.read_file(path)
+        if f.pixels is None:
+            raise ValueError(f"{path}: unsupported image file")
+        return _volume_from_series([f], read_metadata=read_metadata)
+
+    logger.info(f"Looking for dicoms in {path}")
+    volumes = read_dicoms(
+        path,
+        primary=False,
+        original=False,
+        disable_tqdm=disable_tqdm,
+        read_metadata=read_metadata,
+    )
+    if len(volumes) < 1:
+        sys.exit("No dicoms found!")
+    if len(volumes) > 1:
+        logger.warning(
+            "There are more than one volume in the path, will take the largest one"
+        )
+    return volumes[int(np.argmax([v.voxel_count() for v in volumes]))]
+
+
+def write_image(image: MedicalImage, path: str) -> None:
+    ext = _format_of(path)
+    if ext is None:
+        raise ValueError(
+            f"{path}: unsupported output format (supported: .nii, .nii.gz, .mha)"
+        )
+    _WRITERS[ext](image, path)

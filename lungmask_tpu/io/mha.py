@@ -1,0 +1,94 @@
+"""MetaImage (.mha) reader/writer — broadens file-format parity with the
+reference's ITK-based I/O (/root/reference/lungmask/utils.py:247-249) beyond
+NIfTI. Single-file MET_* raw images, optional zlib compression."""
+
+from __future__ import annotations
+
+import zlib
+from typing import Dict
+
+import numpy as np
+
+from lungmask_tpu.io.image import MedicalImage
+
+_MET_TYPES = {
+    "MET_CHAR": np.int8,
+    "MET_UCHAR": np.uint8,
+    "MET_SHORT": np.int16,
+    "MET_USHORT": np.uint16,
+    "MET_INT": np.int32,
+    "MET_UINT": np.uint32,
+    "MET_FLOAT": np.float32,
+    "MET_DOUBLE": np.float64,
+}
+_MET_NAMES = {np.dtype(v): k for k, v in _MET_TYPES.items()}
+
+
+def read(path: str) -> MedicalImage:
+    with open(path, "rb") as f:
+        data = f.read()
+    header: Dict[str, str] = {}
+    pos = 0
+    while True:
+        nl = data.index(b"\n", pos)
+        line = data[pos:nl].decode("ascii").strip()
+        pos = nl + 1
+        if "=" not in line:
+            raise ValueError(f"{path}: malformed MetaImage header line {line!r}")
+        key, val = (s.strip() for s in line.split("=", 1))
+        header[key] = val
+        if key == "ElementDataFile":
+            break
+    if header.get("ElementDataFile") != "LOCAL":
+        raise ValueError(f"{path}: only ElementDataFile = LOCAL supported")
+    if int(header.get("NDims", "3")) != 3:
+        raise ValueError(f"{path}: only 3-D MetaImages supported")
+    dims = [int(v) for v in header["DimSize"].split()]
+    dtype = _MET_TYPES[header["ElementType"]]
+    spacing = [float(v) for v in header.get("ElementSpacing", "1 1 1").split()]
+    origin = [float(v) for v in header.get("Offset", header.get("Position", "0 0 0")).split()]
+    tm = [float(v) for v in header.get("TransformMatrix", "1 0 0 0 1 0 0 0 1").split()]
+    # MetaIO stores the matrix row-major with ROWS = image axis directions;
+    # our convention keeps them as columns.
+    direction = np.asarray(tm, dtype=np.float64).reshape(3, 3).T
+
+    raw = data[pos:]
+    if header.get("CompressedData", "False").lower() == "true":
+        raw = zlib.decompress(raw)
+    nx, ny, nz = dims
+    arr = np.frombuffer(raw, dtype=dtype, count=nx * ny * nz).reshape(nz, ny, nx)
+    return MedicalImage(
+        array=np.ascontiguousarray(arr),
+        spacing=tuple(spacing),
+        origin=tuple(origin),
+        direction=direction,
+    )
+
+
+def write(image: MedicalImage, path: str, compressed: bool = False) -> None:
+    arr = np.ascontiguousarray(image.array)
+    if arr.dtype == np.bool_:
+        arr = arr.astype(np.uint8)
+    if arr.dtype not in _MET_NAMES:
+        arr = arr.astype(np.float32)
+    nz, ny, nx = arr.shape
+    tm = " ".join(str(v) for v in np.asarray(image.direction).T.reshape(-1))
+    lines = [
+        "ObjectType = Image",
+        "NDims = 3",
+        "BinaryData = True",
+        "BinaryDataByteOrderMSB = False",
+        f"CompressedData = {'True' if compressed else 'False'}",
+        f"TransformMatrix = {tm}",
+        f"Offset = {image.origin[0]} {image.origin[1]} {image.origin[2]}",
+        "CenterOfRotation = 0 0 0",
+        f"ElementSpacing = {image.spacing[0]} {image.spacing[1]} {image.spacing[2]}",
+        f"DimSize = {nx} {ny} {nz}",
+        f"ElementType = {_MET_NAMES[arr.dtype]}",
+        "ElementDataFile = LOCAL",
+    ]
+    payload = arr.tobytes()
+    if compressed:
+        payload = zlib.compress(payload)
+    with open(path, "wb") as f:
+        f.write(("\n".join(lines) + "\n").encode("ascii") + payload)

@@ -1,0 +1,141 @@
+"""Self-contained NIfTI-1 reader/writer (.nii / .nii.gz).
+
+Replaces the reference's SimpleITK/ITK NIfTI path
+(/root/reference/lungmask/utils.py:244-253, __main__.py:119-144) for the
+formats the test-suite and CLI exercise. Geometry: NIfTI affines are RAS;
+conversion to/from this framework's LPS direction/origin negates the x/y rows.
+"""
+
+from __future__ import annotations
+
+import gzip
+import struct
+from typing import Tuple
+
+import numpy as np
+
+from lungmask_tpu.io.image import MedicalImage
+
+_DTYPES = {
+    2: np.uint8,
+    4: np.int16,
+    8: np.int32,
+    16: np.float32,
+    64: np.float64,
+    256: np.int8,
+    512: np.uint16,
+}
+_CODES = {np.dtype(v): k for k, v in _DTYPES.items()}
+_LPS_FROM_RAS = np.diag([-1.0, -1.0, 1.0])
+
+
+def _open(path: str, mode: str):
+    if path.endswith(".gz"):
+        return gzip.open(path, mode)
+    return open(path, mode)
+
+
+def _quaternion_to_rotation(b: float, c: float, d: float, qfac: float) -> np.ndarray:
+    a2 = 1.0 - (b * b + c * c + d * d)
+    a = np.sqrt(max(a2, 0.0))
+    r = np.array(
+        [
+            [a * a + b * b - c * c - d * d, 2 * b * c - 2 * a * d, 2 * b * d + 2 * a * c],
+            [2 * b * c + 2 * a * d, a * a + c * c - b * b - d * d, 2 * c * d - 2 * a * b],
+            [2 * b * d - 2 * a * c, 2 * c * d + 2 * a * b, a * a + d * d - c * c - b * b],
+        ]
+    )
+    r[:, 2] *= qfac
+    return r
+
+
+def read(path: str) -> MedicalImage:
+    with _open(path, "rb") as f:
+        data = f.read()
+    if len(data) < 348:
+        raise ValueError(f"{path}: truncated NIfTI header")
+    (sizeof_hdr,) = struct.unpack_from("<i", data, 0)
+    if sizeof_hdr != 348:
+        raise ValueError(f"{path}: not a little-endian NIfTI-1 file")
+    magic = data[344:348]
+    if magic not in (b"n+1\x00", b"ni1\x00"):
+        raise ValueError(f"{path}: bad NIfTI magic {magic!r}")
+
+    dim = struct.unpack_from("<8h", data, 40)
+    ndim = dim[0]
+    nx, ny, nz = dim[1], max(dim[2], 1), max(dim[3], 1)
+    if ndim > 3 and any(d > 1 for d in dim[4 : 1 + ndim]):
+        raise ValueError(f"{path}: >3-D NIfTI not supported")
+    (datatype, bitpix) = struct.unpack_from("<2h", data, 70)
+    if datatype not in _DTYPES:
+        raise ValueError(f"{path}: unsupported NIfTI datatype {datatype}")
+    pixdim = struct.unpack_from("<8f", data, 76)
+    (vox_offset,) = struct.unpack_from("<f", data, 108)
+    scl_slope, scl_inter = struct.unpack_from("<2f", data, 112)
+    qform_code, sform_code = struct.unpack_from("<2h", data, 252)
+    quatern = struct.unpack_from("<3f", data, 256)
+    qoffset = struct.unpack_from("<3f", data, 268)
+    srow = np.array(struct.unpack_from("<12f", data, 280), dtype=np.float64).reshape(3, 4)
+
+    dtype = _DTYPES[datatype]
+    count = nx * ny * nz
+    arr = np.frombuffer(
+        data, dtype=dtype, count=count, offset=int(vox_offset)
+    ).reshape(nz, ny, nx)
+    if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
+        arr = arr.astype(np.float32) * (scl_slope or 1.0) + scl_inter
+
+    if sform_code > 0:
+        affine = srow
+    elif qform_code > 0:
+        qfac = -1.0 if pixdim[0] == -1.0 else 1.0
+        rot = _quaternion_to_rotation(*quatern, qfac)
+        affine = np.concatenate(
+            [rot * np.asarray(pixdim[1:4])[None, :], np.asarray(qoffset)[:, None]],
+            axis=1,
+        )
+    else:
+        affine = np.concatenate(
+            [np.diag(pixdim[1:4]), np.zeros((3, 1))], axis=1
+        )
+
+    lps = _LPS_FROM_RAS @ affine
+    m = lps[:, :3]
+    spacing = np.linalg.norm(m, axis=0)
+    spacing[spacing == 0] = 1.0
+    direction = m / spacing[None, :]
+    return MedicalImage(
+        array=np.ascontiguousarray(arr),
+        spacing=tuple(spacing),
+        origin=tuple(lps[:, 3]),
+        direction=direction,
+    )
+
+
+def write(image: MedicalImage, path: str) -> None:
+    arr = np.ascontiguousarray(image.array)
+    if arr.dtype == np.bool_:
+        arr = arr.astype(np.uint8)
+    if arr.dtype not in _CODES:
+        arr = arr.astype(np.float32)
+    nz, ny, nx = arr.shape
+
+    d = np.asarray(image.direction, dtype=np.float64)
+    s = np.asarray(image.spacing, dtype=np.float64)
+    o = np.asarray(image.origin, dtype=np.float64)
+    affine_lps = np.concatenate([d * s[None, :], o[:, None]], axis=1)
+    srow = _LPS_FROM_RAS @ affine_lps
+
+    hdr = bytearray(348)
+    struct.pack_into("<i", hdr, 0, 348)
+    struct.pack_into("<8h", hdr, 40, 3, nx, ny, nz, 1, 1, 1, 1)
+    struct.pack_into("<2h", hdr, 70, _CODES[arr.dtype], arr.dtype.itemsize * 8)
+    struct.pack_into("<8f", hdr, 76, 1.0, *s, 1.0, 1.0, 1.0, 1.0)
+    struct.pack_into("<f", hdr, 108, 352.0)  # vox_offset
+    struct.pack_into("<2f", hdr, 112, 1.0, 0.0)  # scl
+    struct.pack_into("<2h", hdr, 252, 0, 1)  # qform=0, sform=1
+    struct.pack_into("<12f", hdr, 280, *srow.reshape(-1))
+    hdr[344:348] = b"n+1\x00"
+
+    with _open(path, "wb") as f:
+        f.write(bytes(hdr) + b"\x00" * 4 + arr.tobytes())

@@ -1,0 +1,70 @@
+"""CLI end-to-end test (reference /root/reference/tests/test_cli.py shape):
+in-process main() over a synthetic DICOM series, output round-trip."""
+
+import numpy as np
+import jax
+import pytest
+
+from lungmask_tpu.cli import main
+from lungmask_tpu.io import dicom, loader
+from lungmask_tpu.models import convert, unet
+
+
+@pytest.fixture(scope="module")
+def weights3(tmp_path_factory):
+    params = unet.init_params(jax.random.PRNGKey(0), n_classes=3)
+    p = str(tmp_path_factory.mktemp("w") / "synthetic3.npz")
+    convert.save_npz(p, params, meta={"model": "synthetic3"})
+    return p
+
+
+@pytest.fixture(scope="module")
+def dicom_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("series")
+    rng = np.random.default_rng(3)
+    series_uid = dicom.generate_uid()
+    study_uid = dicom.generate_uid()
+    h = w = 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    body = ((yy - h / 2) / (h * 0.35)) ** 2 + ((xx - w / 2) / (w * 0.3)) ** 2 < 1
+    for i in range(2):
+        arr = np.full((h, w), -1000, dtype=np.int16)
+        arr[body] = 40 + rng.integers(-50, 50, size=int(body.sum())).astype(np.int16)
+        dicom.write_slice(
+            str(d / f"{i}.dcm"),
+            arr,
+            series_uid=series_uid,
+            study_uid=study_uid,
+            position=(0.0, 0.0, float(i)),
+            tags={(0x0010, 0x0010): "Test^Patient", (0x0010, 0x0020): "ID001"},
+        )
+    return str(d)
+
+
+def test_cli_end_to_end(tmp_path, dicom_dir, weights3):
+    out = str(tmp_path / "testres.nii.gz")
+    main([dicom_dir, out, "--modelpath", weights3, "--noprogress", "--batchsize", "2"])
+    img = loader.load_input_image(out)
+    assert img.size == (64, 64, 2)
+    res = img.array
+    assert res.dtype == np.uint8 or res.max() < 3
+    assert res.shape == (2, 64, 64)
+
+
+def test_cli_version(capsys):
+    with pytest.raises(SystemExit) as exc:
+        main(["--version"])
+    assert exc.value.code == 0
+
+
+def test_cli_missing_input_exits(tmp_path):
+    with pytest.raises(SystemExit):
+        main([str(tmp_path / "nope"), str(tmp_path / "out.nii.gz")])
+
+
+def test_cli_fused_forbids_modelpath(tmp_path, dicom_dir, weights3):
+    out = str(tmp_path / "o.nii.gz")
+    with pytest.raises(AssertionError):
+        main(
+            [dicom_dir, out, "--modelname", "LTRCLobes_R231", "--modelpath", weights3]
+        )

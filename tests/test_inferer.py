@@ -1,0 +1,156 @@
+"""End-to-end inference tests with synthetic weights.
+
+Mirrors the reference's e2e test shape (/root/reference/tests/test_mask.py)
+but with locally-generated weights: the environment has no network egress, so
+the golden-count tests against real R231/LTRCLobes checkpoints are gated
+behind weight availability (see test_golden_counts below).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from lungmask_tpu import LMInferer, MedicalImage
+from lungmask_tpu import apply as deprecated_apply
+from lungmask_tpu.models import convert, unet
+
+
+@pytest.fixture(scope="module")
+def weights3(tmp_path_factory):
+    params = unet.init_params(jax.random.PRNGKey(0), n_classes=3)
+    p = str(tmp_path_factory.mktemp("w") / "synthetic3.npz")
+    convert.save_npz(p, params, meta={"model": "synthetic3"})
+    return p
+
+
+@pytest.fixture(scope="module")
+def weights6(tmp_path_factory):
+    params = unet.init_params(jax.random.PRNGKey(1), n_classes=6)
+    p = str(tmp_path_factory.mktemp("w") / "synthetic6.npz")
+    convert.save_npz(p, params, meta={"model": "synthetic6"})
+    return p
+
+
+@pytest.fixture(scope="module")
+def testvol():
+    rng = np.random.default_rng(7)
+    n, h, w = 2, 96, 96
+    vol = np.full((n, h, w), -1000, dtype=np.int16)
+    yy, xx = np.mgrid[0:h, 0:w]
+    body = ((yy - h / 2) / (h * 0.35)) ** 2 + ((xx - w / 2) / (w * 0.3)) ** 2 < 1
+    for i in range(n):
+        vol[i][body] = 40 + rng.integers(-50, 50, size=body.sum())
+    return vol
+
+
+def test_apply_numpy_mode(weights3, testvol):
+    inferer = LMInferer(modelpath=weights3, tqdm_disable=True, batch_size=2)
+    res = inferer.apply(testvol)
+    assert res.shape == testvol.shape
+    assert res.dtype == np.uint8
+    assert res.max() < 3
+    assert inferer.model.n_classes == 3
+
+
+def test_modelpath_overrides_modelname(weights3, testvol):
+    """Reference behavior (test_mask.py:38-47): modelname ignored when a path
+    is given; class count comes from the weights."""
+    inferer = LMInferer(
+        modelname="LTRCLobes", modelpath=weights3, tqdm_disable=True, batch_size=2
+    )
+    assert inferer.model.n_classes == 3
+    res = inferer.apply(testvol)
+    assert res.max() < 3
+
+
+def test_apply_image_mode_nonlps(weights3, testvol):
+    img = MedicalImage(
+        testvol, spacing=(0.7, 0.7, 2.0), direction=np.diag([-1.0, -1.0, 1.0])
+    )
+    assert img.orientation() == "RAS"
+    inferer = LMInferer(modelpath=weights3, tqdm_disable=True, batch_size=2)
+    res = inferer.apply(img)
+    assert res.shape == testvol.shape
+    assert res.dtype == np.uint8
+    # numpy mode on the same (already-axial) array must agree after accounting
+    # for the flip round-trip
+    res_np = inferer.apply(testvol)
+    assert res.sum() == np.flip(res_np, axis=(1, 2)).sum()
+
+
+def test_no_postprocessing(weights3, testvol):
+    a = LMInferer(
+        modelpath=weights3, tqdm_disable=True, batch_size=2, volume_postprocessing=False
+    ).apply(testvol)
+    assert a.shape == testvol.shape
+
+
+def test_host_preprocessing_mode(weights3, testvol):
+    res_dev = LMInferer(modelpath=weights3, tqdm_disable=True, batch_size=2).apply(
+        testvol
+    )
+    res_host = LMInferer(
+        modelpath=weights3, tqdm_disable=True, batch_size=2, preprocessing="host"
+    ).apply(testvol)
+    # identical boxes; slice values may differ at rare interpolation .5 ties
+    assert (res_dev != res_host).mean() < 0.01
+
+
+def test_fused_path(weights6, weights3, testvol):
+    inferer = LMInferer(
+        modelname="LTRCLobes",
+        modelpath=weights6,
+        fillmodel="R231",
+        fillmodel_path=weights3,
+        tqdm_disable=True,
+        batch_size=2,
+    )
+    res = inferer.apply(testvol)
+    assert res.shape == testvol.shape
+    assert res.dtype == np.uint8
+
+
+def test_deprecated_apply_warns(weights3, testvol, monkeypatch):
+    import lungmask_tpu.models.registry as registry
+
+    def fake_get_model(modelname="R231", modelpath=None):
+        return registry.get_model("R231", weights3)
+
+    monkeypatch.setattr("lungmask_tpu.inferer.get_model", fake_get_model)
+    with pytest.warns(DeprecationWarning):
+        res = deprecated_apply(testvol, tqdm_disable=True)
+    assert res.shape == testvol.shape
+
+
+def test_bad_modelname_raises():
+    with pytest.raises(AssertionError):
+        LMInferer(modelname="NotAModel")
+
+
+# ---------------------------------------------------------------------------
+# Golden-count tests against real pretrained weights (reference
+# test_mask.py:36,58-60) — run only when the converted weights are cached
+# locally, since this environment has no network egress.
+# ---------------------------------------------------------------------------
+
+
+def _cached(modelname):
+    from lungmask_tpu.models import registry
+
+    return os.path.exists(registry._npz_cache_path(modelname))
+
+
+@pytest.mark.skipif(
+    not (_cached("R231") and os.path.isdir("/root/reference/tests/testdata")),
+    reason="real R231 weights not cached",
+)
+def test_golden_counts_r231():
+    from lungmask_tpu.io import loader
+
+    vol = loader.read_dicoms("/root/reference/tests/testdata")[0]
+    inferer = LMInferer(tqdm_disable=True, preprocessing="host")
+    res = inferer.apply(vol)
+    assert np.all(np.unique(res, return_counts=True)[1] == [423000, 64752, 36536])

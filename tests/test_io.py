@@ -1,0 +1,247 @@
+"""I/O layer tests: DICOM parse/write/scan, NIfTI & MHA round-trips,
+orientation handling, input loading (reference testdata when available)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from lungmask_tpu.io import dicom, image, loader, mha, nifti
+
+from conftest import REFERENCE_TESTDATA
+
+
+def _phys(img, z, y, x):
+    d = np.asarray(img.direction)
+    s = np.asarray(img.spacing)
+    return np.asarray(img.origin) + d @ (s * np.asarray([x, y, z], dtype=float))
+
+
+# ---------------------------------------------------------------------------
+# Orientation
+# ---------------------------------------------------------------------------
+
+
+def test_orientation_code_identity():
+    assert image.orientation_code(np.eye(3)) == "LPS"
+
+
+def test_orientation_code_flips():
+    d = np.diag([-1.0, -1.0, 1.0])
+    assert image.orientation_code(d) == "RAS"
+    perm = np.asarray([[0, 1, 0], [1, 0, 0], [0, 0, -1.0]])
+    assert image.orientation_code(perm) == "PLI"
+
+
+@pytest.mark.parametrize("code", ["RAS", "PLI", "ASL", "IPR"])
+def test_reorient_preserves_physical_positions(code, rng):
+    arr = rng.integers(-1000, 600, size=(4, 6, 8)).astype(np.int16)
+    img = image.MedicalImage(
+        arr, spacing=(0.7, 0.8, 2.5), origin=(10.0, -20.0, 5.0)
+    )
+    out = image.reorient(img, code)
+    assert out.orientation() == code
+    # every voxel must sit at the same physical point with the same value
+    for _ in range(20):
+        z = rng.integers(0, arr.shape[0])
+        y = rng.integers(0, arr.shape[1])
+        x = rng.integers(0, arr.shape[2])
+        p = _phys(img, z, y, x)
+        # find idx in out by inverting its affine
+        d = np.asarray(out.direction) * np.asarray(out.spacing)[None, :]
+        idx_xyz = np.linalg.solve(d, p - np.asarray(out.origin))
+        xi, yi, zi = (int(round(v)) for v in idx_xyz)
+        assert out.array[zi, yi, xi] == arr[z, y, x]
+
+
+def test_reorient_roundtrip(rng):
+    arr = rng.integers(0, 100, size=(3, 5, 7)).astype(np.int16)
+    img = image.MedicalImage(arr, direction=np.diag([-1.0, 1.0, -1.0]))
+    lps = image.reorient(img, "LPS")
+    back = image.reorient(lps, img.orientation())
+    np.testing.assert_array_equal(back.array, arr)
+    np.testing.assert_allclose(back.direction, img.direction)
+    np.testing.assert_allclose(back.origin, img.origin)
+
+
+# ---------------------------------------------------------------------------
+# NIfTI / MHA round-trips
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("ext", [".nii", ".nii.gz"])
+def test_nifti_roundtrip(tmp_path, ext, rng):
+    arr = rng.integers(-1024, 600, size=(5, 12, 9)).astype(np.int16)
+    img = image.MedicalImage(
+        arr,
+        spacing=(0.6, 0.7, 2.0),
+        origin=(-100.0, 50.0, 30.0),
+        direction=np.diag([-1.0, 1.0, 1.0]),
+    )
+    p = str(tmp_path / f"vol{ext}")
+    nifti.write(img, p)
+    back = nifti.read(p)
+    np.testing.assert_array_equal(back.array, arr)
+    np.testing.assert_allclose(back.spacing, img.spacing, atol=1e-5)
+    np.testing.assert_allclose(back.origin, img.origin, atol=1e-4)
+    np.testing.assert_allclose(back.direction, img.direction, atol=1e-5)
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.int16, np.float32])
+def test_nifti_dtypes(tmp_path, dtype, rng):
+    arr = rng.integers(0, 100, size=(2, 4, 4)).astype(dtype)
+    p = str(tmp_path / "d.nii.gz")
+    nifti.write(image.MedicalImage(arr), p)
+    back = nifti.read(p)
+    assert back.array.dtype == dtype
+    np.testing.assert_array_equal(back.array, arr)
+
+
+@pytest.mark.parametrize("compressed", [False, True])
+def test_mha_roundtrip(tmp_path, compressed, rng):
+    arr = rng.integers(-1024, 600, size=(4, 8, 6)).astype(np.int16)
+    img = image.MedicalImage(arr, spacing=(0.5, 0.5, 1.5), origin=(1.0, 2.0, 3.0))
+    p = str(tmp_path / "vol.mha")
+    mha.write(img, p, compressed=compressed)
+    back = mha.read(p)
+    np.testing.assert_array_equal(back.array, arr)
+    np.testing.assert_allclose(back.spacing, img.spacing)
+    np.testing.assert_allclose(back.origin, img.origin)
+
+
+# ---------------------------------------------------------------------------
+# DICOM
+# ---------------------------------------------------------------------------
+
+
+def _write_series(dirpath, rng, n_slices=3, series_uid=None, extra_per_slice=None):
+    series_uid = series_uid or dicom.generate_uid()
+    study_uid = dicom.generate_uid()
+    arrays = []
+    for i in range(n_slices):
+        arr = rng.integers(-1000, 500, size=(32, 32)).astype(np.int16)
+        arrays.append(arr)
+        tags = dict(extra_per_slice or {})
+        dicom.write_slice(
+            str(dirpath / f"slice{i}.dcm"),
+            arr,
+            series_uid=series_uid,
+            study_uid=study_uid,
+            position=(0.0, 0.0, float(i) * 2.0),
+            spacing=(0.7, 0.7),
+            tags=tags,
+        )
+    return np.stack(arrays), series_uid
+
+
+def test_dicom_write_read_roundtrip(tmp_path, rng):
+    arr = rng.integers(-1000, 500, size=(16, 24)).astype(np.int16)
+    p = str(tmp_path / "a.dcm")
+    dicom.write_slice(p, arr, position=(1.0, 2.0, 3.0))
+    f = dicom.read_file(p)
+    np.testing.assert_array_equal(f.pixels, arr)
+    assert f.position == (1.0, 2.0, 3.0)
+    assert f.image_type == ["ORIGINAL", "PRIMARY", "AXIAL"]
+    hdr = dicom.read_file(p, stop_before_pixels=True)
+    assert hdr.pixels is None
+    assert hdr.series_uid == f.series_uid
+
+
+def test_dicom_rescale_applied(tmp_path, rng):
+    raw = rng.integers(0, 3000, size=(8, 8)).astype(np.int16)
+    p = str(tmp_path / "r.dcm")
+    dicom.write_slice(p, raw, rescale=(1.0, -1024.0))
+    f = dicom.read_file(p)
+    np.testing.assert_array_equal(f.pixels, raw.astype(np.int32) - 1024)
+    assert f.pixels.dtype == np.int16
+
+
+def test_scan_directory_grouping_and_sorting(tmp_path, rng):
+    vol, uid = _write_series(tmp_path, rng, n_slices=4)
+    # an unrelated localizer that must be filtered out
+    dicom.write_slice(
+        str(tmp_path / "loc.dcm"),
+        np.zeros((8, 8), dtype=np.int16),
+        image_type="ORIGINAL\\PRIMARY\\LOCALIZER",
+    )
+    # a non-DICOM file that must be skipped gracefully
+    (tmp_path / "notes.txt").write_text("not a dicom")
+    volumes = dicom.scan_directory(str(tmp_path))
+    assert len(volumes) == 1
+    zs = [s.position[2] for s in volumes[0]]
+    assert zs == sorted(zs)
+    assert len(volumes[0]) == 4
+
+
+def test_scan_directory_dedupes(tmp_path, rng):
+    import shutil
+
+    _write_series(tmp_path, rng, n_slices=2)
+    files = sorted(str(p) for p in tmp_path.glob("*.dcm"))
+    shutil.copy(files[0], str(tmp_path / "dup_of_first.dcm"))
+    volumes = dicom.scan_directory(str(tmp_path))
+    assert len(volumes) == 1
+    assert len(volumes[0]) == 2
+
+
+def test_read_dicoms_volume_assembly(tmp_path, rng):
+    vol, _ = _write_series(tmp_path, rng, n_slices=3)
+    images = loader.read_dicoms(str(tmp_path), read_metadata=True)
+    assert len(images) == 1
+    img = images[0]
+    assert img.size == (32, 32, 3)
+    np.testing.assert_array_equal(img.array, vol)
+    assert img.spacing == (0.7, 0.7, 2.0)
+    assert img.orientation() == "LPS"
+    assert "0020|000d" in img.metadata
+
+
+def test_load_input_image_largest_series_wins(tmp_path, rng):
+    _write_series(tmp_path, rng, n_slices=2)
+    big, _ = _write_series(tmp_path, rng, n_slices=5)
+    img = loader.load_input_image(str(tmp_path))
+    assert img.size[2] == 5
+    np.testing.assert_array_equal(img.array, big)
+
+
+def test_load_input_image_file(tmp_path, rng):
+    arr = rng.integers(-500, 500, size=(3, 8, 8)).astype(np.int16)
+    p = str(tmp_path / "x.nii.gz")
+    nifti.write(image.MedicalImage(arr), p)
+    img = loader.load_input_image(p)
+    np.testing.assert_array_equal(img.array, arr)
+
+
+def test_load_input_image_exits_on_empty_dir(tmp_path):
+    (tmp_path / "empty").mkdir()
+    with pytest.raises(SystemExit):
+        loader.load_input_image(str(tmp_path / "empty"))
+
+
+# ---------------------------------------------------------------------------
+# Reference test data (real DICOMs from the upstream repo, when present)
+# ---------------------------------------------------------------------------
+
+needs_refdata = pytest.mark.skipif(
+    not os.path.isdir(REFERENCE_TESTDATA), reason="reference testdata not mounted"
+)
+
+
+@needs_refdata
+def test_reference_testdata_series():
+    vols = loader.read_dicoms(REFERENCE_TESTDATA, read_metadata=True)
+    assert len(vols) == 1
+    img = vols[0]
+    assert img.size == (512, 512, 2)
+    assert img.array.dtype in (np.int16, np.int32)
+    # CT HU range sanity
+    assert img.array.min() >= -3000 and img.array.max() < 4000
+    # the 12-tag keep list must be resolvable from the metadata we expose
+    present = [k for k in loader.DICOM_METADATA_TO_KEEP if k in img.metadata]
+    assert "0020|000d" in img.metadata  # StudyInstanceUID at minimum
+
+
+@needs_refdata
+def test_reference_testdata_load_input_image():
+    img = loader.load_input_image(REFERENCE_TESTDATA, read_metadata=True)
+    assert img.size == (512, 512, 2)
