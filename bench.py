@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Benchmark driver: CT slices/sec/chip for the flagship R231-architecture
+U-Net at 256² (reference default batch 20, mask.py:79), plus end-to-end
+volume latency with per-stage breakdown.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
+
+Methodology notes:
+* The U-Net throughput number is a SINGLE device dispatch per volume: the
+  whole slice stack is processed by one jitted program that lax.map's over
+  batch-20 chunks (one dispatch amortizes the per-call overhead of the axon
+  tunnel in this environment), input device-resident, and the timed region
+  includes downloading the full uint8 mask stack (the host postprocessing
+  stage needs it). Completion is forced by the download — on this backend
+  ``block_until_ready`` returns before remote execution finishes, which
+  naive timing loops would report as ~100 μs/batch.
+* ``vs_baseline`` compares against the reference implementation's throughput
+  on this host's CPU (PyTorch f32, 1 thread, architecture-identical oracle,
+  measured 2026-08-16: 0.493 slices/sec — mean of 3×20-slice batches taking
+  35.3/44.3/42.1 s). Re-measure live with BENCH_TORCH=1.
+* End-to-end uses real R231 weights when cached, else synthetic weights
+  (identical FLOPs; postprocessing cost then reflects noise-like masks and is
+  reported separately per stage).
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+_TORCH_BASELINE_CONST = 0.493  # slices/sec; see module docstring.
+
+
+def measure_torch_baseline():
+    import torch
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    from test_unet import TorchOracleUNet
+
+    torch.set_num_threads(1)
+    model = TorchOracleUNet(3).eval()
+    x = torch.randn(20, 1, 256, 256)
+    with torch.inference_mode():
+        model(x)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            torch.max(model(x), 1)[1].numpy()
+            times.append(time.perf_counter() - t0)
+    return 20.0 / float(np.mean(times))
+
+
+def _synthetic_volume(n_slices: int) -> np.ndarray:
+    h = w = 512
+    rng = np.random.default_rng(0)
+    vol = np.full((n_slices, h, w), -1000, dtype=np.int16)
+    yy, xx = np.mgrid[0:h, 0:w]
+    body = ((yy - h / 2) / (h * 0.40)) ** 2 + ((xx - w / 2) / (w * 0.35)) ** 2 < 1
+    lung_l = ((yy - h / 2) / (h * 0.2)) ** 2 + ((xx - w * 0.35) / (w * 0.12)) ** 2 < 1
+    lung_r = ((yy - h / 2) / (h * 0.2)) ** 2 + ((xx - w * 0.65) / (w * 0.12)) ** 2 < 1
+    for i in range(n_slices):
+        sl = vol[i]
+        sl[body] = 40
+        sl[lung_l | lung_r] = -850
+        sl += rng.integers(-30, 30, size=sl.shape).astype(np.int16)
+    return vol
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from lungmask_tpu.models import registry, unet
+    from lungmask_tpu.runtime import enable_compile_cache, volume_argmax
+
+    enable_compile_cache()
+
+    small = os.environ.get("BENCH_SMALL") == "1"
+    chunk = 20
+    n_slices = 80 if small else 320  # power-of-two chunk counts (engine buckets)
+
+    try:
+        params, _ = registry.get_model("R231")
+        weights = "R231"
+    except Exception:
+        params = unet.init_params(jax.random.PRNGKey(0), n_classes=3)
+        weights = "synthetic(R231-shaped)"
+
+    device = jax.devices()[0]
+    params = jax.device_put(jax.tree_util.tree_map(jnp.asarray, params), device)
+
+    vol_dev = jax.device_put(
+        jnp.asarray(
+            np.random.default_rng(0).uniform(0, 1, (n_slices, 256, 256)), jnp.float32
+        ),
+        device,
+    )
+
+    t0 = time.perf_counter()
+    np.asarray(volume_argmax(params, vol_dev, chunk, jnp.bfloat16))
+    compile_s = time.perf_counter() - t0
+
+    reps = 2 if small else 3
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        # download forces completion (block_until_ready is unreliable on
+        # remote-attached backends)
+        np.asarray(volume_argmax(params, vol_dev, chunk, jnp.bfloat16))
+        best = min(best, time.perf_counter() - t0)
+    slices_per_sec = n_slices / best
+
+    # End-to-end volume latency with per-stage breakdown.
+    from lungmask_tpu.inferer import LMInferer
+    from lungmask_tpu.models import convert
+    import tempfile
+
+    e2e_vol = _synthetic_volume(16 if small else 192)
+    with tempfile.TemporaryDirectory() as td:
+        wpath = os.path.join(td, "w.npz")
+        convert.save_npz(wpath, jax.tree_util.tree_map(np.asarray, params))
+        inferer = LMInferer(modelpath=wpath, tqdm_disable=True, batch_size=chunk)
+        t0 = time.perf_counter()
+        inferer.apply(e2e_vol)
+        e2e_first = time.perf_counter() - t0
+        inferer.timings.reset()
+        t0 = time.perf_counter()
+        inferer.apply(e2e_vol)
+        e2e_s = time.perf_counter() - t0
+        stages = {k: round(v, 3) for k, v in inferer.timings.summary().items()}
+
+    baseline = _TORCH_BASELINE_CONST
+    if os.environ.get("BENCH_TORCH") == "1":
+        baseline = measure_torch_baseline()
+
+    print(
+        json.dumps(
+            {
+                "metric": "CT slices/sec/chip (R231 @ 256^2, bs=20)",
+                "value": round(slices_per_sec, 1),
+                "unit": "slices/sec",
+                "vs_baseline": round(slices_per_sec / baseline, 1),
+                "extra": {
+                    "backend": device.platform,
+                    "device": str(device),
+                    "weights": weights,
+                    "unet_compile_s": round(compile_s, 2),
+                    "timed_region": "single dispatch over full slice stack + uint8 mask download",
+                    "e2e_sec_per_volume": round(e2e_s, 3),
+                    "e2e_first_call_s": round(e2e_first, 2),
+                    "e2e_stage_seconds": stages,
+                    "e2e_volume_shape": list(e2e_vol.shape),
+                    "baseline": "reference torch-cpu-1thread on this host",
+                    "baseline_slices_per_sec": baseline,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

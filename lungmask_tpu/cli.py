@@ -83,6 +83,11 @@ def main(argv=None) -> None:
         action="store_true",
         help="Do not keep study/patient related metadata of the input, if any. Only affects output file formats that can store such information (e.g. DICOM).",
     )
+    parser.add_argument(
+        "--noHU",
+        action="store_true",
+        help="For processing of 8-bit image stacks (e.g. jpg/png slices) that are not in Hounsfield units: intensities are mapped to the model's HU window. Implies --removemetadata.",
+    )
 
     args = parser.parse_args(sys.argv[1:] if argv is None else argv)
 
@@ -90,13 +95,23 @@ def main(argv=None) -> None:
     if args.cpu:
         batchsize = 1
 
-    keepmetadata = not args.removemetadata
+    # keeping any Patient / Study info is the default; deactivated by flag or
+    # for non-HU data (no DICOM source)
+    keepmetadata = not args.removemetadata and not args.noHU
 
     logger.info("Load model")
 
-    input_image = loader.load_input_image(
-        args.input, disable_tqdm=args.noprogress, read_metadata=keepmetadata
-    )
+    if args.noHU:
+        from lungmask_tpu.io import nohu
+
+        if os.path.isdir(args.input):
+            input_image = nohu.load_image_directory(args.input)
+        else:
+            input_image = nohu.load_image_stack([args.input])
+    else:
+        input_image = loader.load_input_image(
+            args.input, disable_tqdm=args.noprogress, read_metadata=keepmetadata
+        )
 
     logger.info("Infer lungmask")
     if args.modelname == "LTRCLobes_R231":

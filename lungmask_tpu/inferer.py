@@ -28,8 +28,10 @@ from lungmask_tpu.io.image import MedicalImage, reorient
 from lungmask_tpu.logger import logger
 from lungmask_tpu.models.registry import MODEL_URLS, get_model
 from lungmask_tpu.ops import resample
+from lungmask_tpu.runtime import enable_compile_cache
 from lungmask_tpu.runtime.engine import UNetRunner
 from lungmask_tpu.transforms import host_pipeline, postprocess, preprocess
+from lungmask_tpu.utils.profiling import StageTimer, trace
 
 ImageLike = Union[MedicalImage, np.ndarray]
 
@@ -46,6 +48,7 @@ class LMInferer:
         volume_postprocessing: bool = True,
         tqdm_disable: bool = False,
         preprocessing: str = "device",
+        precision: str = "bfloat16",
     ):
         """Lung-mask inference.
 
@@ -64,6 +67,9 @@ class LMInferer:
             preprocessing: 'device' (default, batched TPU pipeline) or 'host'
                 (float64 scipy path, bit-exact with the reference's CPU
                 preprocessing — see ops/resample.py notes).
+            precision: 'bfloat16' (default — MXU-native compute with float32
+                accumulation) or 'float32' (HIGHEST precision convs, for
+                strict numerical parity with the reference's float32 torch).
         """
         assert (
             modelname in MODEL_URLS
@@ -73,6 +79,7 @@ class LMInferer:
                 fillmodel in MODEL_URLS
             ), "Modelname not found. Please choose from: {}".format(MODEL_URLS.keys())
         assert preprocessing in ("device", "host")
+        enable_compile_cache()
 
         if modelpath is not None:
             modelname = os.path.basename(modelpath)
@@ -86,6 +93,7 @@ class LMInferer:
         self.volume_postprocessing = volume_postprocessing
         self.tqdm_disable = tqdm_disable
         self.preprocessing = preprocessing
+        self.timings = StageTimer()
 
         self._device_ctx = None
         if force_cpu:
@@ -96,15 +104,22 @@ class LMInferer:
             self._device_ctx.__enter__()
             logger.info("force_cpu set, running on the host CPU backend")
 
+        assert precision in ("bfloat16", "float32")
+        compute_dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
+
         params, n_classes = get_model(
             self.modelname if modelpath is None else modelname, modelpath
         )
-        self.model = UNetRunner(params, n_classes, batch_size=batch_size)
+        self.model = UNetRunner(
+            params, n_classes, batch_size=batch_size, compute_dtype=compute_dtype
+        )
 
         self.fillmodelm = None
         if self.fillmodel is not None:
             fparams, fn_classes = get_model(self.fillmodel, fillmodel_path)
-            self.fillmodelm = UNetRunner(fparams, fn_classes, batch_size=batch_size)
+            self.fillmodelm = UNetRunner(
+                fparams, fn_classes, batch_size=batch_size, compute_dtype=compute_dtype
+            )
 
     # ------------------------------------------------------------------
 
@@ -116,63 +131,107 @@ class LMInferer:
             return jnp.asarray(normalized), np.asarray(boxes)
         return preprocess.preprocess(volume, resolution=(256, 256))
 
-    def _inference(self, image: ImageLike, model: UNetRunner) -> np.ndarray:
-        """Single-model inference — reference mask.py:141-210 semantics."""
+    def _to_lps(self, image: ImageLike):
+        """Input normalization (reference mask.py:153-164): numpy passthrough,
+        geometry-carrying images reoriented to LPS."""
         numpy_mode = isinstance(image, np.ndarray)
         if numpy_mode:
-            inimg_raw = image.copy()
-            curr_orient = None
-        else:
-            curr_orient = image.orientation()
-            if curr_orient != "LPS":
-                image = reorient(image, "LPS")
-            inimg_raw = image.array
+            return image.copy(), None, None
+        curr_orient = image.orientation()
+        if curr_orient != "LPS":
+            image = reorient(image, "LPS")
+        return image.array, curr_orient, image
 
+    def _from_lps(self, outmask, curr_orient, lps_image) -> np.ndarray:
+        """Reorient a result back to the input orientation (mask.py:204-208)."""
+        if curr_orient is None or curr_orient == "LPS":
+            return outmask.astype(np.uint8)
+        out_img = MedicalImage(
+            outmask,
+            spacing=lps_image.spacing,
+            origin=lps_image.origin,
+            direction=lps_image.direction,
+        )
+        return reorient(out_img, curr_orient).array.astype(np.uint8)
+
+    def _infer_volume(
+        self,
+        inimg_raw: np.ndarray,
+        model: UNetRunner,
+        normalized=None,
+        boxes=None,
+    ) -> np.ndarray:
+        """LPS-space volume → mask (preprocess → U-Net → postprocess → paste).
+
+        ``normalized``/``boxes`` may be passed in to share one preprocessing
+        pass across models (the fused path)."""
         n = inimg_raw.shape[0]
-        normalized, boxes = self._preprocess(inimg_raw)
-        pred = model.run(normalized)[:n]  # device uint8 (N, 256, 256)
+        with trace("inference"):
+            if normalized is None:
+                with self.timings.stage("preprocess"):
+                    normalized, boxes = self._preprocess(inimg_raw)
+            with self.timings.stage("unet"):
+                pred_np = np.asarray(model.run(normalized)[:n])
 
-        if self.volume_postprocessing:
-            outmask = postprocess.postprocessing(
-                np.asarray(pred), disable_tqdm=self.tqdm_disable
-            )
-        else:
-            outmask = np.asarray(pred)
+            if self.volume_postprocessing:
+                with self.timings.stage("postprocess"):
+                    outmask = postprocess.postprocessing(
+                        pred_np, disable_tqdm=self.tqdm_disable
+                    )
+            else:
+                outmask = pred_np
 
-        # Batched device paste-back to original slice geometry.
-        plan = resample.paste_plan(boxes, (256, 256), inimg_raw.shape[1:])
-        outmask = np.asarray(
-            resample.apply_paste(jnp.asarray(outmask), plan)
-        ).astype(np.uint8)
+            # Batched device paste-back to original slice geometry.
+            with self.timings.stage("paste_back"):
+                plan = resample.paste_plan(boxes, (256, 256), inimg_raw.shape[1:])
+                outmask = np.asarray(
+                    resample.apply_paste(jnp.asarray(outmask), plan)
+                ).astype(np.uint8)
+        return outmask
 
-        if not numpy_mode and curr_orient != "LPS":
-            out_img = MedicalImage(
-                outmask,
-                spacing=image.spacing,
-                origin=image.origin,
-                direction=image.direction,
-            )
-            outmask = reorient(out_img, curr_orient).array
-
-        return outmask.astype(np.uint8)
+    def _inference(self, image: ImageLike, model: UNetRunner) -> np.ndarray:
+        """Single-model inference — reference mask.py:141-210 semantics."""
+        inimg_raw, curr_orient, lps_image = self._to_lps(image)
+        outmask = self._infer_volume(inimg_raw, model)
+        return self._from_lps(outmask, curr_orient, lps_image)
 
     def apply(self, image: ImageLike) -> np.ndarray:
         """Apply the model (or fused model pair) to a volumetric image.
 
         Returns the uint8 label volume in the input's own geometry/axis order.
+
+        The fused path shares one preprocessing pass between base and fill
+        models (the reference preprocesses the volume twice,
+        mask.py:225-227), then applies the reference's fusion rule: voxels the
+        base model misses but the fill model finds get a spare label
+        (FN-fill), voxels the fill model rejects are cleared (FP-removal),
+        and spare-aware postprocessing maps spare regions to neighboring true
+        labels (mask.py:228-232).
         """
         if self.fillmodel is None:
             return self._inference(image, self.model)
 
+        inimg_raw, curr_orient, lps_image = self._to_lps(image)
+        with self.timings.stage("preprocess"):
+            normalized, boxes = self._preprocess(inimg_raw)
         logger.info(f"Apply: {self.modelname}")
-        res_l = self._inference(image, self.model)
+        res_l = self._from_lps(
+            self._infer_volume(inimg_raw, self.model, normalized, boxes),
+            curr_orient,
+            lps_image,
+        )
         logger.info(f"Apply: {self.fillmodel}")
-        res_r = self._inference(image, self.fillmodelm)
+        res_r = self._from_lps(
+            self._infer_volume(inimg_raw, self.fillmodelm, normalized, boxes),
+            curr_orient,
+            lps_image,
+        )
         spare_value = res_l.max() + 1
         res_l[np.logical_and(res_l == 0, res_r > 0)] = spare_value
         res_l[res_r == 0] = 0
         logger.info("Fusing results... this may take up to several minutes!")
-        return postprocess.postprocessing(res_l, spare=[spare_value])
+        with self.timings.stage("fusion_postprocess"):
+            return postprocess.postprocessing(res_l, spare=[spare_value])
 
     def __del__(self):
         ctx = getattr(self, "_device_ctx", None)

@@ -1,0 +1,18 @@
+from lungmask_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate,
+    replicated,
+    shard_batch,
+)
+from lungmask_tpu.parallel.sharded import ShardedUNetRunner, make_sharded_argmax
+
+__all__ = [
+    "batch_sharding",
+    "make_mesh",
+    "replicate",
+    "replicated",
+    "shard_batch",
+    "ShardedUNetRunner",
+    "make_sharded_argmax",
+]

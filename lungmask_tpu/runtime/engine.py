@@ -2,10 +2,12 @@
 
 Replaces the reference's per-batch host↔device round-trip loop
 (/root/reference/lungmask/mask.py:172-187: 20-slice chunks, per-batch
-``.cpu().numpy()`` + O(n²) ``np.vstack``) with a device-resident pipeline:
-slices stay on device from preprocessing through argmax; fixed batch shapes
-mean exactly one compilation per (batch, resolution); outputs are concatenated
-on device and fetched once per volume.
+``.cpu().numpy()`` + O(n²) ``np.vstack``) with a device-resident
+single-dispatch design: the whole slice stack is processed by ONE jitted
+program that ``lax.map``s over fixed-size chunks. One dispatch per volume
+amortizes per-call overhead (significant on remote-attached TPUs), the chunk
+size bounds activation memory exactly like the reference's batch size did,
+and the only host transfer is the final uint8 mask stack.
 """
 
 from __future__ import annotations
@@ -20,8 +22,23 @@ import numpy as np
 from lungmask_tpu.models import unet
 
 
+@functools.partial(jax.jit, static_argnames=("chunk", "compute_dtype"))
+def volume_argmax(params, vol: jnp.ndarray, chunk: int, compute_dtype) -> jnp.ndarray:
+    """(M, H, W) normalized slices → (M, H, W) uint8, M % chunk == 0.
+
+    Single XLA program: lax.map over (M/chunk) batches of the U-Net forward.
+    """
+    m, h, w = vol.shape
+    chunks = vol.reshape(m // chunk, chunk, h, w, 1)
+
+    def f(c):
+        return unet.unet_argmax(params, c, compute_dtype=compute_dtype)
+
+    return jax.lax.map(f, chunks).reshape(m, h, w)
+
+
 class UNetRunner:
-    """Holds device-resident parameters and a compiled batched forward step."""
+    """Holds device-resident parameters and the compiled volume forward."""
 
     def __init__(
         self,
@@ -29,37 +46,30 @@ class UNetRunner:
         n_classes: int,
         batch_size: int = 20,
         compute_dtype=jnp.float32,
-        donate: bool = False,
     ):
         self.params = jax.tree_util.tree_map(jnp.asarray, params)
         self.n_classes = n_classes
         self.batch_size = int(batch_size)
         self.compute_dtype = compute_dtype
 
-        @jax.jit
-        def step(params, batch):  # batch: (B, H, W) normalized f32
-            x = batch[..., None]  # NHWC
-            return unet.unet_argmax(params, x, compute_dtype=compute_dtype)
-
-        self._step = step
-
     def run(self, slices: jnp.ndarray) -> jnp.ndarray:
         """(N, H, W) normalized slices → (N, H, W) uint8 class map.
 
-        N is padded up to a batch multiple (zero slices), predictions for the
-        padding are discarded. All work and intermediates stay on device.
+        N pads up to a power-of-two number of chunks (zero slices, dropped
+        after) so arbitrary volume lengths hit a handful of compiled programs
+        — compilation is expensive on remote-attached TPUs, padded compute is
+        ~milliseconds. One device dispatch for the whole stack.
         """
         n = slices.shape[0]
         b = self.batch_size
-        n_pad = ((n + b - 1) // b) * b
+        n_chunks = max(1, -(-n // b))
+        n_chunks = 1 << (n_chunks - 1).bit_length()  # next power of two
+        n_pad = n_chunks * b
         if n_pad != n:
             slices = jnp.concatenate(
                 [slices, jnp.zeros((n_pad - n,) + slices.shape[1:], slices.dtype)]
             )
-        outs = [
-            self._step(self.params, slices[i : i + b]) for i in range(0, n_pad, b)
-        ]
-        return jnp.concatenate(outs, axis=0)[:n]
+        return volume_argmax(self.params, slices, b, self.compute_dtype)[:n]
 
     def run_numpy(self, slices) -> np.ndarray:
         return np.asarray(self.run(jnp.asarray(slices)))

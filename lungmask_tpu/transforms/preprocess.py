@@ -62,13 +62,57 @@ def _bodymask128(small: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(has_region, dilated, mask)
 
 
+def _upzoom_box_tables(src: int, dst: int):
+    """Static tables for mapping a component bbox through an order-0 upzoom.
+
+    Returns (idx, valid) where idx[i] is the 128-grid source index of output
+    row i, with scipy-oob rows (always trailing, zero-filled — see
+    ops/resample.py) replaced by a sentinel so they never fall inside a box.
+    """
+    idx, oob = resample._axis_plan_np(src, dst, 0)
+    idx = idx.astype(np.int32)
+    idx[oob] = src  # sentinel: beyond any source row
+    return jnp.asarray(idx)
+
+
 def _box_of_slice(slice_hu: jnp.ndarray) -> jnp.ndarray:
-    """Crop box (r0, c0, r1, c1) of one clipped HU slice."""
+    """Crop box (r0, c0, r1, c1) of one clipped HU slice.
+
+    The reference computes the bodymask at 128², nearest-upzooms it to slice
+    resolution, relabels at full resolution (8-conn) and takes the first
+    region's bbox (utils.py:82,98-106). For upzooms, nearest resampling with
+    monotone index maps preserves 8-connectivity components *bijectively*
+    (output-adjacent pixels come from source pixels differing by ≤1 per axis,
+    and every source row/col appears), and scan order is preserved — so the
+    first full-res component is the image of the first 128² component and its
+    bbox is the exact preimage-range of the source bbox. That makes the
+    full-resolution connected-components pass (the most expensive device op
+    in preprocessing) unnecessary: label at 128² and map the bbox through the
+    static zoom index tables. Slices smaller than 128² (a downzoom, where
+    components can merge or vanish) fall back to full-res labeling.
+    """
+    h, w = slice_hu.shape
     small = resample.resize(slice_hu, (128, 128), order=0)
     mask128 = _bodymask128(small)
-    mask_full = resample.resize(mask128, slice_hu.shape, order=0)
-    labels = cc.label(mask_full)  # 8-connectivity (ndim default)
-    return cc.first_component_bbox(labels)
+
+    if h < 128 or w < 128:
+        mask_full = resample.resize(mask128, (h, w), order=0)
+        labels = cc.label(mask_full)  # 8-connectivity (ndim default)
+        return cc.first_component_bbox(labels)
+
+    labels = cc.label(mask128)  # 8-connectivity at 128²
+    box128 = cc.first_component_bbox(labels)
+    ridx = _upzoom_box_tables(128, h)
+    cidx = _upzoom_box_tables(128, w)
+    r0 = jnp.searchsorted(ridx, box128[0], side="left")
+    r1 = jnp.searchsorted(ridx, box128[2] - 1, side="right")
+    c0 = jnp.searchsorted(cidx, box128[1], side="left")
+    c1 = jnp.searchsorted(cidx, box128[3] - 1, side="right")
+    mapped = jnp.stack([r0, c0, r1, c1]).astype(jnp.int32)
+    # Empty bodymask → reference falls back to the full image (utils.py:103-106).
+    has_region = jnp.any(labels > 0)
+    full = jnp.asarray([0, 0, h, w], jnp.int32)
+    return jnp.where(has_region, mapped, full)
 
 
 @functools.partial(jax.jit, static_argnames=())

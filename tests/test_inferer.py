@@ -151,6 +151,6 @@ def test_golden_counts_r231():
     from lungmask_tpu.io import loader
 
     vol = loader.read_dicoms("/root/reference/tests/testdata")[0]
-    inferer = LMInferer(tqdm_disable=True, preprocessing="host")
+    inferer = LMInferer(tqdm_disable=True, preprocessing="host", precision="float32")
     res = inferer.apply(vol)
     assert np.all(np.unique(res, return_counts=True)[1] == [423000, 64752, 36536])
