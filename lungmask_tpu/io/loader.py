@@ -16,7 +16,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from lungmask_tpu.io import dicom, mha, nifti
+from lungmask_tpu.io import dicom, mha, nifti, nrrd
 from lungmask_tpu.io.image import MedicalImage
 from lungmask_tpu.logger import logger
 
@@ -101,17 +101,19 @@ _READERS = {
     ".nii": nifti.read,
     ".nii.gz": nifti.read,
     ".mha": mha.read,
+    ".nrrd": nrrd.read,
 }
 _WRITERS = {
     ".nii": nifti.write,
     ".nii.gz": nifti.write,
     ".mha": mha.write,
+    ".nrrd": nrrd.write,
 }
 
 
 def _format_of(path: str) -> Optional[str]:
     lower = path.lower()
-    for ext in (".nii.gz", ".nii", ".mha"):
+    for ext in (".nii.gz", ".nii", ".mha", ".nrrd"):
         if lower.endswith(ext):
             return ext
     return None
@@ -155,6 +157,6 @@ def write_image(image: MedicalImage, path: str) -> None:
     ext = _format_of(path)
     if ext is None:
         raise ValueError(
-            f"{path}: unsupported output format (supported: .nii, .nii.gz, .mha)"
+            f"{path}: unsupported output format (supported: .nii, .nii.gz, .mha, .nrrd)"
         )
     _WRITERS[ext](image, path)

@@ -1,0 +1,151 @@
+"""NRRD reader/writer — further file-format parity with the reference's
+ITK-based I/O (/root/reference/lungmask/utils.py:247-249). Single-file NRRD
+(detached headers unsupported), raw or gzip encodings, little-endian.
+
+Geometry: NRRD ``space`` is declared as left-posterior-superior and the
+``space directions`` rows are the (x, y, z) image-axis direction vectors
+scaled by spacing — matching this framework's LPS convention directly.
+"""
+
+from __future__ import annotations
+
+import gzip
+import zlib
+from typing import Dict
+
+import numpy as np
+
+from lungmask_tpu.io.image import MedicalImage
+
+_NRRD_TYPES = {
+    "signed char": np.int8, "int8": np.int8, "int8_t": np.int8,
+    "uchar": np.uint8, "unsigned char": np.uint8, "uint8": np.uint8, "uint8_t": np.uint8,
+    "short": np.int16, "short int": np.int16, "signed short": np.int16,
+    "int16": np.int16, "int16_t": np.int16,
+    "ushort": np.uint16, "unsigned short": np.uint16, "uint16": np.uint16, "uint16_t": np.uint16,
+    "int": np.int32, "signed int": np.int32, "int32": np.int32, "int32_t": np.int32,
+    "uint": np.uint32, "unsigned int": np.uint32, "uint32": np.uint32, "uint32_t": np.uint32,
+    "float": np.float32, "double": np.float64,
+}
+_TYPE_NAMES = {
+    np.dtype(np.int8): "int8", np.dtype(np.uint8): "uint8",
+    np.dtype(np.int16): "int16", np.dtype(np.uint16): "uint16",
+    np.dtype(np.int32): "int32", np.dtype(np.uint32): "uint32",
+    np.dtype(np.float32): "float", np.dtype(np.float64): "double",
+}
+
+
+def _parse_vector(s: str):
+    return [float(v) for v in s.strip().lstrip("(").rstrip(")").split(",")]
+
+
+def read(path: str) -> MedicalImage:
+    with open(path, "rb") as f:
+        data = f.read()
+    if not data.startswith(b"NRRD"):
+        raise ValueError(f"{path}: not a NRRD file")
+    # Header = lines until the first blank line.
+    end = data.index(b"\n\n") if b"\n\n" in data else data.index(b"\r\n\r\n")
+    header_lines = data[:end].decode("ascii", errors="replace").splitlines()[1:]
+    fields: Dict[str, str] = {}
+    for line in header_lines:
+        if not line or line.startswith("#"):
+            continue
+        if ":=" in line:
+            k, v = line.split(":=", 1)
+        elif ":" in line:
+            k, v = line.split(":", 1)
+        else:
+            continue
+        fields[k.strip().lower()] = v.strip()
+    payload = data[end + (2 if b"\n\n" in data[: end + 2] else 4) :]
+    if data[end : end + 2] == b"\n\n":
+        payload = data[end + 2 :]
+    else:
+        payload = data[end + 4 :]
+
+    if int(fields.get("dimension", "3")) != 3:
+        raise ValueError(f"{path}: only 3-D NRRD supported")
+    sizes = [int(v) for v in fields["sizes"].split()]
+    dtype = _NRRD_TYPES.get(fields["type"])
+    if dtype is None:
+        raise ValueError(f"{path}: unsupported NRRD type {fields['type']!r}")
+    if fields.get("endian", "little") == "big":
+        raise ValueError(f"{path}: big-endian NRRD not supported")
+    encoding = fields.get("encoding", "raw").lower()
+    if encoding in ("gzip", "gz"):
+        payload = zlib.decompress(payload, zlib.MAX_WBITS | 32)
+    elif encoding != "raw":
+        raise ValueError(f"{path}: unsupported NRRD encoding {encoding!r}")
+
+    nx, ny, nz = sizes
+    arr = np.frombuffer(payload, dtype=dtype, count=nx * ny * nz).reshape(nz, ny, nx)
+
+    direction = np.eye(3)
+    spacing = [1.0, 1.0, 1.0]
+    if "space directions" in fields:
+        vecs = [
+            _parse_vector(v)
+            for v in fields["space directions"].replace(") (", ")|(").split("|")
+        ]
+        m = np.asarray(vecs, dtype=np.float64).T  # columns = image axes
+        space = fields.get("space", "left-posterior-superior").lower()
+        flip = _lps_flip(space)
+        m = flip @ m
+        spacing = list(np.linalg.norm(m, axis=0))
+        direction = m / np.asarray(spacing)[None, :]
+    origin = [0.0, 0.0, 0.0]
+    if "space origin" in fields:
+        origin = list(
+            _lps_flip(fields.get("space", "left-posterior-superior").lower())
+            @ np.asarray(_parse_vector(fields["space origin"]))
+        )
+    return MedicalImage(
+        array=np.ascontiguousarray(arr),
+        spacing=tuple(spacing),
+        origin=tuple(origin),
+        direction=direction,
+    )
+
+
+def _lps_flip(space: str) -> np.ndarray:
+    if space in ("left-posterior-superior", "lps"):
+        return np.eye(3)
+    if space in ("right-anterior-superior", "ras"):
+        return np.diag([-1.0, -1.0, 1.0])
+    if space in ("left-anterior-superior", "las"):
+        return np.diag([1.0, -1.0, 1.0])
+    raise ValueError(f"unsupported NRRD space {space!r}")
+
+
+def write(image: MedicalImage, path: str, compressed: bool = True) -> None:
+    arr = np.ascontiguousarray(image.array)
+    if arr.dtype == np.bool_:
+        arr = arr.astype(np.uint8)
+    if arr.dtype not in _TYPE_NAMES:
+        arr = arr.astype(np.float32)
+    nz, ny, nx = arr.shape
+    d = np.asarray(image.direction) * np.asarray(image.spacing)[None, :]
+    sd = " ".join(
+        "(" + ",".join(repr(float(v)) for v in d[:, j]) + ")" for j in range(3)
+    )
+    so = "(" + ",".join(repr(float(v)) for v in image.origin) + ")"
+    lines = [
+        "NRRD0004",
+        "# Complete NRRD file format specification at:",
+        "# http://teem.sourceforge.net/nrrd/format.html",
+        f"type: {_TYPE_NAMES[arr.dtype]}",
+        "dimension: 3",
+        "space: left-posterior-superior",
+        f"sizes: {nx} {ny} {nz}",
+        f"space directions: {sd}",
+        "kinds: domain domain domain",
+        "endian: little",
+        f"encoding: {'gzip' if compressed else 'raw'}",
+        f"space origin: {so}",
+    ]
+    payload = arr.tobytes()
+    if compressed:
+        payload = gzip.compress(payload)
+    with open(path, "wb") as f:
+        f.write(("\n".join(lines) + "\n\n").encode("ascii") + payload)

@@ -50,8 +50,20 @@ def _relabel_scan_order(lab: np.ndarray) -> Tuple[np.ndarray, int]:
 def label(
     image: np.ndarray, connectivity: Optional[int] = None, return_num: bool = False
 ):
-    """skimage.measure.label-compatible multi-class connected components."""
+    """skimage.measure.label-compatible multi-class connected components.
+
+    Dispatches to the native C++ union-find (ops/native.py) when built;
+    otherwise uses per-value scipy labeling + scan-order renumbering. Both
+    produce identical labelings (cross-checked in tests/test_native.py).
+    """
     image = np.asarray(image)
+    if connectivity is None or connectivity in (1, image.ndim):
+        from lungmask_tpu.ops import native
+
+        res = native.label(image, connectivity)
+        if res is not None:
+            out, num = res
+            return (out, num) if return_num else out
     struct = _structure(image.ndim, connectivity)
     values = np.unique(image)
     out = np.zeros(image.shape, dtype=np.int32)
@@ -89,6 +101,34 @@ def regionprops(
     nmax = int(label_image.max())
     if nmax == 0:
         return []
+
+    from lungmask_tpu.ops import native
+
+    res = native.regionprops_arrays(label_image, intensity_image, nmax)
+    if res is not None:
+        nareas, nmaxint, nbbox = res
+        nd = label_image.ndim
+        regions = []
+        for lbl in range(1, nmax + 1):
+            if nareas[lbl - 1] == 0:
+                continue
+            b = nbbox[lbl - 1]
+            bbox = (
+                tuple(int(v) for v in b[3 - nd : 3])
+                + tuple(int(v) for v in b[6 - nd : 6])
+            )
+            regions.append(
+                Region(
+                    label=lbl,
+                    area=int(nareas[lbl - 1]),
+                    max_intensity=(
+                        float(nmaxint[lbl - 1]) if nmaxint is not None else np.nan
+                    ),
+                    bbox=bbox,
+                )
+            )
+        return regions
+
     areas = np.bincount(label_image.ravel(), minlength=nmax + 1)
     objects = ndimage.find_objects(label_image, max_label=nmax)
     if intensity_image is not None:
@@ -132,6 +172,11 @@ def fill_holes_3d(mask: np.ndarray) -> np.ndarray:
     """3-D binary hole filling (the reference's ``fill_voids.fill``,
     /root/reference/lungmask/utils.py:352 — documented as a fast drop-in for
     scipy.ndimage.binary_fill_holes with the default cross structure)."""
+    from lungmask_tpu.ops import native
+
+    res = native.fill_holes(mask)
+    if res is not None:
+        return res
     return ndimage.binary_fill_holes(mask)
 
 

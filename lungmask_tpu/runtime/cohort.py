@@ -1,0 +1,151 @@
+"""Cohort streaming: overlapped decode → device inference → postprocess/write.
+
+BASELINE.json config 5 ("50-volume DICOM cohort streamed at batchsize=64") has
+no counterpart in the reference, which processes volumes strictly serially
+(CLI handles one volume per invocation). This runtime pipelines a cohort
+through three overlapping stages:
+
+  [loader thread]   file/DICOM decode + HU clip            (host I/O)
+  [main thread]     preprocess + U-Net                     (device)
+  [finisher thread] postprocessing + paste + output write  (host + device)
+
+so host decode of volume i+1 and host postprocessing of volume i-1 overlap
+device compute of volume i. Queues are bounded (``prefetch``) so memory stays
+flat regardless of cohort size.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Iterable, List, Optional, Sequence, Union
+
+import numpy as np
+
+from lungmask_tpu.io import loader
+from lungmask_tpu.io.image import MedicalImage
+from lungmask_tpu.logger import logger
+
+VolumeSource = Union[str, np.ndarray, MedicalImage]
+
+
+@dataclass
+class CohortResult:
+    name: str
+    mask: Optional[np.ndarray]
+    seconds: float
+    error: Optional[str] = None
+
+
+@dataclass
+class CohortStats:
+    results: List[CohortResult] = field(default_factory=list)
+    wall_seconds: float = 0.0
+
+    @property
+    def volumes_per_hour(self) -> float:
+        done = sum(1 for r in self.results if r.error is None)
+        return 3600.0 * done / self.wall_seconds if self.wall_seconds else 0.0
+
+
+def _load(source: VolumeSource) -> MedicalImage:
+    if isinstance(source, MedicalImage):
+        return source
+    if isinstance(source, np.ndarray):
+        return MedicalImage(source)
+    return loader.load_input_image(source)
+
+
+def run_cohort(
+    sources: Sequence[VolumeSource],
+    inferer,
+    output_dir: Optional[str] = None,
+    prefetch: int = 2,
+    on_result: Optional[Callable[[CohortResult], None]] = None,
+    keep_masks: bool = False,
+) -> CohortStats:
+    """Stream a cohort of volumes through the inferer.
+
+    Args:
+        sources: paths (files or DICOM dirs), arrays, or MedicalImages.
+        inferer: an ``LMInferer``.
+        output_dir: when set, masks are written as ``<name>_mask.nii.gz``.
+        prefetch: bounded decode look-ahead.
+        keep_masks: retain masks in the returned stats (memory!).
+    """
+    t_start = time.perf_counter()
+    stats = CohortStats()
+    in_q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
+    out_q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
+
+    def name_of(i, src):
+        if isinstance(src, str):
+            base = os.path.basename(os.path.normpath(src))
+            return os.path.splitext(os.path.splitext(base)[0])[0]
+        return f"volume{i:04d}"
+
+    def loader_thread():
+        try:
+            for i, src in enumerate(sources):
+                try:
+                    img = _load(src)
+                    in_q.put((name_of(i, src), img, None))
+                # SystemExit included: load_input_image sys.exit()s on empty
+                # DICOM dirs (reference semantics) — here that skips the volume.
+                except (Exception, SystemExit) as e:
+                    in_q.put((name_of(i, src), None, str(e)))
+        finally:
+            in_q.put(None)
+
+    def finisher_thread():
+        while True:
+            item = out_q.get()
+            if item is None:
+                break
+            name, img, mask, t0, err = item
+            if err is None and output_dir is not None:
+                try:
+                    out = img.with_array(mask)
+                    loader.write_image(out, os.path.join(output_dir, f"{name}_mask.nii.gz"))
+                except Exception as e:
+                    err = f"write failed: {e}"
+            res = CohortResult(
+                name=name,
+                mask=mask if keep_masks else None,
+                seconds=time.perf_counter() - t0,
+                error=err,
+            )
+            stats.results.append(res)
+            if on_result is not None:
+                on_result(res)
+
+    lt = threading.Thread(target=loader_thread, daemon=True)
+    ft = threading.Thread(target=finisher_thread, daemon=True)
+    lt.start()
+    ft.start()
+
+    while True:
+        item = in_q.get()
+        if item is None:
+            break
+        name, img, err = item
+        t0 = time.perf_counter()
+        if err is not None:
+            logger.warning(f"cohort: skipping {name}: {err}")
+            out_q.put((name, None, None, t0, err))
+            continue
+        try:
+            mask = inferer.apply(img)
+            out_q.put((name, img, mask, t0, None))
+        except Exception as e:
+            logger.error(f"cohort: inference failed for {name}: {e}")
+            out_q.put((name, img, None, t0, str(e)))
+
+    out_q.put(None)
+    lt.join()
+    ft.join()
+    stats.wall_seconds = time.perf_counter() - t_start
+    return stats

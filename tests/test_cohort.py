@@ -1,0 +1,63 @@
+"""Cohort streaming runtime tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from lungmask_tpu import LMInferer
+from lungmask_tpu.io import nifti
+from lungmask_tpu.io.image import MedicalImage
+from lungmask_tpu.models import convert, unet
+from lungmask_tpu.runtime.cohort import run_cohort
+
+
+@pytest.fixture(scope="module")
+def inferer(tmp_path_factory):
+    params = unet.init_params(jax.random.PRNGKey(0), n_classes=3)
+    p = str(tmp_path_factory.mktemp("w") / "w.npz")
+    convert.save_npz(p, params)
+    return LMInferer(modelpath=p, tqdm_disable=True, batch_size=4)
+
+
+def _vol(seed, n=2, hw=64):
+    rng = np.random.default_rng(seed)
+    v = np.full((n, hw, hw), -1000, dtype=np.int16)
+    yy, xx = np.mgrid[0:hw, 0:hw]
+    body = ((yy - hw / 2) / (hw * 0.35)) ** 2 + ((xx - hw / 2) / (hw * 0.3)) ** 2 < 1
+    v[:, body] = 40
+    return v
+
+
+def test_cohort_arrays(inferer):
+    stats = run_cohort([_vol(i) for i in range(3)], inferer, keep_masks=True)
+    assert len(stats.results) == 3
+    assert all(r.error is None for r in stats.results)
+    assert all(r.mask.shape == (2, 64, 64) for r in stats.results)
+    assert stats.volumes_per_hour > 0
+
+
+def test_cohort_writes_outputs(tmp_path, inferer):
+    out = tmp_path / "masks"
+    out.mkdir()
+    vols = []
+    for i in range(2):
+        p = str(tmp_path / f"case{i}.nii.gz")
+        nifti.write(MedicalImage(_vol(i)), p)
+        vols.append(p)
+    stats = run_cohort(vols, inferer, output_dir=str(out))
+    assert all(r.error is None for r in stats.results)
+    written = sorted(os.listdir(out))
+    assert written == ["case0_mask.nii.gz", "case1_mask.nii.gz"]
+    back = nifti.read(str(out / "case0_mask.nii.gz"))
+    assert back.array.shape == (2, 64, 64)
+
+
+def test_cohort_skips_bad_volume(inferer, tmp_path):
+    bad = str(tmp_path / "missing.nii.gz")
+    stats = run_cohort([_vol(0), bad], inferer, keep_masks=True)
+    assert len(stats.results) == 2
+    errs = [r for r in stats.results if r.error is not None]
+    assert len(errs) == 1 and "missing" in errs[0].name

@@ -98,6 +98,26 @@ def test_nifti_dtypes(tmp_path, dtype, rng):
 
 
 @pytest.mark.parametrize("compressed", [False, True])
+def test_nrrd_roundtrip(tmp_path, compressed, rng):
+    from lungmask_tpu.io import nrrd
+
+    arr = rng.integers(-1024, 600, size=(4, 9, 7)).astype(np.int16)
+    img = image.MedicalImage(
+        arr,
+        spacing=(0.6, 0.7, 2.0),
+        origin=(-10.0, 5.0, 3.0),
+        direction=np.diag([-1.0, 1.0, 1.0]),
+    )
+    p = str(tmp_path / "vol.nrrd")
+    nrrd.write(img, p, compressed=compressed)
+    back = nrrd.read(p)
+    np.testing.assert_array_equal(back.array, arr)
+    np.testing.assert_allclose(back.spacing, img.spacing)
+    np.testing.assert_allclose(back.origin, img.origin)
+    np.testing.assert_allclose(back.direction, img.direction)
+
+
+@pytest.mark.parametrize("compressed", [False, True])
 def test_mha_roundtrip(tmp_path, compressed, rng):
     arr = rng.integers(-1024, 600, size=(4, 8, 6)).astype(np.int16)
     img = image.MedicalImage(arr, spacing=(0.5, 0.5, 1.5), origin=(1.0, 2.0, 3.0))

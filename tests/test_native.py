@@ -1,0 +1,104 @@
+"""Native C++ core vs numpy/scipy fallback: identical labelings, props, fills."""
+
+import numpy as np
+import pytest
+from scipy import ndimage
+
+from lungmask_tpu.ops import cc_host, native
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = native.get_lib()
+    if lib is None:
+        pytest.skip("native library unavailable (no g++?)")
+    return lib
+
+
+def _fallback_label(img, connectivity=None):
+    """The pure scipy path, bypassing native dispatch."""
+    struct = cc_host._structure(img.ndim, connectivity)
+    out = np.zeros(img.shape, dtype=np.int32)
+    offset = 0
+    for v in np.unique(img):
+        if v == 0:
+            continue
+        lab, n = ndimage.label(img == v, structure=struct)
+        sel = lab > 0
+        out[sel] = lab[sel] + offset
+        offset += n
+    out, num = cc_host._relabel_scan_order(out)
+    return out, num
+
+
+@pytest.mark.parametrize("shape", [(20, 20), (6, 9, 11), (1, 6, 6)])
+@pytest.mark.parametrize("connectivity", [1, None])
+def test_label_matches_fallback(lib, shape, connectivity, rng):
+    img = rng.integers(0, 4, size=shape).astype(np.int32)
+    got, n_got = native.label(img, connectivity)
+    want, n_want = _fallback_label(img, connectivity)
+    assert n_got == n_want
+    np.testing.assert_array_equal(got, want)
+
+
+def test_label_binary_large(lib, rng):
+    img = (rng.random((40, 64, 64)) < 0.4).astype(np.int32)
+    got, n_got = native.label(img, None)
+    want, n_want = _fallback_label(img, None)
+    assert n_got == n_want
+    np.testing.assert_array_equal(got, want)
+
+
+def test_regionprops_matches(lib, rng):
+    img = rng.integers(0, 3, size=(8, 16, 16)).astype(np.uint8)
+    labels, n = native.label(img.astype(np.int32), None)
+    areas, maxint, bbox = native.regionprops_arrays(labels, img, n)
+    # oracle via scipy
+    for lbl in range(1, n + 1):
+        sel = labels == lbl
+        assert areas[lbl - 1] == sel.sum()
+        assert maxint[lbl - 1] == img[sel].max()
+        zs, ys, xs = np.nonzero(sel)
+        np.testing.assert_array_equal(
+            bbox[lbl - 1],
+            [zs.min(), ys.min(), xs.min(), zs.max() + 1, ys.max() + 1, xs.max() + 1],
+        )
+
+
+def test_fill_holes_matches_scipy(lib, rng):
+    m = np.zeros((10, 12, 12), dtype=bool)
+    m[1:9, 1:11, 1:11] = True
+    m[4:6, 4:7, 4:7] = False
+    got = native.fill_holes(m)
+    np.testing.assert_array_equal(got, ndimage.binary_fill_holes(m))
+    r = rng.random((8, 20, 20)) < 0.6
+    np.testing.assert_array_equal(native.fill_holes(r), ndimage.binary_fill_holes(r))
+
+
+def test_postprocessing_golden_with_native(lib):
+    """The reference 6×6 golden vectors must hold on the native path too."""
+    from lungmask_tpu.transforms.postprocess import postprocessing
+
+    label_image = np.zeros((1, 6, 6), dtype=np.uint8)
+    label_image[0] = np.asarray(
+        [
+            [0, 0, 0, 0, 0, 0],
+            [0, 1, 1, 2, 2, 0],
+            [0, 2, 0, 3, 1, 0],
+            [0, 4, 4, 4, 0, 0],
+            [0, 4, 0, 4, 0, 0],
+            [0, 4, 4, 4, 0, 0],
+        ]
+    )
+    res = postprocessing(np.tile(label_image, (2, 1, 1)), spare=[], skip_below=1)[0]
+    assert np.all(
+        res
+        == [
+            [0, 0, 0, 0, 0, 0],
+            [0, 1, 1, 2, 2, 0],
+            [0, 1, 0, 3, 2, 0],
+            [0, 4, 4, 4, 0, 0],
+            [0, 4, 0, 4, 0, 0],
+            [0, 4, 4, 4, 0, 0],
+        ]
+    )
