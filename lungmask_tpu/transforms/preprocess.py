@@ -47,19 +47,46 @@ def _round_half_away(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.trunc(x + jnp.where(x >= 0, 0.5, -0.5))
 
 
+def _bodymask128_from_labels(labels: jnp.ndarray, eroded: jnp.ndarray) -> jnp.ndarray:
+    """Largest-region keep + dilation ×2 given CC labels of the eroded mask.
+
+    Reference keeps the eroded mask untouched if no region exists
+    (utils.py:77-80 guard)."""
+    has_region = jnp.any(labels > 0)
+    largest = cc.largest_component_mask(labels)
+    dilated = morphology.binary_dilation(largest, iterations=2)
+    return jnp.where(has_region, dilated, eroded)
+
+
 def _bodymask128(small: jnp.ndarray) -> jnp.ndarray:
-    """Bodymask pipeline on one 128² slice (already zoomed)."""
+    """Bodymask pipeline on one 128² slice (already zoomed) — XLA path."""
     mask = small > BODY_THRESHOLD
     mask = morphology.binary_closing(mask)
     mask = morphology.binary_fill_holes(mask, structure="full")
     mask = morphology.binary_erosion(mask, iterations=2)
     labels = cc.label(mask, connectivity=1)
-    has_region = jnp.any(labels > 0)
-    largest = cc.largest_component_mask(labels)
-    dilated = morphology.binary_dilation(largest, iterations=2)
-    # Reference keeps the eroded mask untouched if no region exists
-    # (utils.py:77-80 guard).
-    return jnp.where(has_region, dilated, mask)
+    return _bodymask128_from_labels(labels, mask)
+
+
+def _bodymasks_batch(smalls: jnp.ndarray, use_pallas: bool) -> jnp.ndarray:
+    """(B, 128, 128) HU → (B, 128, 128) bool bodymasks."""
+    if use_pallas:
+        from lungmask_tpu.ops.pallas.bodymask import bodymask_labels_pallas
+
+        labels, eroded = bodymask_labels_pallas(smalls)
+        return jax.vmap(_bodymask128_from_labels)(labels, eroded)
+    return jax.vmap(_bodymask128)(smalls)
+
+
+def default_use_pallas() -> bool:
+    """The fused Pallas bodymask kernel is the default on TPU backends
+    (opt out with LUNGMASK_TPU_PALLAS=0; opt in elsewhere with =1)."""
+    import os
+
+    flag = os.environ.get("LUNGMASK_TPU_PALLAS")
+    if flag is not None:
+        return flag != "0"
+    return jax.default_backend() == "tpu"
 
 
 def _upzoom_box_tables(src: int, dst: int):
@@ -75,25 +102,23 @@ def _upzoom_box_tables(src: int, dst: int):
     return jnp.asarray(idx)
 
 
-def _box_of_slice(slice_hu: jnp.ndarray) -> jnp.ndarray:
-    """Crop box (r0, c0, r1, c1) of one clipped HU slice.
+def _box_from_mask(shape, mask128: jnp.ndarray) -> jnp.ndarray:
+    """Crop box (r0, c0, r1, c1) of one slice given its 128² bodymask.
 
-    The reference computes the bodymask at 128², nearest-upzooms it to slice
-    resolution, relabels at full resolution (8-conn) and takes the first
-    region's bbox (utils.py:82,98-106). For upzooms, nearest resampling with
-    monotone index maps preserves 8-connectivity components *bijectively*
-    (output-adjacent pixels come from source pixels differing by ≤1 per axis,
-    and every source row/col appears), and scan order is preserved — so the
-    first full-res component is the image of the first 128² component and its
-    bbox is the exact preimage-range of the source bbox. That makes the
-    full-resolution connected-components pass (the most expensive device op
-    in preprocessing) unnecessary: label at 128² and map the bbox through the
-    static zoom index tables. Slices smaller than 128² (a downzoom, where
-    components can merge or vanish) fall back to full-res labeling.
+    The reference nearest-upzooms the bodymask to slice resolution, relabels
+    at full resolution (8-conn) and takes the first region's bbox
+    (utils.py:82,98-106). For upzooms, nearest resampling with monotone index
+    maps preserves 8-connectivity components *bijectively* (output-adjacent
+    pixels come from source pixels differing by ≤1 per axis, and every source
+    row/col appears), and scan order is preserved — so the first full-res
+    component is the image of the first 128² component and its bbox is the
+    exact preimage-range of the source bbox. That makes the full-resolution
+    connected-components pass (the most expensive device op in preprocessing)
+    unnecessary: label at 128² and map the bbox through the static zoom index
+    tables. Slices smaller than 128² (a downzoom, where components can merge
+    or vanish) fall back to full-res labeling.
     """
-    h, w = slice_hu.shape
-    small = resample.resize(slice_hu, (128, 128), order=0)
-    mask128 = _bodymask128(small)
+    h, w = shape
 
     if h < 128 or w < 128:
         mask_full = resample.resize(mask128, (h, w), order=0)
@@ -115,9 +140,12 @@ def _box_of_slice(slice_hu: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(has_region, mapped, full)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _boxes_for_volume(clipped: jnp.ndarray) -> jnp.ndarray:
-    return jax.vmap(_box_of_slice)(clipped)
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
+def _boxes_for_volume(clipped: jnp.ndarray, use_pallas: bool = False) -> jnp.ndarray:
+    shape = clipped.shape[1:]
+    smalls = jax.vmap(lambda s: resample.resize(s, (128, 128), order=0))(clipped)
+    masks = _bodymasks_batch(smalls, use_pallas)
+    return jax.vmap(lambda m: _box_from_mask(shape, m))(masks)
 
 
 @functools.partial(jax.jit, static_argnames=("integer_input",))
@@ -145,7 +173,9 @@ def compute_boxes(volume: np.ndarray) -> np.ndarray:
     if n_pad != n:
         pad = np.full((n_pad - n, h, w), HU_LO, dtype=clipped.dtype)
         clipped = np.concatenate([clipped, pad], axis=0)
-    boxes = np.asarray(_boxes_for_volume(jnp.asarray(clipped)))
+    boxes = np.asarray(
+        _boxes_for_volume(jnp.asarray(clipped), use_pallas=default_use_pallas())
+    )
     return boxes[:n]
 
 
@@ -167,7 +197,9 @@ def preprocess(
         pad = np.full((n_pad - n, h, w), HU_LO, dtype=clipped.dtype)
         clipped = np.concatenate([clipped, pad], axis=0)
     clipped_dev = jnp.asarray(clipped)
-    boxes = np.asarray(_boxes_for_volume(clipped_dev))
+    boxes = np.asarray(
+        _boxes_for_volume(clipped_dev, use_pallas=default_use_pallas())
+    )
     plan = resample.crop_resize_plan(boxes, resolution, order=1)
     normalized = _crop_normalize(clipped_dev, plan, integer_input=integer_input)
     return normalized, boxes[:n]
@@ -181,7 +213,10 @@ def preprocess_traced(
     ``clipped`` must already be HU-clipped. Jittable end-to-end; used by the
     compile-check entry point and throughput benchmarks.
     """
-    boxes = jax.vmap(_box_of_slice)(clipped)
+    shape = clipped.shape[1:]
+    smalls = jax.vmap(lambda s: resample.resize(s, (128, 128), order=0))(clipped)
+    masks = _bodymasks_batch(smalls, use_pallas=False)
+    boxes = jax.vmap(lambda m: _box_from_mask(shape, m))(masks)
 
     def crop_one(sl, box):
         out = resample.resize_from_box(sl, box, resolution, order=1)
