@@ -99,10 +99,18 @@ class LMInferer:
         if force_cpu:
             import jax
 
-            cpu = jax.devices("cpu")[0]
-            self._device_ctx = jax.default_device(cpu)
-            self._device_ctx.__enter__()
-            logger.info("force_cpu set, running on the host CPU backend")
+            try:
+                cpu = jax.devices("cpu")[0]
+                self._device_ctx = jax.default_device(cpu)
+                self._device_ctx.__enter__()
+                logger.info("force_cpu set, running on the host CPU backend")
+            except RuntimeError as e:
+                # Some plugin platforms expose no CPU backend; degrade
+                # gracefully rather than failing the run.
+                logger.warning(
+                    f"force_cpu requested but no CPU backend is available ({e}); "
+                    "continuing on the default backend"
+                )
 
         assert precision in ("bfloat16", "float32")
         compute_dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32

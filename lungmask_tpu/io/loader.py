@@ -153,10 +153,58 @@ def load_input_image(
     return volumes[int(np.argmax([v.voxel_count() for v in volumes]))]
 
 
+def write_dicom_series(image: MedicalImage, path: str) -> None:
+    """Write a volume as a DICOM series.
+
+    ``path`` ending in ``.dcm`` is used as a filename template
+    (``stem_0000.dcm`` …) — one CT slice file per z index, carrying the
+    image's metadata tags (the CLI places the keep-list + marker tags there,
+    matching the reference's DICOM output behavior,
+    /root/reference/lungmask/__main__.py:125-141). The StudyInstanceUID from
+    the metadata is preserved when present (SetKeepOriginalImageUID parity).
+    """
+    stem = path[: -len(".dcm")]
+    d = np.asarray(image.direction)
+    orientation = tuple(d[:, 0]) + tuple(d[:, 1])
+    zdir = d[:, 2]
+    origin = np.asarray(image.origin, dtype=np.float64)
+    study_uid = image.metadata.get("0020|000d", "").strip() or dicom.generate_uid()
+    series_uid = dicom.generate_uid()
+    extra = {}
+    for key, value in image.metadata.items():
+        try:
+            g, e = (int(p, 16) for p in key.split("|"))
+        except ValueError:
+            continue
+        if (g, e) in ((0x0020, 0x000D), (0x0020, 0x000E)):
+            continue
+        extra[(g, e)] = value
+    arr = image.array
+    if arr.dtype != np.int16:
+        arr = arr.astype(np.int16)
+    for z in range(arr.shape[0]):
+        pos = origin + zdir * image.spacing[2] * z
+        dicom.write_slice(
+            f"{stem}_{z:04d}.dcm",
+            arr[z],
+            series_uid=series_uid,
+            study_uid=study_uid,
+            position=tuple(pos),
+            orientation=orientation,
+            spacing=(image.spacing[1], image.spacing[0]),
+            slice_thickness=image.spacing[2],
+            tags={**extra, (0x0020, 0x0013): str(z + 1)},
+        )
+
+
 def write_image(image: MedicalImage, path: str) -> None:
+    if path.lower().endswith(".dcm"):
+        write_dicom_series(image, path)
+        return
     ext = _format_of(path)
     if ext is None:
         raise ValueError(
-            f"{path}: unsupported output format (supported: .nii, .nii.gz, .mha, .nrrd)"
+            f"{path}: unsupported output format "
+            "(supported: .nii, .nii.gz, .mha, .nrrd, .dcm)"
         )
     _WRITERS[ext](image, path)

@@ -232,6 +232,25 @@ def test_load_input_image_file(tmp_path, rng):
     np.testing.assert_array_equal(img.array, arr)
 
 
+def test_write_dicom_series_roundtrip(tmp_path, rng):
+    arr = rng.integers(0, 4, size=(3, 32, 32)).astype(np.uint8)
+    img = image.MedicalImage(
+        arr,
+        spacing=(0.7, 0.7, 2.5),
+        origin=(1.0, 2.0, 3.0),
+        metadata={"0010|0010": "Test^Patient", "0020|000d": "1.2.3.4"},
+    )
+    out = str(tmp_path / "mask.dcm")
+    loader.write_image(img, out)
+    files = sorted(tmp_path.glob("mask_*.dcm"))
+    assert len(files) == 3
+    back = loader.read_dicoms(str(tmp_path), read_metadata=True)[0]
+    np.testing.assert_array_equal(back.array, arr.astype(np.int16))
+    assert back.spacing == (0.7, 0.7, 2.5)
+    assert back.metadata["0010|0010"] == "Test^Patient"
+    assert back.metadata["0020|000d"] == "1.2.3.4"
+
+
 def test_load_input_image_exits_on_empty_dir(tmp_path):
     (tmp_path / "empty").mkdir()
     with pytest.raises(SystemExit):
