@@ -24,7 +24,7 @@ Methodology notes:
   reported separately per stage).
 """
 
-import functools
+
 import json
 import os
 import sys

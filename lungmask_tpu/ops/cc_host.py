@@ -22,7 +22,7 @@ This module is the exact-parity path and the test oracle for the device CC in
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 import numpy as np
