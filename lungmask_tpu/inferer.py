@@ -189,11 +189,12 @@ class LMInferer:
             else:
                 outmask = pred_np
 
-            # Batched device paste-back to original slice geometry.
+            # Batched paste-back to original slice geometry. The mask stack is
+            # host-resident after postprocessing, so the host gather avoids an
+            # upload + full-res download (ops/resample.paste_masks_host).
             with self.timings.stage("paste_back"):
-                plan = resample.paste_plan(boxes, (256, 256), inimg_raw.shape[1:])
-                outmask = np.asarray(
-                    resample.apply_paste(jnp.asarray(outmask), plan)
+                outmask = resample.paste_masks_host(
+                    outmask, boxes, inimg_raw.shape[1:]
                 ).astype(np.uint8)
         return outmask
 

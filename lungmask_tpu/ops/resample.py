@@ -226,6 +226,37 @@ def apply_paste(masks: jnp.ndarray, plan: Dict[str, jnp.ndarray]) -> jnp.ndarray
     return jax.vmap(one)(masks, plan["ridx"], plan["rval"], plan["cidx"], plan["cval"])
 
 
+def paste_masks_host(
+    masks: np.ndarray, boxes: np.ndarray, canvas_shape: Tuple[int, int]
+) -> np.ndarray:
+    """Host-side batched reshape_mask — identical semantics to
+    :func:`paste_plan` + :func:`apply_paste` but in numpy.
+
+    The postprocessed mask stack lives on the host (postprocessing is a host
+    stage), so pasting there avoids an upload + full-resolution download per
+    volume; on remote-attached TPUs that round trip costs more than the
+    gather itself.
+    """
+    masks = np.asarray(masks)
+    boxes = np.asarray(boxes, dtype=np.int64)
+    n, mh, mw = masks.shape
+    h, w = canvas_shape
+    out = np.zeros((n, h, w), dtype=masks.dtype)
+    for i, (r0, c0, r1, c1) in enumerate(boxes):
+        bh, bw = int(r1 - r0), int(c1 - c0)
+        if bh <= 0 or bw <= 0:
+            continue
+        ridx, roob = _axis_plan_np(mh, bh, 0)
+        cidx, coob = _axis_plan_np(mw, bw, 0)
+        block = masks[i][np.ix_(ridx, cidx)]
+        if roob.any() or coob.any():
+            block = block.copy()
+            block[roob, :] = 0
+            block[:, coob] = 0
+        out[i, r0:r1, c0:c1] = block
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Fully-traced variants (float32 coordinates on device; used by the pure-jit
 # single-dispatch path where boxes are traced values)

@@ -94,6 +94,14 @@ def test_crop_resize_plan_matches_crop_then_zoom(order, rng):
             np.testing.assert_allclose(got[i], ref, atol=1e-3, rtol=1e-5)
 
 
+def test_paste_masks_host_matches_device_plan(rng):
+    masks = rng.integers(0, 4, size=(len(_BOXES), 256, 256)).astype(np.uint8)
+    plan = resample.paste_plan(_BOXES, (256, 256), (512, 512))
+    dev = np.asarray(resample.apply_paste(jnp.asarray(masks), plan))
+    host = resample.paste_masks_host(masks, _BOXES, (512, 512))
+    np.testing.assert_array_equal(host, dev)
+
+
 def test_paste_plan_matches_reshape_mask(rng):
     """Exact-path oracle: the reference reshape_mask recipe (utils.py:114-129)."""
     masks = rng.integers(0, 4, size=(len(_BOXES), 256, 256)).astype(np.uint8)
