@@ -49,6 +49,7 @@ class LMInferer:
         tqdm_disable: bool = False,
         preprocessing: str = "device",
         precision: str = "bfloat16",
+        mesh=None,
     ):
         """Lung-mask inference.
 
@@ -70,6 +71,10 @@ class LMInferer:
             precision: 'bfloat16' (default — MXU-native compute with float32
                 accumulation) or 'float32' (HIGHEST precision convs, for
                 strict numerical parity with the reference's float32 torch).
+            mesh: optional ``jax.sharding.Mesh`` (see ``parallel.make_mesh``);
+                when given, the U-Net forward shards slices over the mesh's
+                'data' axis (and slice height over 'space') instead of running
+                single-device.
         """
         assert (
             modelname in MODEL_URLS
@@ -115,19 +120,37 @@ class LMInferer:
         assert precision in ("bfloat16", "float32")
         compute_dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
 
+        if mesh is not None:
+            from lungmask_tpu.parallel import ShardedUNetRunner
+
+            def make_runner(params, n_classes):
+                return ShardedUNetRunner(
+                    params,
+                    n_classes,
+                    mesh=mesh,
+                    batch_size=batch_size,
+                    compute_dtype=compute_dtype,
+                )
+
+        else:
+
+            def make_runner(params, n_classes):
+                return UNetRunner(
+                    params,
+                    n_classes,
+                    batch_size=batch_size,
+                    compute_dtype=compute_dtype,
+                )
+
         params, n_classes = get_model(
             self.modelname if modelpath is None else modelname, modelpath
         )
-        self.model = UNetRunner(
-            params, n_classes, batch_size=batch_size, compute_dtype=compute_dtype
-        )
+        self.model = make_runner(params, n_classes)
 
         self.fillmodelm = None
         if self.fillmodel is not None:
             fparams, fn_classes = get_model(self.fillmodel, fillmodel_path)
-            self.fillmodelm = UNetRunner(
-                fparams, fn_classes, batch_size=batch_size, compute_dtype=compute_dtype
-            )
+            self.fillmodelm = make_runner(fparams, fn_classes)
 
     # ------------------------------------------------------------------
 

@@ -73,6 +73,51 @@ def test_train_step_unsharded(tiny_params):
     assert int(state2.step) == 1
 
 
+def test_inferer_with_mesh(tmp_path, tiny_params):
+    """LMInferer end-to-end over an 8-device mesh matches single-device."""
+    import numpy as np
+
+    from lungmask_tpu import LMInferer
+    from lungmask_tpu.models import convert
+
+    # full-size params required by the inferer pipeline
+    params = unet.init_params(jax.random.PRNGKey(5), n_classes=3)
+    wpath = str(tmp_path / "w.npz")
+    convert.save_npz(wpath, params)
+
+    rng = np.random.default_rng(0)
+    vol = np.full((2, 64, 64), -1000, dtype=np.int16)
+    yy, xx = np.mgrid[0:64, 0:64]
+    vol[:, ((yy - 32) / 22.0) ** 2 + ((xx - 32) / 19.0) ** 2 < 1] = 40
+
+    mesh = make_mesh(n_devices=8, space=2)
+    sharded = LMInferer(
+        modelpath=wpath, tqdm_disable=True, batch_size=8, mesh=mesh
+    ).apply(vol)
+    single = LMInferer(modelpath=wpath, tqdm_disable=True, batch_size=8).apply(vol)
+    np.testing.assert_array_equal(sharded, single)
+
+
+def test_stage_timer():
+    import time
+
+    from lungmask_tpu.utils.profiling import StageTimer
+
+    t = StageTimer()
+    with t.stage("a"):
+        time.sleep(0.01)
+    with t.stage("a"):
+        pass
+    with t.stage("b"):
+        pass
+    assert t.counts["a"] == 2 and t.counts["b"] == 1
+    assert t.totals["a"] >= 0.01
+    assert list(t.summary()) == ["a", "b"]
+    assert "a" in t.report()
+    t.reset()
+    assert not t.totals
+
+
 def test_graft_entry_hooks():
     import sys
 
