@@ -114,7 +114,22 @@ def main():
         # remote-attached backends)
         np.asarray(volume_argmax(params, vol_dev, chunk, jnp.bfloat16))
         best = min(best, time.perf_counter() - t0)
-    slices_per_sec = n_slices / best
+    seq_slices_per_sec = n_slices / best
+
+    # Steady-state serving throughput: a stream of volumes with downloads
+    # overlapped against the next volume's compute (the engine's run_numpy
+    # does the same two-way overlap within a volume).
+    half = n_slices // 2
+    streams = [vol_dev[:half], vol_dev[half:]] * (2 if small else 4)
+    np.asarray(volume_argmax(params, streams[0], chunk, jnp.bfloat16))
+    best_pipe = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        outs = [volume_argmax(params, v, chunk, jnp.bfloat16) for v in streams]
+        for o in outs:
+            np.asarray(o)
+        best_pipe = min(best_pipe, time.perf_counter() - t0)
+    slices_per_sec = half * len(streams) / best_pipe
 
     # End-to-end volume latency with per-stage breakdown.
     from lungmask_tpu.inferer import LMInferer
@@ -151,7 +166,8 @@ def main():
                     "device": str(device),
                     "weights": weights,
                     "unet_compile_s": round(compile_s, 2),
-                    "timed_region": "single dispatch over full slice stack + uint8 mask download",
+                    "single_volume_slices_per_sec": round(seq_slices_per_sec, 1),
+                    "timed_region": "steady-state volume stream (dispatch per half-volume, downloads overlapped); single-dispatch-per-volume value in single_volume_slices_per_sec",
                     "e2e_sec_per_volume": round(e2e_s, 3),
                     "e2e_first_call_s": round(e2e_first, 2),
                     "e2e_stage_seconds": stages,

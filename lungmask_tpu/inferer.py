@@ -202,7 +202,10 @@ class LMInferer:
                 with self.timings.stage("preprocess"):
                     normalized, boxes = self._preprocess(inimg_raw)
             with self.timings.stage("unet"):
-                pred_np = np.asarray(model.run(normalized)[:n])
+                if hasattr(model, "run_numpy"):
+                    pred_np = model.run_numpy(normalized)[:n]
+                else:
+                    pred_np = np.asarray(model.run(normalized)[:n])
 
             if self.volume_postprocessing:
                 with self.timings.stage("postprocess"):
