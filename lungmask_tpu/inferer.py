@@ -50,6 +50,7 @@ class LMInferer:
         preprocessing: str = "device",
         precision: str = "bfloat16",
         mesh=None,
+        postprocessing_mode: str = "exact",
     ):
         """Lung-mask inference.
 
@@ -75,6 +76,10 @@ class LMInferer:
                 when given, the U-Net forward shards slices over the mesh's
                 'data' axis (and slice height over 'space') instead of running
                 single-device.
+            postprocessing_mode: 'exact' (host C++ core, bit-faithful to the
+                reference incl. neighbor merging) or 'device' (fully on-TPU
+                largest-CC + hole fill; skips the sequential neighbor merge —
+                see transforms/postprocess_device.py).
         """
         assert (
             modelname in MODEL_URLS
@@ -84,6 +89,8 @@ class LMInferer:
                 fillmodel in MODEL_URLS
             ), "Modelname not found. Please choose from: {}".format(MODEL_URLS.keys())
         assert preprocessing in ("device", "host")
+        assert postprocessing_mode in ("exact", "device")
+        self.postprocessing_mode = postprocessing_mode
         enable_compile_cache()
 
         if modelpath is not None:
@@ -201,19 +208,28 @@ class LMInferer:
             if normalized is None:
                 with self.timings.stage("preprocess"):
                     normalized, boxes = self._preprocess(inimg_raw)
-            with self.timings.stage("unet"):
-                if hasattr(model, "run_numpy"):
-                    pred_np = model.run_numpy(normalized)[:n]
-                else:
-                    pred_np = np.asarray(model.run(normalized)[:n])
+            if self.volume_postprocessing and self.postprocessing_mode == "device":
+                from lungmask_tpu.transforms.postprocess_device import (
+                    postprocess_device,
+                )
 
-            if self.volume_postprocessing:
+                with self.timings.stage("unet"):
+                    pred = model.run(normalized)[:n]  # stays on device
                 with self.timings.stage("postprocess"):
-                    outmask = postprocess.postprocessing(
-                        pred_np, disable_tqdm=self.tqdm_disable
-                    )
+                    outmask = np.asarray(postprocess_device(pred, model.n_classes))
             else:
-                outmask = pred_np
+                with self.timings.stage("unet"):
+                    if hasattr(model, "run_numpy"):
+                        pred_np = model.run_numpy(normalized)[:n]
+                    else:
+                        pred_np = np.asarray(model.run(normalized)[:n])
+                if self.volume_postprocessing:
+                    with self.timings.stage("postprocess"):
+                        outmask = postprocess.postprocessing(
+                            pred_np, disable_tqdm=self.tqdm_disable
+                        )
+                else:
+                    outmask = pred_np
 
             # Batched paste-back to original slice geometry. The mask stack is
             # host-resident after postprocessing, so the host gather avoids an
