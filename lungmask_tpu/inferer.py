@@ -209,36 +209,86 @@ class LMInferer:
                 with self.timings.stage("preprocess"):
                     normalized, boxes = self._preprocess(inimg_raw)
             if self.volume_postprocessing and self.postprocessing_mode == "device":
-                from lungmask_tpu.transforms.postprocess_device import (
-                    postprocess_device,
-                )
-
                 with self.timings.stage("unet"):
                     pred = model.run(normalized)[:n]  # stays on device
-                with self.timings.stage("postprocess"):
-                    outmask = np.asarray(postprocess_device(pred, model.n_classes))
-            else:
-                with self.timings.stage("unet"):
-                    if hasattr(model, "run_numpy"):
-                        pred_np = model.run_numpy(normalized)[:n]
-                    else:
-                        pred_np = np.asarray(model.run(normalized)[:n])
-                if self.volume_postprocessing:
-                    with self.timings.stage("postprocess"):
-                        outmask = postprocess.postprocessing(
-                            pred_np, disable_tqdm=self.tqdm_disable
-                        )
+                return self._finish_volume(
+                    pred, boxes, inimg_raw.shape[1:], model.n_classes
+                )
+            with self.timings.stage("unet"):
+                if hasattr(model, "run_numpy"):
+                    pred_np = model.run_numpy(normalized)[:n]
                 else:
-                    outmask = pred_np
+                    pred_np = np.asarray(model.run(normalized)[:n])
+            return self._finish_volume(
+                pred_np, boxes, inimg_raw.shape[1:], model.n_classes
+            )
 
-            # Batched paste-back to original slice geometry. The mask stack is
-            # host-resident after postprocessing, so the host gather avoids an
-            # upload + full-res download (ops/resample.paste_masks_host).
-            with self.timings.stage("paste_back"):
-                outmask = resample.paste_masks_host(
-                    outmask, boxes, inimg_raw.shape[1:]
-                ).astype(np.uint8)
-        return outmask
+    def _finish_volume(self, pred_np, boxes, slice_shape, n_classes) -> np.ndarray:
+        """Host finishing stages: postprocess (per mode) + paste-back."""
+        if self.volume_postprocessing and self.postprocessing_mode == "device":
+            from lungmask_tpu.transforms.postprocess_device import postprocess_device
+
+            with self.timings.stage("postprocess"):
+                outmask = np.asarray(
+                    postprocess_device(jnp.asarray(pred_np), n_classes)
+                )
+        elif self.volume_postprocessing:
+            with self.timings.stage("postprocess"):
+                outmask = postprocess.postprocessing(
+                    pred_np, disable_tqdm=self.tqdm_disable
+                )
+        else:
+            outmask = pred_np
+        with self.timings.stage("paste_back"):
+            return resample.paste_masks_host(outmask, boxes, slice_shape).astype(
+                np.uint8
+            )
+
+    def _dual_forward(self, n, normalized):
+        """Both models over the shared preprocessed stack — ONE device
+        dispatch when both runners are plain single-device UNetRunners
+        (runtime.engine.volume_argmax_pair), two otherwise."""
+        from lungmask_tpu.runtime.engine import volume_argmax_pair
+
+        a, b = self.model, self.fillmodelm
+        same_cfg = (
+            type(a) is UNetRunner
+            and type(b) is UNetRunner
+            and a.batch_size == b.batch_size
+            and a.compute_dtype == b.compute_dtype
+        )
+        with self.timings.stage("unet"):
+            if same_cfg:
+                slices = jnp.asarray(normalized)
+                bsz = a.batch_size
+                n_chunks = max(1, -(-slices.shape[0] // bsz))
+                n_chunks = 1 << (n_chunks - 1).bit_length()
+                n_pad = n_chunks * bsz
+                if n_pad != slices.shape[0]:
+                    slices = jnp.concatenate(
+                        [
+                            slices,
+                            jnp.zeros(
+                                (n_pad - slices.shape[0],) + slices.shape[1:],
+                                slices.dtype,
+                            ),
+                        ]
+                    )
+                pa, pb = volume_argmax_pair(
+                    a.params, b.params, slices, bsz, a.compute_dtype
+                )
+                return np.asarray(pa)[:n], np.asarray(pb)[:n]
+            pa = (
+                a.run_numpy(normalized)[:n]
+                if hasattr(a, "run_numpy")
+                else np.asarray(a.run(normalized)[:n])
+            )
+            pb = (
+                b.run_numpy(normalized)[:n]
+                if hasattr(b, "run_numpy")
+                else np.asarray(b.run(normalized)[:n])
+            )
+            return pa, pb
 
     def _inference(self, image: ImageLike, model: UNetRunner) -> np.ndarray:
         """Single-model inference — reference mask.py:141-210 semantics."""
@@ -265,18 +315,23 @@ class LMInferer:
         inimg_raw, curr_orient, lps_image = self._to_lps(image)
         with self.timings.stage("preprocess"):
             normalized, boxes = self._preprocess(inimg_raw)
-        logger.info(f"Apply: {self.modelname}")
-        res_l = self._from_lps(
-            self._infer_volume(inimg_raw, self.model, normalized, boxes),
-            curr_orient,
-            lps_image,
-        )
-        logger.info(f"Apply: {self.fillmodel}")
-        res_r = self._from_lps(
-            self._infer_volume(inimg_raw, self.fillmodelm, normalized, boxes),
-            curr_orient,
-            lps_image,
-        )
+
+        preds = self._dual_forward(inimg_raw.shape[0], normalized)
+        results = []
+        for name, pred_np, runner in zip(
+            (self.modelname, self.fillmodel), preds, (self.model, self.fillmodelm)
+        ):
+            logger.info(f"Apply: {name}")
+            results.append(
+                self._from_lps(
+                    self._finish_volume(
+                        pred_np, boxes, inimg_raw.shape[1:], runner.n_classes
+                    ),
+                    curr_orient,
+                    lps_image,
+                )
+            )
+        res_l, res_r = results
         spare_value = res_l.max() + 1
         res_l[np.logical_and(res_l == 0, res_r > 0)] = spare_value
         res_l[res_r == 0] = 0

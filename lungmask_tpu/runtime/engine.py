@@ -37,6 +37,30 @@ def volume_argmax(params, vol: jnp.ndarray, chunk: int, compute_dtype) -> jnp.nd
     return jax.lax.map(f, chunks).reshape(m, h, w)
 
 
+@functools.partial(jax.jit, static_argnames=("chunk", "compute_dtype"))
+def volume_argmax_pair(
+    params_a, params_b, vol: jnp.ndarray, chunk: int, compute_dtype
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dual-model single dispatch: both U-Nets over the same slice stack.
+
+    The reference's fused LTRCLobes_R231 mode preprocesses and dispatches the
+    volume twice (/root/reference/lungmask/mask.py:225-227); here base and
+    fill models run inside ONE program sharing the resident input — one
+    dispatch overhead, interleaved chunk-by-chunk so peak activation memory
+    matches the single-model path.
+    """
+    m, h, w = vol.shape
+    chunks = vol.reshape(m // chunk, chunk, h, w, 1)
+
+    def f(c):
+        a = unet.unet_argmax(params_a, c, compute_dtype=compute_dtype)
+        b = unet.unet_argmax(params_b, c, compute_dtype=compute_dtype)
+        return a, b
+
+    out_a, out_b = jax.lax.map(f, chunks)
+    return out_a.reshape(m, h, w), out_b.reshape(m, h, w)
+
+
 class UNetRunner:
     """Holds device-resident parameters and the compiled volume forward."""
 
