@@ -97,6 +97,60 @@ def test_nifti_dtypes(tmp_path, dtype, rng):
     np.testing.assert_array_equal(back.array, arr)
 
 
+def test_nifti_qform_fallback(tmp_path, rng):
+    """A header with qform only (sform_code=0) must reconstruct geometry from
+    the quaternion."""
+    import struct
+
+    arr = rng.integers(0, 50, size=(2, 4, 6)).astype(np.int16)
+    p = str(tmp_path / "q.nii")
+    nifti.write(image.MedicalImage(arr, spacing=(1.5, 2.0, 3.0)), p)
+    with open(p, "rb") as f:
+        data = bytearray(f.read())
+    # identity quaternion (b=c=d=0), qoffset matching LPS->RAS of origin (0,0,0)
+    struct.pack_into("<2h", data, 252, 1, 0)  # qform=1, sform=0
+    struct.pack_into("<3f", data, 256, 0.0, 0.0, 0.0)
+    struct.pack_into("<3f", data, 268, 0.0, 0.0, 0.0)
+    with open(p, "wb") as f:
+        f.write(bytes(data))
+    back = nifti.read(p)
+    np.testing.assert_array_equal(back.array, arr)
+    np.testing.assert_allclose(back.spacing, (1.5, 2.0, 3.0))
+    # RAS identity quaternion = LPS direction diag(-1,-1,1)
+    np.testing.assert_allclose(back.direction, np.diag([-1.0, -1.0, 1.0]))
+
+
+def test_nifti_rejects_garbage(tmp_path):
+    p = str(tmp_path / "bad.nii")
+    with open(p, "wb") as f:
+        f.write(b"\x00" * 500)
+    with pytest.raises(ValueError):
+        nifti.read(p)
+
+
+def test_dicom_rejects_truncated(tmp_path):
+    p = str(tmp_path / "bad.dcm")
+    with open(p, "wb") as f:
+        f.write(b"\x00" * 10)
+    with pytest.raises(Exception):
+        dicom.read_file(p)
+
+
+def test_dicom_rejects_compressed_syntax(tmp_path, rng):
+    arr = rng.integers(0, 10, size=(8, 8)).astype(np.int16)
+    p = str(tmp_path / "c.dcm")
+    dicom.write_slice(p, arr)
+    data = bytearray(open(p, "rb").read())
+    # swap the transfer syntax UID bytes for a JPEG one (same length trick:
+    # overwrite in place where the explicit LE UID string sits)
+    idx = data.find(b"1.2.840.10008.1.2.1")
+    data[idx : idx + 19] = b"1.2.840.10008.1.2.4"
+    with open(p, "wb") as f:
+        f.write(bytes(data))
+    with pytest.raises(dicom.DicomError, match="transfer syntax"):
+        dicom.read_file(p)
+
+
 @pytest.mark.parametrize("compressed", [False, True])
 def test_nrrd_roundtrip(tmp_path, compressed, rng):
     from lungmask_tpu.io import nrrd
