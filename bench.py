@@ -73,6 +73,10 @@ def _synthetic_volume(n_slices: int) -> np.ndarray:
 
 
 def main():
+    import logging
+
+    logging.getLogger("lungmask_tpu").setLevel(logging.WARNING)  # keep stdout JSON-clean
+
     import jax
     import jax.numpy as jnp
 

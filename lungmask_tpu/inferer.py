@@ -16,9 +16,10 @@ and the mask paste-back is one batched device gather per volume.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import warnings
-from typing import Optional, Tuple, Union
+from typing import Optional, Union
 
 import numpy as np
 
@@ -107,14 +108,12 @@ class LMInferer:
         self.preprocessing = preprocessing
         self.timings = StageTimer()
 
-        self._device_ctx = None
+        self._device = None
         if force_cpu:
             import jax
 
             try:
-                cpu = jax.devices("cpu")[0]
-                self._device_ctx = jax.default_device(cpu)
-                self._device_ctx.__enter__()
+                self._device = jax.devices("cpu")[0]
                 logger.info("force_cpu set, running on the host CPU backend")
             except RuntimeError as e:
                 # Some plugin platforms expose no CPU backend; degrade
@@ -149,15 +148,16 @@ class LMInferer:
                     compute_dtype=compute_dtype,
                 )
 
-        params, n_classes = get_model(
-            self.modelname if modelpath is None else modelname, modelpath
-        )
-        self.model = make_runner(params, n_classes)
+        with self._device_scope():
+            params, n_classes = get_model(
+                self.modelname if modelpath is None else modelname, modelpath
+            )
+            self.model = make_runner(params, n_classes)
 
-        self.fillmodelm = None
-        if self.fillmodel is not None:
-            fparams, fn_classes = get_model(self.fillmodel, fillmodel_path)
-            self.fillmodelm = make_runner(fparams, fn_classes)
+            self.fillmodelm = None
+            if self.fillmodel is not None:
+                fparams, fn_classes = get_model(self.fillmodel, fillmodel_path)
+                self.fillmodelm = make_runner(fparams, fn_classes)
 
     # ------------------------------------------------------------------
 
@@ -309,6 +309,10 @@ class LMInferer:
         and spare-aware postprocessing maps spare regions to neighboring true
         labels (mask.py:228-232).
         """
+        with self._device_scope():
+            return self._apply_impl(image)
+
+    def _apply_impl(self, image: ImageLike) -> np.ndarray:
         if self.fillmodel is None:
             return self._inference(image, self.model)
 
@@ -339,13 +343,14 @@ class LMInferer:
         with self.timings.stage("fusion_postprocess"):
             return postprocess.postprocessing(res_l, spare=[spare_value])
 
-    def __del__(self):
-        ctx = getattr(self, "_device_ctx", None)
-        if ctx is not None:
-            try:
-                ctx.__exit__(None, None, None)
-            except Exception:
-                pass
+    def _device_scope(self):
+        """Pin work to the forced device for the duration of a call (scoped —
+        never leaks a global default-device change)."""
+        if self._device is None:
+            return contextlib.nullcontext()
+        import jax
+
+        return jax.default_device(self._device)
 
 
 def apply(

@@ -25,7 +25,7 @@ direction the axis points toward ("LPS" ⇔ direction ≈ identity), mirroring
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

@@ -16,7 +16,7 @@ per-slice masks in the input pixel grid.
 from __future__ import annotations
 
 import os
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 

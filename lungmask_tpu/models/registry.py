@@ -19,7 +19,7 @@ from __future__ import annotations
 import hashlib
 import os
 import urllib.request
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 

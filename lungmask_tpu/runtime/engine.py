@@ -13,7 +13,7 @@ and the only host transfer is the final uint8 mask stack.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

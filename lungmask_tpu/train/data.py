@@ -10,7 +10,7 @@ resampling, so fine-tuned models see exactly the inference-time distribution.
 
 from __future__ import annotations
 
-from typing import Iterator, List, Optional, Sequence, Tuple, Union
+from typing import Iterator, Sequence, Tuple
 
 import numpy as np
 

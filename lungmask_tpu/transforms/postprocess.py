@@ -35,7 +35,7 @@ postprocessing unit-test vectors in tests/test_postprocess.py):
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 from scipy import ndimage

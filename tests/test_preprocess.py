@@ -78,6 +78,22 @@ def test_preprocess_matches_host_oracle(rng):
     assert (diff > 1e-6).mean() < 5e-3
 
 
+def test_preprocess_traced_close_to_staged(rng):
+    """The fully-traced single-dispatch path (f32 coords) tracks the exact
+    staged path except at scipy's float64 edge-oob samples."""
+    import jax
+
+    vol = _synthetic_body_volume(rng)
+    clipped = jnp.asarray(np.clip(vol, -1024, 600))
+    normalized_t, boxes_t = jax.jit(preprocess.preprocess_traced)(clipped)
+    normalized_s, boxes_s = preprocess.preprocess(vol)
+    np.testing.assert_array_equal(np.asarray(boxes_t), boxes_s)
+    a = np.asarray(normalized_t)
+    b = np.asarray(normalized_s)[: vol.shape[0]]
+    # interiors agree to within one intensity quantum
+    assert np.abs(a[:, :-1, :-1] - b[:, :-1, :-1]).max() <= (1.0 / 1624) + 1e-6
+
+
 def test_reference_simple_bodymask_vector():
     """Reference test vector: 10×10 body, mask sum 24 (test_utils.py:73-78)."""
     img = np.full((10, 10), -1000, dtype=np.int16)
