@@ -22,6 +22,31 @@ import numpy as np
 from lungmask_tpu.models import unet
 
 
+def _cast_kernels(params, compute_dtype):
+    """Store conv kernels pre-cast to the compute dtype.
+
+    The forward pass casts kernels to the activation dtype anyway
+    (models/unet._conv), so this is bit-identical — it just removes the
+    per-dispatch f32→bf16 weight casts (and halves resident weight HBM).
+    Biases and folded-BN affines stay float32 (they are applied to the float32
+    conv accumulator).
+    """
+    if compute_dtype == jnp.float32:
+        return params
+
+    def walk(tree):
+        if isinstance(tree, dict):
+            return {
+                k: (v.astype(compute_dtype) if k == "w" else walk(v))
+                for k, v in tree.items()
+            }
+        if isinstance(tree, list):
+            return [walk(v) for v in tree]
+        return tree
+
+    return walk(params)
+
+
 @functools.partial(jax.jit, static_argnames=("chunk", "compute_dtype"))
 def volume_argmax(params, vol: jnp.ndarray, chunk: int, compute_dtype) -> jnp.ndarray:
     """(M, H, W) normalized slices → (M, H, W) uint8, M % chunk == 0.
@@ -93,7 +118,9 @@ class UNetRunner:
         batch_size: int = 20,
         compute_dtype=jnp.float32,
     ):
-        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        self.params = _cast_kernels(
+            jax.tree_util.tree_map(jnp.asarray, params), compute_dtype
+        )
         self.n_classes = n_classes
         self.batch_size = int(batch_size)
         self.compute_dtype = compute_dtype
