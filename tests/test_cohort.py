@@ -55,6 +55,34 @@ def test_cohort_writes_outputs(tmp_path, inferer):
     assert back.array.shape == (2, 64, 64)
 
 
+def test_cohort_stress_order_preserved(inferer):
+    """Many volumes through the 3-thread pipeline: results arrive complete and
+    in submission order (the finisher consumes a FIFO queue)."""
+    vols = [_vol(i) + i for i in range(8)]
+    stats = run_cohort(vols, inferer, prefetch=3, keep_masks=True)
+    assert [r.name for r in stats.results] == [f"volume{i:04d}" for i in range(8)]
+    assert all(r.error is None for r in stats.results)
+
+
+def test_profiler_trace_hook(tmp_path, monkeypatch):
+    """The jax.profiler trace wrapper writes a trace dir when enabled and is a
+    no-op otherwise."""
+    import os
+
+    from lungmask_tpu.utils.profiling import trace
+
+    with trace("noop"):
+        pass  # env unset → no-op
+
+    monkeypatch.setenv("LUNGMASK_TPU_TRACE_DIR", str(tmp_path))
+    import jax.numpy as jnp
+
+    with trace("smoke"):
+        jnp.ones(8).sum().block_until_ready()
+    assert os.path.isdir(tmp_path / "smoke")
+    assert any(os.scandir(tmp_path / "smoke"))
+
+
 def test_cohort_skips_bad_volume(inferer, tmp_path):
     bad = str(tmp_path / "missing.nii.gz")
     stats = run_cohort([_vol(0), bad], inferer, keep_masks=True)
