@@ -101,19 +101,21 @@ _READERS = {
     ".nii": nifti.read,
     ".nii.gz": nifti.read,
     ".mha": mha.read,
+    ".mhd": mha.read,
     ".nrrd": nrrd.read,
 }
 _WRITERS = {
     ".nii": nifti.write,
     ".nii.gz": nifti.write,
     ".mha": mha.write,
+    ".mhd": mha.write,
     ".nrrd": nrrd.write,
 }
 
 
 def _format_of(path: str) -> Optional[str]:
     lower = path.lower()
-    for ext in (".nii.gz", ".nii", ".mha", ".nrrd"):
+    for ext in (".nii.gz", ".nii", ".mha", ".mhd", ".nrrd"):
         if lower.endswith(ext):
             return ext
     return None
@@ -205,6 +207,6 @@ def write_image(image: MedicalImage, path: str) -> None:
     if ext is None:
         raise ValueError(
             f"{path}: unsupported output format "
-            "(supported: .nii, .nii.gz, .mha, .nrrd, .dcm)"
+            "(supported: .nii, .nii.gz, .mha, .mhd, .nrrd, .dcm)"
         )
     _WRITERS[ext](image, path)

@@ -1,6 +1,9 @@
-"""MetaImage (.mha) reader/writer — broadens file-format parity with the
+"""MetaImage (.mha/.mhd) reader/writer — broadens file-format parity with the
 reference's ITK-based I/O (/root/reference/lungmask/utils.py:247-249) beyond
-NIfTI. Single-file MET_* raw images, optional zlib compression."""
+NIfTI. Single-file (.mha, ElementDataFile = LOCAL) and detached-header (.mhd +
+raw/zraw data file) forms, optional zlib compression."""
+
+import os
 
 from __future__ import annotations
 
@@ -39,8 +42,13 @@ def read(path: str) -> MedicalImage:
         header[key] = val
         if key == "ElementDataFile":
             break
-    if header.get("ElementDataFile") != "LOCAL":
-        raise ValueError(f"{path}: only ElementDataFile = LOCAL supported")
+    datafile = header.get("ElementDataFile")
+    if datafile != "LOCAL":
+        # .mhd detached header: data lives in a sibling file.
+        data_path = os.path.join(os.path.dirname(path), datafile)
+        with open(data_path, "rb") as f:
+            detached = f.read()
+        data = data[:pos] + detached
     if int(header.get("NDims", "3")) != 3:
         raise ValueError(f"{path}: only 3-D MetaImages supported")
     dims = [int(v) for v in header["DimSize"].split()]
@@ -72,6 +80,11 @@ def write(image: MedicalImage, path: str, compressed: bool = False) -> None:
     if arr.dtype not in _MET_NAMES:
         arr = arr.astype(np.float32)
     nz, ny, nx = arr.shape
+    detached = path.lower().endswith(".mhd")
+    if detached:
+        data_name = os.path.basename(path)[:-4] + (".zraw" if compressed else ".raw")
+    else:
+        data_name = "LOCAL"
     tm = " ".join(str(v) for v in np.asarray(image.direction).T.reshape(-1))
     lines = [
         "ObjectType = Image",
@@ -85,10 +98,17 @@ def write(image: MedicalImage, path: str, compressed: bool = False) -> None:
         f"ElementSpacing = {image.spacing[0]} {image.spacing[1]} {image.spacing[2]}",
         f"DimSize = {nx} {ny} {nz}",
         f"ElementType = {_MET_NAMES[arr.dtype]}",
-        "ElementDataFile = LOCAL",
+        f"ElementDataFile = {data_name}",
     ]
     payload = arr.tobytes()
     if compressed:
         payload = zlib.compress(payload)
-    with open(path, "wb") as f:
-        f.write(("\n".join(lines) + "\n").encode("ascii") + payload)
+    header = ("\n".join(lines) + "\n").encode("ascii")
+    if detached:
+        with open(path, "wb") as f:
+            f.write(header)
+        with open(os.path.join(os.path.dirname(path), data_name), "wb") as f:
+            f.write(payload)
+    else:
+        with open(path, "wb") as f:
+            f.write(header + payload)

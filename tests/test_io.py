@@ -172,6 +172,18 @@ def test_nrrd_roundtrip(tmp_path, compressed, rng):
 
 
 @pytest.mark.parametrize("compressed", [False, True])
+def test_mhd_detached_roundtrip(tmp_path, compressed, rng):
+    arr = rng.integers(-500, 500, size=(3, 6, 5)).astype(np.int16)
+    img = image.MedicalImage(arr, spacing=(0.5, 0.6, 1.0), origin=(1.0, 2.0, 3.0))
+    p = str(tmp_path / "vol.mhd")
+    mha.write(img, p, compressed=compressed)
+    assert (tmp_path / ("vol.zraw" if compressed else "vol.raw")).exists()
+    back = mha.read(p)
+    np.testing.assert_array_equal(back.array, arr)
+    np.testing.assert_allclose(back.spacing, img.spacing)
+
+
+@pytest.mark.parametrize("compressed", [False, True])
 def test_mha_roundtrip(tmp_path, compressed, rng):
     arr = rng.integers(-1024, 600, size=(4, 8, 6)).astype(np.int16)
     img = image.MedicalImage(arr, spacing=(0.5, 0.5, 1.5), origin=(1.0, 2.0, 3.0))
