@@ -3,10 +3,9 @@ reference's ITK-based I/O (/root/reference/lungmask/utils.py:247-249) beyond
 NIfTI. Single-file (.mha, ElementDataFile = LOCAL) and detached-header (.mhd +
 raw/zraw data file) forms, optional zlib compression."""
 
-import os
-
 from __future__ import annotations
 
+import os
 import zlib
 from typing import Dict
 
