@@ -296,6 +296,71 @@ class LMInferer:
         outmask = self._infer_volume(inimg_raw, model)
         return self._from_lps(outmask, curr_orient, lps_image)
 
+    # -- split-phase API (cohort pipelining) ----------------------------------
+
+    def preprocess_image(self, image: ImageLike) -> dict:
+        """Phase 1 of :meth:`apply`: orientation normalization + device
+        preprocessing (incl. the volume upload). Thread-safe with respect to a
+        concurrent :meth:`apply_preprocessed` on another volume — the cohort
+        runtime calls this from its loader thread so volume i+1's upload and
+        bodymask overlap volume i's U-Net/postprocessing."""
+        with self._device_scope():
+            inimg_raw, curr_orient, lps_image = self._to_lps(image)
+            with self.timings.stage("preprocess"):
+                normalized, boxes = self._preprocess(inimg_raw)
+        return {
+            "inimg_raw": inimg_raw,
+            "curr_orient": curr_orient,
+            "lps_image": lps_image,
+            "normalized": normalized,
+            "boxes": boxes,
+        }
+
+    def apply_preprocessed(self, pre: dict) -> np.ndarray:
+        """Phase 2 of :meth:`apply` on a :meth:`preprocess_image` result."""
+        with self._device_scope():
+            inimg_raw = pre["inimg_raw"]
+            if self.fillmodel is None:
+                n = inimg_raw.shape[0]
+                if self.volume_postprocessing and self.postprocessing_mode == "device":
+                    with self.timings.stage("unet"):
+                        pred = self.model.run(pre["normalized"])[:n]
+                else:
+                    with self.timings.stage("unet"):
+                        pred = self.model.run_numpy(pre["normalized"])[:n] if hasattr(
+                            self.model, "run_numpy"
+                        ) else np.asarray(self.model.run(pre["normalized"])[:n])
+                outmask = self._finish_volume(
+                    pred, pre["boxes"], inimg_raw.shape[1:], self.model.n_classes
+                )
+                return self._from_lps(outmask, pre["curr_orient"], pre["lps_image"])
+            return self._apply_fused_preprocessed(pre)
+
+    def _apply_fused_preprocessed(self, pre: dict) -> np.ndarray:
+        inimg_raw = pre["inimg_raw"]
+        preds = self._dual_forward(inimg_raw.shape[0], pre["normalized"])
+        results = []
+        for name, pred_np, runner in zip(
+            (self.modelname, self.fillmodel), preds, (self.model, self.fillmodelm)
+        ):
+            logger.info(f"Apply: {name}")
+            results.append(
+                self._from_lps(
+                    self._finish_volume(
+                        pred_np, pre["boxes"], inimg_raw.shape[1:], runner.n_classes
+                    ),
+                    pre["curr_orient"],
+                    pre["lps_image"],
+                )
+            )
+        res_l, res_r = results
+        spare_value = res_l.max() + 1
+        res_l[np.logical_and(res_l == 0, res_r > 0)] = spare_value
+        res_l[res_r == 0] = 0
+        logger.info("Fusing results... this may take up to several minutes!")
+        with self.timings.stage("fusion_postprocess"):
+            return postprocess.postprocessing(res_l, spare=[spare_value])
+
     def apply(self, image: ImageLike) -> np.ndarray:
         """Apply the model (or fused model pair) to a volumetric image.
 
@@ -315,33 +380,7 @@ class LMInferer:
     def _apply_impl(self, image: ImageLike) -> np.ndarray:
         if self.fillmodel is None:
             return self._inference(image, self.model)
-
-        inimg_raw, curr_orient, lps_image = self._to_lps(image)
-        with self.timings.stage("preprocess"):
-            normalized, boxes = self._preprocess(inimg_raw)
-
-        preds = self._dual_forward(inimg_raw.shape[0], normalized)
-        results = []
-        for name, pred_np, runner in zip(
-            (self.modelname, self.fillmodel), preds, (self.model, self.fillmodelm)
-        ):
-            logger.info(f"Apply: {name}")
-            results.append(
-                self._from_lps(
-                    self._finish_volume(
-                        pred_np, boxes, inimg_raw.shape[1:], runner.n_classes
-                    ),
-                    curr_orient,
-                    lps_image,
-                )
-            )
-        res_l, res_r = results
-        spare_value = res_l.max() + 1
-        res_l[np.logical_and(res_l == 0, res_r > 0)] = spare_value
-        res_l[res_r == 0] = 0
-        logger.info("Fusing results... this may take up to several minutes!")
-        with self.timings.stage("fusion_postprocess"):
-            return postprocess.postprocessing(res_l, spare=[spare_value])
+        return self._apply_fused_preprocessed(self.preprocess_image(image))
 
     def _device_scope(self):
         """Pin work to the forced device for the duration of a call (scoped —

@@ -87,16 +87,24 @@ def run_cohort(
             return os.path.splitext(os.path.splitext(base)[0])[0]
         return f"volume{i:04d}"
 
+    # When the inferer supports the split-phase API, run decode AND device
+    # preprocessing (incl. the volume upload) in the loader thread so volume
+    # i+1's upload overlaps volume i's U-Net/postprocessing.
+    split_phase = hasattr(inferer, "preprocess_image") and hasattr(
+        inferer, "apply_preprocessed"
+    )
+
     def loader_thread():
         try:
             for i, src in enumerate(sources):
                 try:
                     img = _load(src)
-                    in_q.put((name_of(i, src), img, None))
+                    pre = inferer.preprocess_image(img) if split_phase else None
+                    in_q.put((name_of(i, src), img, pre, None))
                 # SystemExit included: load_input_image sys.exit()s on empty
                 # DICOM dirs (reference semantics) — here that skips the volume.
                 except (Exception, SystemExit) as e:
-                    in_q.put((name_of(i, src), None, str(e)))
+                    in_q.put((name_of(i, src), None, None, str(e)))
         finally:
             in_q.put(None)
 
@@ -131,14 +139,18 @@ def run_cohort(
         item = in_q.get()
         if item is None:
             break
-        name, img, err = item
+        name, img, pre, err = item
         t0 = time.perf_counter()
         if err is not None:
             logger.warning(f"cohort: skipping {name}: {err}")
             out_q.put((name, None, None, t0, err))
             continue
         try:
-            mask = inferer.apply(img)
+            mask = (
+                inferer.apply_preprocessed(pre)
+                if split_phase
+                else inferer.apply(img)
+            )
             out_q.put((name, img, mask, t0, None))
         except Exception as e:
             logger.error(f"cohort: inference failed for {name}: {e}")
