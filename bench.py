@@ -159,6 +159,17 @@ def main():
     if os.environ.get("BENCH_TORCH") == "1":
         baseline = measure_torch_baseline()
 
+    # Host↔device link probe: throughput numbers on remote-attached TPUs track
+    # the tunnel bandwidth, which fluctuates run to run — record it.
+    blob = np.zeros((16, 1024, 1024), dtype=np.uint8)  # 16 MB
+    t0 = time.perf_counter()
+    dev_blob = jax.device_put(blob, device)
+    np.asarray(dev_blob[0, 0, :8])
+    up_mbps = 16 / (time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    np.asarray(dev_blob)
+    down_mbps = 16 / (time.perf_counter() - t0)
+
     print(
         json.dumps(
             {
@@ -179,6 +190,8 @@ def main():
                     "e2e_volume_shape": list(e2e_vol.shape),
                     "baseline": "reference torch-cpu-1thread on this host",
                     "baseline_slices_per_sec": baseline,
+                    "link_upload_MBps": round(up_mbps, 1),
+                    "link_download_MBps": round(down_mbps, 1),
                 },
             }
         )

@@ -47,6 +47,61 @@ def test_dataset_batches():
     assert im.shape == (4, 64, 64, 1) and lb.shape == (4, 64, 64)
 
 
+def test_checkpoint_resume_is_exact(tmp_path):
+    """Save mid-training, resume, and continue — losses must match a
+    never-interrupted run bit-for-bit."""
+    from lungmask_tpu.train.checkpoint import load_train_state, save_train_state
+
+    ds = SliceDataset([_pair(0)], resolution=(64, 64))
+    optimizer = optax.adam(3e-4)
+    step = make_train_step(optimizer, mesh=None, compute_dtype=jnp.float32)
+    batches = list(ds.batches(batch_size=2, epochs=4, seed=1))
+
+    def fresh_state():
+        params = unet.init_params(jax.random.PRNGKey(0), n_classes=2, wf=2)
+        return init_train_state(params, optimizer)
+
+    # uninterrupted run
+    state = fresh_state()
+    losses_ref = []
+    for im, lb in batches:
+        state, loss = step(state, jnp.asarray(im), jnp.asarray(lb))
+        losses_ref.append(float(loss))
+
+    # interrupted at the midpoint
+    state = fresh_state()
+    mid = len(batches) // 2
+    for im, lb in batches[:mid]:
+        state, _ = step(state, jnp.asarray(im), jnp.asarray(lb))
+    ckpt = str(tmp_path / "ckpt.npz")
+    save_train_state(ckpt, state, meta={"note": "mid"})
+    restored, meta = load_train_state(ckpt, fresh_state())
+    assert meta["note"] == "mid"
+    assert int(restored.step) == mid
+    losses_resumed = []
+    for im, lb in batches[mid:]:
+        restored, loss = step(restored, jnp.asarray(im), jnp.asarray(lb))
+        losses_resumed.append(float(loss))
+    assert losses_resumed == losses_ref[mid:]
+
+
+def test_checkpoint_mismatch_raises(tmp_path):
+    from lungmask_tpu.train.checkpoint import load_train_state, save_train_state
+
+    optimizer = optax.adam(1e-3)
+    small = init_train_state(
+        unet.init_params(jax.random.PRNGKey(0), n_classes=2, wf=2), optimizer
+    )
+    other = init_train_state(
+        unet.init_params(jax.random.PRNGKey(0), n_classes=2, wf=2),
+        optax.sgd(1e-3),  # different optimizer → different leaf count
+    )
+    p = str(tmp_path / "c.npz")
+    save_train_state(p, small)
+    with pytest.raises(ValueError, match="leaves"):
+        load_train_state(p, other)
+
+
 def test_finetune_loop_improves_loss():
     ds = SliceDataset([_pair(0)], resolution=(64, 64))
     params = unet.init_params(jax.random.PRNGKey(0), n_classes=2, wf=2)
