@@ -106,6 +106,7 @@ class LMInferer:
         self.volume_postprocessing = volume_postprocessing
         self.tqdm_disable = tqdm_disable
         self.preprocessing = preprocessing
+        self.mesh = mesh
         self.timings = StageTimer()
 
         self._device = None
@@ -167,6 +168,10 @@ class LMInferer:
             slices, boxes = host_pipeline.preprocess(volume, resolution=(256, 256))
             normalized = host_pipeline.normalize_hu(slices).astype(np.float32)
             return jnp.asarray(normalized), np.asarray(boxes)
+        if self.mesh is not None:
+            return preprocess.preprocess_sharded(
+                volume, self.mesh, resolution=(256, 256)
+            )
         return preprocess.preprocess(volume, resolution=(256, 256))
 
     def _to_lps(self, image: ImageLike):

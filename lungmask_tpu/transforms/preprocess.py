@@ -148,6 +148,21 @@ def _boxes_for_volume(clipped: jnp.ndarray, use_pallas: bool = False) -> jnp.nda
     return jax.vmap(lambda m: _box_from_mask(shape, m))(masks)
 
 
+def make_sharded_boxes_fn(mesh):
+    """Mesh-sharded box computation: slices shard over the 'data' axis, boxes
+    gather replicated. Per-slice work is independent, so XLA partitions the
+    whole bodymask pipeline with zero communication until the final gather.
+    (XLA path only — Pallas calls don't auto-partition under pjit.)
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.jit(
+        lambda clipped: _boxes_for_volume(clipped, use_pallas=False),
+        in_shardings=NamedSharding(mesh, P("data", None, None)),
+        out_shardings=NamedSharding(mesh, P()),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("integer_input",))
 def _crop_normalize(clipped: jnp.ndarray, plan, *, integer_input: bool) -> jnp.ndarray:
     slices = resample.apply_crop_resize(clipped, plan)
@@ -202,6 +217,53 @@ def preprocess(
     )
     plan = resample.crop_resize_plan(boxes, resolution, order=1)
     normalized = _crop_normalize(clipped_dev, plan, integer_input=integer_input)
+    return normalized, boxes[:n]
+
+
+_SHARDED_CACHE = {}
+
+
+def preprocess_sharded(
+    volume: np.ndarray, mesh, resolution: Tuple[int, int] = (256, 256)
+) -> Tuple[jnp.ndarray, np.ndarray]:
+    """Mesh-sharded :func:`preprocess`: the slice axis shards over 'data' for
+    both the bodymask/box pipeline and the crop+normalize gather. Exact same
+    results as the single-device path (asserted in tests/test_parallel.py)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ndata = int(mesh.devices.shape[0])
+    integer_input = bool(np.issubdtype(volume.dtype, np.integer))
+    key = (id(mesh), integer_input)
+    if key not in _SHARDED_CACHE:
+        boxes_fn = make_sharded_boxes_fn(mesh)
+        crop_fn = jax.jit(
+            lambda clipped, plan: _crop_normalize(
+                clipped, plan, integer_input=integer_input
+            ),
+            in_shardings=(
+                NamedSharding(mesh, P("data", None, None)),
+                {k: NamedSharding(mesh, P("data", None)) for k in (
+                    "rlo", "rhi", "rw", "roob", "clo", "chi", "cw", "coob"
+                )},
+            ),
+            out_shardings=NamedSharding(mesh, P("data", None, None)),
+        )
+        _SHARDED_CACHE[key] = (boxes_fn, crop_fn)
+    boxes_fn, crop_fn = _SHARDED_CACHE[key]
+
+    n, h, w = volume.shape
+    bucket = int(np.lcm(SLICE_BUCKET, ndata))
+    n_pad = ((n + bucket - 1) // bucket) * bucket
+    clipped = np.clip(volume, HU_LO, HU_HI)
+    if n_pad != n:
+        pad = np.full((n_pad - n, h, w), HU_LO, dtype=clipped.dtype)
+        clipped = np.concatenate([clipped, pad], axis=0)
+    clipped_dev = jax.device_put(
+        clipped, NamedSharding(mesh, P("data", None, None))
+    )
+    boxes = np.asarray(boxes_fn(clipped_dev))
+    plan = resample.crop_resize_plan(boxes, resolution, order=1)
+    normalized = crop_fn(clipped_dev, plan)
     return normalized, boxes[:n]
 
 
