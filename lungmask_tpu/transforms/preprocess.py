@@ -90,12 +90,10 @@ def default_use_pallas() -> bool:
 
 
 def _upzoom_box_tables(src: int, dst: int):
-    """Static tables for mapping a component bbox through an order-0 upzoom.
-
-    Returns (idx, valid) where idx[i] is the 128-grid source index of output
-    row i, with scipy-oob rows (always trailing, zero-filled — see
-    ops/resample.py) replaced by a sentinel so they never fall inside a box.
-    """
+    """Static table for mapping a component bbox through an order-0 upzoom:
+    idx[i] is the 128-grid source index of output row i, with scipy-oob rows
+    (always trailing, zero-filled — see ops/resample.py) replaced by a
+    sentinel so they never fall inside a box."""
     idx, oob = resample._axis_plan_np(src, dst, 0)
     idx = idx.astype(np.int32)
     idx[oob] = src  # sentinel: beyond any source row
@@ -233,7 +231,7 @@ def preprocess_sharded(
 
     ndata = int(mesh.devices.shape[0])
     integer_input = bool(np.issubdtype(volume.dtype, np.integer))
-    key = (id(mesh), integer_input)
+    key = (mesh, integer_input)  # Mesh is hashable
     if key not in _SHARDED_CACHE:
         boxes_fn = make_sharded_boxes_fn(mesh)
         crop_fn = jax.jit(
