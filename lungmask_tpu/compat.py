@@ -36,6 +36,17 @@ from lungmask_tpu.transforms import host_pipeline
 from lungmask_tpu.transforms.postprocess import postprocessing
 
 
+def get_model(modelname: str = "R231", modelpath=None):
+    """Reference ``mask.get_model`` (mask.py:38-68) — returns a ready-to-run
+    model object (a ``runtime.engine.UNetRunner``; call ``.run_numpy(slices)``
+    or pass it to the deprecated ``apply(model=...)``)."""
+    from lungmask_tpu.models.registry import get_model as _get
+    from lungmask_tpu.runtime.engine import UNetRunner
+
+    params, n_classes = _get(modelname, modelpath)
+    return UNetRunner(params, n_classes)
+
+
 def preprocess(img: np.ndarray, resolution=[192, 192]) -> Tuple[np.ndarray, list]:
     """Reference ``utils.preprocess`` (utils.py:32-52)."""
     return host_pipeline.preprocess(img, resolution=tuple(resolution))
@@ -70,6 +81,7 @@ __all__ = [
     "LMInferer",
     "apply",
     "apply_fused",
+    "get_model",
     "MODEL_URLS",
     "DICOM_METADATA_TO_KEEP",
     "get_DICOM_tags_to_keep",

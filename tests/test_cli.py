@@ -62,6 +62,35 @@ def test_cli_missing_input_exits(tmp_path):
         main([str(tmp_path / "nope"), str(tmp_path / "out.nii.gz")])
 
 
+def test_cli_fused_mode_end_to_end(tmp_path, dicom_dir, monkeypatch):
+    """LTRCLobes_R231 through the CLI with synthetic weights injected for both
+    models (real checkpoints are unavailable offline)."""
+    from lungmask_tpu.models import registry
+
+    w6 = unet.init_params(jax.random.PRNGKey(2), n_classes=6)
+    w3 = unet.init_params(jax.random.PRNGKey(3), n_classes=3)
+
+    def fake_get_model(modelname="R231", modelpath=None):
+        params = w6 if modelname == "LTRCLobes" else w3
+        return params, unet.n_classes_of(params)
+
+    monkeypatch.setattr("lungmask_tpu.inferer.get_model", fake_get_model)
+    out = str(tmp_path / "fused.nii.gz")
+    main([dicom_dir, out, "--modelname", "LTRCLobes_R231", "--noprogress", "--batchsize", "2"])
+    img = loader.load_input_image(out)
+    assert img.size == (64, 64, 2)
+    assert img.array.dtype == np.uint8
+
+
+def test_compat_get_model(tmp_path, weights3):
+    from lungmask_tpu import compat
+
+    runner = compat.get_model("LTRCLobes", weights3)  # path overrides name
+    assert runner.n_classes == 3
+    out = runner.run_numpy(np.zeros((2, 64, 64), np.float32))
+    assert out.shape == (2, 64, 64)
+
+
 def test_cli_fused_forbids_modelpath(tmp_path, dicom_dir, weights3):
     out = str(tmp_path / "o.nii.gz")
     with pytest.raises(AssertionError):
