@@ -22,6 +22,28 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def ensure_host_devices(n: int) -> int:
+    """Make sure at least ``n`` virtual CPU devices exist, even when another
+    platform was already initialized (e.g. a site hook eagerly claiming an
+    accelerator before test/driver code could set JAX_PLATFORMS=cpu).
+
+    Re-points JAX at the CPU platform with ``n`` host devices by clearing the
+    initialized backends — safe as long as no live arrays from the old
+    backend are used afterwards. Returns the resulting device count.
+    """
+    if jax.default_backend() == "cpu" and len(jax.devices()) >= n:
+        return len(jax.devices())
+    import os
+
+    import jax.extend.backend as jeb
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    jax.config.update("jax_platforms", "cpu")
+    jeb.clear_backends()
+    jax.config.update("jax_num_cpu_devices", int(n))
+    return len(jax.devices())
+
+
 def make_mesh(
     n_devices: Optional[int] = None,
     data: Optional[int] = None,

@@ -19,6 +19,20 @@ if "xla_force_host_platform_device_count" not in flags:
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# The container's sitecustomize can initialize the accelerator backend before
+# this file runs, locking the platform and device count. Recover to an
+# 8-device CPU platform in that case (parallel.mesh.ensure_host_devices).
+import jax  # noqa: E402
+
+if jax.default_backend() != "cpu" or len(jax.devices()) < 8:
+    from lungmask_tpu.parallel.mesh import ensure_host_devices  # noqa: E402
+
+    n = ensure_host_devices(8)
+    assert jax.default_backend() == "cpu" and n >= 8, (
+        jax.default_backend(),
+        n,
+    )
+
 REFERENCE_TESTDATA = "/root/reference/tests/testdata"
 
 
