@@ -139,7 +139,11 @@ def _box_from_mask(shape, mask128: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("use_pallas",))
-def _boxes_for_volume(clipped: jnp.ndarray, use_pallas: bool = False) -> jnp.ndarray:
+def _boxes_for_volume(raw: jnp.ndarray, use_pallas: bool = False) -> jnp.ndarray:
+    """Crop boxes from a RAW (unclipped) HU volume — the clip runs on device
+    (elementwise, fused into the resize gather) so the host never copies the
+    volume for clipping."""
+    clipped = jnp.clip(raw, HU_LO, HU_HI)
     shape = clipped.shape[1:]
     smalls = jax.vmap(lambda s: resample.resize(s, (128, 128), order=0))(clipped)
     masks = _bodymasks_batch(smalls, use_pallas)
@@ -162,7 +166,8 @@ def make_sharded_boxes_fn(mesh):
 
 
 @functools.partial(jax.jit, static_argnames=("integer_input",))
-def _crop_normalize(clipped: jnp.ndarray, plan, *, integer_input: bool) -> jnp.ndarray:
+def _crop_normalize(raw: jnp.ndarray, plan, *, integer_input: bool) -> jnp.ndarray:
+    clipped = jnp.clip(raw, HU_LO, HU_HI)
     slices = resample.apply_crop_resize(clipped, plan)
     if integer_input:
         slices = _round_half_away(slices)
@@ -182,12 +187,12 @@ def compute_boxes(volume: np.ndarray) -> np.ndarray:
     """
     n, h, w = volume.shape
     n_pad = pad_slices(n)
-    clipped = np.clip(volume, HU_LO, HU_HI)
+    raw = volume
     if n_pad != n:
-        pad = np.full((n_pad - n, h, w), HU_LO, dtype=clipped.dtype)
-        clipped = np.concatenate([clipped, pad], axis=0)
+        pad = np.full((n_pad - n, h, w), HU_LO, dtype=raw.dtype)
+        raw = np.concatenate([raw, pad], axis=0)
     boxes = np.asarray(
-        _boxes_for_volume(jnp.asarray(clipped), use_pallas=default_use_pallas())
+        _boxes_for_volume(jnp.asarray(raw), use_pallas=default_use_pallas())
     )
     return boxes[:n]
 
@@ -205,16 +210,16 @@ def preprocess(
     n, h, w = volume.shape
     n_pad = pad_slices(n)
     integer_input = np.issubdtype(volume.dtype, np.integer)
-    clipped = np.clip(volume, HU_LO, HU_HI)
+    raw = volume
     if n_pad != n:
-        pad = np.full((n_pad - n, h, w), HU_LO, dtype=clipped.dtype)
-        clipped = np.concatenate([clipped, pad], axis=0)
-    clipped_dev = jnp.asarray(clipped)
+        pad = np.full((n_pad - n, h, w), HU_LO, dtype=raw.dtype)
+        raw = np.concatenate([raw, pad], axis=0)
+    raw_dev = jnp.asarray(raw)
     boxes = np.asarray(
-        _boxes_for_volume(clipped_dev, use_pallas=default_use_pallas())
+        _boxes_for_volume(raw_dev, use_pallas=default_use_pallas())
     )
     plan = resample.crop_resize_plan(boxes, resolution, order=1)
-    normalized = _crop_normalize(clipped_dev, plan, integer_input=integer_input)
+    normalized = _crop_normalize(raw_dev, plan, integer_input=integer_input)
     return normalized, boxes[:n]
 
 
@@ -252,27 +257,26 @@ def preprocess_sharded(
     n, h, w = volume.shape
     bucket = int(np.lcm(SLICE_BUCKET, ndata))
     n_pad = ((n + bucket - 1) // bucket) * bucket
-    clipped = np.clip(volume, HU_LO, HU_HI)
+    raw = volume
     if n_pad != n:
-        pad = np.full((n_pad - n, h, w), HU_LO, dtype=clipped.dtype)
-        clipped = np.concatenate([clipped, pad], axis=0)
-    clipped_dev = jax.device_put(
-        clipped, NamedSharding(mesh, P("data", None, None))
-    )
-    boxes = np.asarray(boxes_fn(clipped_dev))
+        pad = np.full((n_pad - n, h, w), HU_LO, dtype=raw.dtype)
+        raw = np.concatenate([raw, pad], axis=0)
+    raw_dev = jax.device_put(raw, NamedSharding(mesh, P("data", None, None)))
+    boxes = np.asarray(boxes_fn(raw_dev))
     plan = resample.crop_resize_plan(boxes, resolution, order=1)
-    normalized = crop_fn(clipped_dev, plan)
+    normalized = crop_fn(raw_dev, plan)
     return normalized, boxes[:n]
 
 
 def preprocess_traced(
-    clipped: jnp.ndarray, resolution: Tuple[int, int] = (256, 256)
+    volume: jnp.ndarray, resolution: Tuple[int, int] = (256, 256)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fully-traced single-dispatch preprocessing (float32 box coordinates).
 
-    ``clipped`` must already be HU-clipped. Jittable end-to-end; used by the
-    compile-check entry point and throughput benchmarks.
+    Jittable end-to-end (HU clip included); used for compile checks and
+    throughput benchmarks.
     """
+    clipped = jnp.clip(volume, HU_LO, HU_HI)
     shape = clipped.shape[1:]
     smalls = jax.vmap(lambda s: resample.resize(s, (128, 128), order=0))(clipped)
     masks = _bodymasks_batch(smalls, use_pallas=False)
