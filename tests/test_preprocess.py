@@ -94,6 +94,39 @@ def test_preprocess_traced_close_to_staged(rng):
     assert np.abs(a[:, :-1, :-1] - b[:, :-1, :-1]).max() <= (1.0 / 1624) + 1e-6
 
 
+def test_real_ct_device_matches_host_oracle():
+    """Device preprocessing vs float64 host oracle on the reference's REAL
+    512×512 CT slices (couch, FOV circle, noise — the distributions synthetic
+    phantoms miss)."""
+    import os
+
+    import pytest as _pytest
+
+    from conftest import REFERENCE_TESTDATA
+
+    if not os.path.isdir(REFERENCE_TESTDATA):
+        _pytest.skip("reference testdata not mounted")
+    from lungmask_tpu.io import loader
+
+    vol = loader.read_dicoms(REFERENCE_TESTDATA)[0].array
+    assert vol.shape[1:] == (512, 512)
+
+    boxes_dev = preprocess.compute_boxes(vol)
+    for i in range(vol.shape[0]):
+        _, box_host = host_pipeline.crop_to_body_and_resize(
+            np.clip(vol[i], -1024, 600), 256, 256
+        )
+        np.testing.assert_array_equal(boxes_dev[i], box_host)
+
+    normalized, boxes = preprocess.preprocess(vol)
+    normalized = np.asarray(normalized)[: vol.shape[0]]
+    slices_host, _ = host_pipeline.preprocess(vol, resolution=(256, 256))
+    norm_host = host_pipeline.normalize_hu(slices_host)
+    diff = np.abs(normalized - norm_host)
+    assert diff.max() <= (1.0 / 1624) + 1e-6
+    assert (diff > 1e-6).mean() < 5e-3
+
+
 def test_reference_simple_bodymask_vector():
     """Reference test vector: 10×10 body, mask sum 24 (test_utils.py:73-78)."""
     img = np.full((10, 10), -1000, dtype=np.int16)
