@@ -36,52 +36,63 @@ def main(argv=None) -> None:
         "input",
         metavar="input",
         type=path,
-        help="Path to the input image, can be a folder for dicoms",
+        help="CT volume to segment: a single image file, or a directory that "
+        "will be scanned recursively for a DICOM series",
     )
     parser.add_argument(
-        "output", metavar="output", type=str, help="Filepath for output lungmask"
+        "output",
+        metavar="output",
+        type=str,
+        help="where to write the resulting label volume",
     )
     parser.add_argument(
         "--modelname",
-        help="spcifies the trained model, Default: R231",
+        help="which pretrained segmentation model to run",
         type=str,
         choices=["R231", "LTRCLobes", "LTRCLobes_R231", "R231CovidWeb"],
         default="R231",
     )
     parser.add_argument(
-        "--modelpath", help="spcifies the path to the trained model", default=None
+        "--modelpath",
+        help="load weights from this local .pth/.npz file instead of the "
+        "named model's download",
+        default=None,
     )
     parser.add_argument(
         "--cpu",
-        help="Force using the CPU even when a TPU is available, will override batchsize to 1",
+        help="run on the host CPU even if a TPU is present; also drops the "
+        "batch size to 1",
         action="store_true",
     )
     parser.add_argument(
         "--nopostprocess",
-        help="Deactivates postprocessing (removal of unconnected components and hole filling)",
+        help="skip the volume-level cleanup pass (connected-component "
+        "filtering and hole filling)",
         action="store_true",
     )
     parser.add_argument(
         "--batchsize",
         type=int,
-        help="Number of slices processed simultaneously. Lower number requires less memory but may be slower.",
+        help="slices per forward-pass batch; smaller values need less "
+        "accelerator memory at some speed cost",
         default=20,
     )
     parser.add_argument(
         "--noprogress",
         action="store_true",
-        help="If set, no tqdm progress bar will be shown",
+        help="suppress progress bars",
     )
     parser.add_argument(
         "--version",
-        help="Shows the current version of lungmask",
+        help="print the installed version and exit",
         action="version",
         version=__version__,
     )
     parser.add_argument(
         "--removemetadata",
         action="store_true",
-        help="Do not keep study/patient related metadata of the input, if any. Only affects output file formats that can store such information (e.g. DICOM).",
+        help="strip patient/study tags from the output instead of carrying "
+        "them over; only meaningful for metadata-capable formats like DICOM",
     )
     parser.add_argument(
         "--noHU",

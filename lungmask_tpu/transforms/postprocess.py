@@ -72,68 +72,77 @@ def postprocessing(
     logger.info("Postprocessing")
     spare = list(spare)
 
-    regionmask = cc_host.label(label_image)
-    origlabels = np.unique(label_image)
-    origlabels_maxsub = np.zeros((int(max(origlabels)) + 1,), dtype=np.uint32)
+    comp_map = cc_host.label(label_image)
+    max_class = int(label_image.max())
+    # Running "largest component seen so far" per output class; merges that
+    # land on a class's current champion grow this cache (quirk preserved).
+    champion_area = np.zeros((max_class + 1,), dtype=np.uint32)
 
-    regions = cc_host.regionprops(regionmask, label_image)
+    regions = cc_host.regionprops(comp_map, label_image)
     regions.sort(key=lambda r: r.area)
-    regionlabels = [r.label for r in regions]
-    pos_of_label = {lbl: i for i, lbl in enumerate(regionlabels)}
+    pos_of_label = {r.label: i for i, r in enumerate(regions)}
 
-    # Current bounding window per region label (half-open), updated on merges.
+    # Current bounding window per component (half-open), unioned on merges so
+    # the dilated-border search always covers the component's full extent.
     ndim = label_image.ndim
     box_lo = {r.label: np.asarray(r.bbox[:ndim]) for r in regions}
     box_hi = {r.label: np.asarray(r.bbox[ndim:]) for r in regions}
 
-    region_to_lobemap = np.zeros((len(regionlabels) + 1,), dtype=np.uint8)
+    # LUT component-label -> output class; only each class's largest
+    # component keeps its class, everything else starts at 0.
+    class_of_comp = np.zeros((len(regions) + 1,), dtype=np.uint8)
     for r in regions:
         v = int(r.max_intensity)
-        if r.area > origlabels_maxsub[v]:
-            origlabels_maxsub[v] = r.area
-            region_to_lobemap[r.label] = v
+        if r.area > champion_area[v]:
+            champion_area[v] = r.area
+            class_of_comp[r.label] = v
 
     for r in regions:
         v = int(r.max_intensity)
-        if (
-            r.area < origlabels_maxsub[v] or v in spare
-        ) and r.area >= skip_below:
+        if (r.area < champion_area[v] or v in spare) and r.area >= skip_below:
             lo, hi = _expand_box(box_lo[r.label], box_hi[r.label], label_image.shape)
             window = tuple(slice(int(a), int(b)) for a, b in zip(lo, hi))
-            sub = regionmask[window]
+            sub = comp_map[window]
             rmask = sub == r.label
             dil = ndimage.binary_dilation(rmask)
+            # Vote among component labels under the dilated footprint; the
+            # neighbor with the widest shared border wins, ties by first
+            # occurrence in ascending label order.
             neighbours, counts = np.unique(sub[dil], return_counts=True)
-            mapto = r.label
-            maxmap = 0
-            myarea = 0
+            merge_target = r.label
+            best_border = 0
+            moved_area = 0
             for ix, n in enumerate(neighbours):
                 n = int(n)
-                if n != 0 and n != r.label and counts[ix] > maxmap and n not in spare:
-                    maxmap = int(counts[ix])
-                    mapto = n
-                    myarea = r.area
-            if mapto != r.label:
-                sub[rmask] = mapto  # writes through into regionmask
-                # Target's territory grows: union the windows.
-                box_lo[mapto] = np.minimum(box_lo[mapto], box_lo[r.label])
-                box_hi[mapto] = np.maximum(box_hi[mapto], box_hi[r.label])
-            target = regions[pos_of_label[mapto]]
-            if target.area == origlabels_maxsub[int(target.max_intensity)]:
-                origlabels_maxsub[int(target.max_intensity)] += myarea
-            target.area += myarea
+                if (
+                    n != 0
+                    and n != r.label
+                    and counts[ix] > best_border
+                    and n not in spare
+                ):
+                    best_border = int(counts[ix])
+                    merge_target = n
+                    moved_area = r.area
+            if merge_target != r.label:
+                sub[rmask] = merge_target  # writes through into comp_map
+                box_lo[merge_target] = np.minimum(box_lo[merge_target], box_lo[r.label])
+                box_hi[merge_target] = np.maximum(box_hi[merge_target], box_hi[r.label])
+            target = regions[pos_of_label[merge_target]]
+            if target.area == champion_area[int(target.max_intensity)]:
+                champion_area[int(target.max_intensity)] += moved_area
+            target.area += moved_area
 
-    outmask_mapped = region_to_lobemap[regionmask]
-    outmask_mapped[np.isin(outmask_mapped, spare)] = 0
+    class_volume = class_of_comp[comp_map]
+    class_volume[np.isin(class_volume, spare)] = 0
 
-    if outmask_mapped.shape[0] == 1:
-        def holefiller(x):
+    if class_volume.shape[0] == 1:
+        def fill_fn(x):
             return cc_host.area_closing_binary(x[0], area_threshold=64)[None, :, :]
     else:
-        holefiller = cc_host.fill_holes_3d
+        fill_fn = cc_host.fill_holes_3d
 
-    outmask = np.zeros(outmask_mapped.shape, dtype=np.uint8)
-    for i in np.unique(outmask_mapped)[1:]:
-        outmask[holefiller(cc_host.keep_largest_connected_component(outmask_mapped == i))] = i
+    outmask = np.zeros(class_volume.shape, dtype=np.uint8)
+    for i in np.unique(class_volume)[1:]:
+        outmask[fill_fn(cc_host.keep_largest_connected_component(class_volume == i))] = i
 
     return outmask
