@@ -35,6 +35,14 @@ CT_STORAGE_UID = "1.2.840.10008.5.1.4.1.1.2"
 # VRs whose explicit encoding uses a 2-byte reserved field + 4-byte length.
 _LONG_VRS = {b"OB", b"OW", b"OF", b"OL", b"OD", b"SQ", b"UC", b"UR", b"UT", b"UN"}
 
+# Every VR code defined by PS3.5 — used to sniff explicit-vs-implicit encoding
+# when a file carries no file-meta header.
+_KNOWN_VRS = _LONG_VRS | {
+    b"AE", b"AS", b"AT", b"CS", b"DA", b"DS", b"DT", b"FL", b"FD", b"IS",
+    b"LO", b"LT", b"PN", b"SH", b"SL", b"SS", b"ST", b"TM", b"UI", b"UL",
+    b"US",
+}
+
 _TAG_PIXEL_DATA = (0x7FE0, 0x0010)
 _TAG_ITEM = (0xFFFE, 0xE000)
 _TAG_ITEM_DELIM = (0xFFFE, 0xE00D)
@@ -87,10 +95,20 @@ def _decode_pixels(tags: Dict[str, str], raw: bytes) -> np.ndarray:
     rows = int(tags.get("0028|0010", "0"))
     cols = int(tags.get("0028|0011", "0"))
     bits_alloc = int(tags.get("0028|0100", "16"))
+    bits_stored = int(tags.get("0028|0101", str(bits_alloc)) or bits_alloc)
+    high_bit = int(tags.get("0028|0102", str(bits_stored - 1)) or (bits_stored - 1))
     pixel_rep = int(tags.get("0028|0103", "0") or 0)
     samples = int(tags.get("0028|0002", "1") or 1)
+    photometric = tags.get("0028|0004", "MONOCHROME2").strip().upper()
     if samples != 1:
         raise DicomError(f"SamplesPerPixel={samples} not supported")
+    if photometric not in ("", "MONOCHROME2"):
+        # MONOCHROME1 (inverted grayscale) and color spaces would silently
+        # corrupt HU values if decoded as-is; refuse loudly instead.
+        raise DicomError(
+            f"PhotometricInterpretation={photometric} not supported "
+            "(only MONOCHROME2)"
+        )
     if bits_alloc == 16:
         dtype = np.int16 if pixel_rep == 1 else np.uint16
     elif bits_alloc == 8:
@@ -99,6 +117,14 @@ def _decode_pixels(tags: Dict[str, str], raw: bytes) -> np.ndarray:
         raise DicomError(f"BitsAllocated={bits_alloc} not supported")
     n = rows * cols
     arr = np.frombuffer(raw[: n * (bits_alloc // 8)], dtype=dtype).reshape(rows, cols)
+    if bits_stored < bits_alloc:
+        # Packed representation: the value occupies bits
+        # [high_bit-bits_stored+1, high_bit]; align to the top of the cell and
+        # shift back down — an arithmetic shift for signed data performs the
+        # required sign extension, a logical one zeroes the overlay bits.
+        up = bits_alloc - 1 - high_bit
+        down = bits_alloc - bits_stored
+        arr = ((arr.astype(dtype) << up).astype(dtype) >> down).astype(dtype)
     slope = float(tags.get("0028|1053", "1") or 1)
     intercept = float(tags.get("0028|1052", "0") or 0)
     if slope != 1 or intercept != 0:
@@ -205,7 +231,7 @@ def read_file(
         raise DicomError(f"{path}: not a DICOM file")
 
     tags: Dict[str, str] = {}
-    transfer_syntax = EXPLICIT_VR_LE
+    transfer_syntax = ""
     explicit = True
 
     # File meta group (0002) is always explicit LE.
@@ -219,6 +245,15 @@ def read_file(
         if (g, e) == (0x0002, 0x0010):
             transfer_syntax = value.decode("ascii").rstrip("\x00").strip()
         pos = voff + vlen
+
+    if not transfer_syntax:
+        # No file-meta transfer syntax (headerless / force-read files): sniff
+        # the first dataset element — a valid VR code in bytes 4-6 means
+        # explicit VR, anything else is implicit VR LE.
+        if pos + 6 <= len(buf) and bytes(buf[pos + 4 : pos + 6]) in _KNOWN_VRS:
+            transfer_syntax = EXPLICIT_VR_LE
+        else:
+            transfer_syntax = IMPLICIT_VR_LE
 
     if transfer_syntax == IMPLICIT_VR_LE:
         explicit = False
@@ -354,14 +389,14 @@ def write_slice(
         (0x0028, 0x1053): f"{slope}".encode(),
     }
     for (g, e), v in (tags or {}).items():
-        body_tags[(g, e)] = v.encode() if isinstance(v, str) else v
+        body_tags[(g, e)] = v
 
     body = b""
     for (g, e) in sorted(body_tags):
         vr = _VR_FOR_TAG.get((g, e), b"LO")
         val = body_tags[(g, e)]
-        if vr == b"US" and isinstance(val, str):
-            val = _us(int(val))
+        if isinstance(val, str):
+            val = _us(int(val)) if vr == b"US" else val.encode()
         body += _encode_element(g, e, vr, val)
     body += _encode_element(0x7FE0, 0x0010, b"OW", pixels.tobytes())
 

@@ -44,9 +44,26 @@ def read(path: str) -> MedicalImage:
         data = f.read()
     if not data.startswith(b"NRRD"):
         raise ValueError(f"{path}: not a NRRD file")
-    # Header = lines until the first blank line.
-    end = data.index(b"\n\n") if b"\n\n" in data else data.index(b"\r\n\r\n")
-    header_lines = data[:end].decode("ascii", errors="replace").splitlines()[1:]
+    # Header = lines until the first blank line. Scan line-by-line (accepting
+    # LF or CRLF endings) rather than searching the whole buffer — a byte
+    # pattern like b"\n\n" can occur inside the binary payload of a
+    # CRLF-terminated header and must not be mistaken for the terminator.
+    header_lines = []
+    pos = 0
+    payload_start = None
+    while pos < len(data):
+        nl = data.find(b"\n", pos)
+        if nl == -1:
+            break
+        line = data[pos:nl].rstrip(b"\r")
+        if line == b"":
+            payload_start = nl + 1
+            break
+        header_lines.append(line.decode("ascii", errors="replace"))
+        pos = nl + 1
+    if payload_start is None:
+        raise ValueError(f"{path}: NRRD header has no terminating blank line")
+    header_lines = header_lines[1:]  # drop the NRRD magic line
     fields: Dict[str, str] = {}
     for line in header_lines:
         if not line or line.startswith("#"):
@@ -58,11 +75,7 @@ def read(path: str) -> MedicalImage:
         else:
             continue
         fields[k.strip().lower()] = v.strip()
-    payload = data[end + (2 if b"\n\n" in data[: end + 2] else 4) :]
-    if data[end : end + 2] == b"\n\n":
-        payload = data[end + 2 :]
-    else:
-        payload = data[end + 4 :]
+    payload = data[payload_start:]
 
     if int(fields.get("dimension", "3")) != 3:
         raise ValueError(f"{path}: only 3-D NRRD supported")

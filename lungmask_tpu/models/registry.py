@@ -119,8 +119,9 @@ def get_model(
         )
 
     npz_path = _npz_cache_path(modelname)
+    url, _ = MODEL_URLS[modelname]
+    expected_sha = _sha256_prefix_of_name(os.path.basename(url))
     if not os.path.exists(npz_path):
-        url, _ = MODEL_URLS[modelname]
         pth_path = os.path.join(cache_dir(), os.path.basename(url))
         if not os.path.exists(pth_path):
             try:
@@ -132,15 +133,39 @@ def get_model(
                     f".pth there, point modelpath at a local checkpoint, or set "
                     f"$LUNGMASK_TPU_CACHE to a directory containing it."
                 ) from e
-            _verify_sha(pth_path, _sha256_prefix_of_name(os.path.basename(url)))
+        # Verify whether freshly downloaded or pre-placed in the cache — a
+        # truncated manual copy must not be converted silently.
+        _verify_sha(pth_path, expected_sha)
         params, n_classes = convert.convert_pth(pth_path)
         convert.save_npz(
-            npz_path, params, meta={"source": os.path.basename(url), "model": modelname}
+            npz_path,
+            params,
+            meta={
+                "source": os.path.basename(url),
+                "model": modelname,
+                "source_sha256": _sha256_full(pth_path),
+            },
         )
         logger.info(f"Converted {pth_path} -> {npz_path}")
     else:
-        params, _meta = convert.load_npz(npz_path)
+        params, meta = convert.load_npz(npz_path)
+        recorded = str(meta.get("source_sha256", ""))
+        if expected_sha and recorded and not recorded.startswith(expected_sha):
+            raise RuntimeError(
+                f"Converted-weight cache {npz_path} records source "
+                f"sha256={recorded}, which does not match the registry's "
+                f"expected prefix {expected_sha}. Delete the cache entry and "
+                "re-convert."
+            )
     return params, _n_classes(params)
+
+
+def _sha256_full(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
 
 
 def _n_classes(params: Params) -> int:

@@ -350,3 +350,111 @@ def test_reference_testdata_series():
 def test_reference_testdata_load_input_image():
     img = loader.load_input_image(REFERENCE_TESTDATA, read_metadata=True)
     assert img.size == (512, 512, 2)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE round-1 regressions: headerless VR sniffing, photometric guard,
+# packed-bit sign extension, CRLF NRRD headers
+# ---------------------------------------------------------------------------
+
+
+def _implicit_elem(group, elem, value):
+    import struct
+
+    if len(value) % 2:
+        value += b"\x00"
+    return struct.pack("<HHI", group, elem, len(value)) + value
+
+
+def test_dicom_headerless_implicit_vr(tmp_path):
+    """A file with no preamble/meta and implicit-VR body must parse via the
+    VR-sniff fallback (pydicom force=True analogue)."""
+    arr = np.arange(16, dtype=np.int16).reshape(4, 4)
+    body = b"".join(
+        [
+            _implicit_elem(0x0008, 0x0008, b"ORIGINAL\\PRIMARY\\AXIAL"),
+            _implicit_elem(0x0020, 0x000D, b"1.2.3"),
+            _implicit_elem(0x0020, 0x000E, b"1.2.3.4"),
+            _implicit_elem(0x0028, 0x0002, np.uint16(1).tobytes()),
+            _implicit_elem(0x0028, 0x0010, np.uint16(4).tobytes()),
+            _implicit_elem(0x0028, 0x0011, np.uint16(4).tobytes()),
+            _implicit_elem(0x0028, 0x0100, np.uint16(16).tobytes()),
+            _implicit_elem(0x0028, 0x0103, np.uint16(1).tobytes()),
+            _implicit_elem(0x7FE0, 0x0010, arr.tobytes()),
+        ]
+    )
+    p = str(tmp_path / "implicit_headerless.dcm")
+    with open(p, "wb") as f:
+        f.write(body)
+    parsed = dicom.read_file(p)
+    assert parsed.series_uid == "1.2.3.4"
+    np.testing.assert_array_equal(parsed.pixels, arr)
+
+
+def test_dicom_headerless_explicit_vr(tmp_path, rng):
+    """Strip preamble + file meta off a written slice: the explicit-VR body
+    must still be sniffed and parsed."""
+    arr = rng.integers(-1000, 500, size=(6, 6)).astype(np.int16)
+    p = str(tmp_path / "full.dcm")
+    dicom.write_slice(p, arr, series_uid="9.8.7")
+    data = open(p, "rb").read()
+    # Body starts at the first group-0008 element after the meta group.
+    import struct
+
+    pos = 132
+    while struct.unpack_from("<H", data, pos)[0] == 0x0002:
+        g, e, vr, voff, vlen, _ = dicom._read_element(
+            memoryview(data), pos, explicit=True
+        )
+        pos = voff + vlen
+    p2 = str(tmp_path / "headerless.dcm")
+    with open(p2, "wb") as f:
+        f.write(data[pos:])
+    parsed = dicom.read_file(p2)
+    assert parsed.series_uid == "9.8.7"
+    np.testing.assert_array_equal(parsed.pixels, arr)
+
+
+def test_dicom_monochrome1_rejected(tmp_path, rng):
+    arr = rng.integers(0, 100, size=(4, 4)).astype(np.int16)
+    p = str(tmp_path / "mono1.dcm")
+    dicom.write_slice(p, arr, tags={(0x0028, 0x0004): "MONOCHROME1"})
+    with pytest.raises(dicom.DicomError, match="PhotometricInterpretation"):
+        dicom.read_file(p)
+
+
+def test_dicom_packed_bits_sign_extension(tmp_path):
+    """12-bits-stored signed data with garbage overlay bits must sign-extend
+    to the true values."""
+    true_vals = np.array([[-100, -1], [0, 2047]], dtype=np.int16)
+    packed = (true_vals.astype(np.uint16) & 0x0FFF) | 0xA000  # overlay garbage
+    p = str(tmp_path / "packed.dcm")
+    dicom.write_slice(
+        p,
+        packed.view(np.int16),
+        tags={(0x0028, 0x0101): "12", (0x0028, 0x0102): "11"},
+    )
+    parsed = dicom.read_file(p)
+    np.testing.assert_array_equal(parsed.pixels, true_vals)
+
+
+def test_nrrd_crlf_header_with_payload_false_terminator(tmp_path):
+    """CRLF-terminated header whose binary payload contains b'\\n\\n' — the
+    old whole-buffer search found the payload bytes first."""
+    from lungmask_tpu.io import nrrd
+
+    arr = np.full((2, 3, 3), 0x0A0A, dtype=np.int16)  # payload bytes = \n\n...
+    header = (
+        "NRRD0004\r\n"
+        "type: int16\r\n"
+        "dimension: 3\r\n"
+        "sizes: 3 3 2\r\n"
+        "encoding: raw\r\n"
+        "endian: little\r\n"
+        "\r\n"
+    )
+    p = str(tmp_path / "crlf.nrrd")
+    with open(p, "wb") as f:
+        f.write(header.encode("ascii") + arr.tobytes())
+    back = nrrd.read(p)
+    np.testing.assert_array_equal(back.array, arr)
