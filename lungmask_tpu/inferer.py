@@ -209,26 +209,46 @@ class LMInferer:
         ``normalized``/``boxes`` may be passed in to share one preprocessing
         pass across models (the fused path)."""
         n = inimg_raw.shape[0]
-        with trace("inference"):
+        with trace("inference"), self._stage_bar() as bar:
             if normalized is None:
                 with self.timings.stage("preprocess"):
                     normalized, boxes = self._preprocess(inimg_raw)
+            bar.update(1)
             if self.volume_postprocessing and self.postprocessing_mode == "device":
                 with self.timings.stage("unet"):
                     pred = model.run(normalized)[:n]  # stays on device
+                bar.update(1)
                 return self._finish_volume(
-                    pred, boxes, inimg_raw.shape[1:], model.n_classes
+                    pred, boxes, inimg_raw.shape[1:], model.n_classes, bar=bar
                 )
             with self.timings.stage("unet"):
                 if hasattr(model, "run_numpy"):
                     pred_np = model.run_numpy(normalized)[:n]
                 else:
                     pred_np = np.asarray(model.run(normalized)[:n])
+            bar.update(1)
             return self._finish_volume(
-                pred_np, boxes, inimg_raw.shape[1:], model.n_classes
+                pred_np, boxes, inimg_raw.shape[1:], model.n_classes, bar=bar
             )
 
-    def _finish_volume(self, pred_np, boxes, slice_shape, n_classes) -> np.ndarray:
+    def _stage_bar(self):
+        """Per-volume progress over the pipeline stages
+        (preprocess → U-Net → postprocess → paste-back). The device engine
+        runs each volume as one dispatch, so stage granularity — not the
+        reference's per-20-slice batches — is the honest unit of progress."""
+        from tqdm import tqdm
+
+        return tqdm(
+            total=4,
+            disable=self.tqdm_disable,
+            desc="inference",
+            unit="stage",
+            leave=False,
+        )
+
+    def _finish_volume(
+        self, pred_np, boxes, slice_shape, n_classes, bar=None
+    ) -> np.ndarray:
         """Host finishing stages: postprocess (per mode) + paste-back."""
         if self.volume_postprocessing and self.postprocessing_mode == "device":
             from lungmask_tpu.transforms.postprocess_device import postprocess_device
@@ -244,10 +264,15 @@ class LMInferer:
                 )
         else:
             outmask = pred_np
+        if bar is not None:
+            bar.update(1)
         with self.timings.stage("paste_back"):
-            return resample.paste_masks_host(outmask, boxes, slice_shape).astype(
+            out = resample.paste_masks_host(outmask, boxes, slice_shape).astype(
                 np.uint8
             )
+        if bar is not None:
+            bar.update(1)
+        return out
 
     def _dual_forward(self, n, normalized):
         """Both models over the shared preprocessed stack — ONE device
@@ -364,7 +389,9 @@ class LMInferer:
         res_l[res_r == 0] = 0
         logger.info("Fusing results... this may take up to several minutes!")
         with self.timings.stage("fusion_postprocess"):
-            return postprocess.postprocessing(res_l, spare=[spare_value])
+            return postprocess.postprocessing(
+                res_l, spare=[spare_value], disable_tqdm=self.tqdm_disable
+            )
 
     def apply(self, image: ImageLike) -> np.ndarray:
         """Apply the model (or fused model pair) to a volumetric image.

@@ -25,6 +25,7 @@ from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
+from tqdm import tqdm
 
 from lungmask_tpu.logger import logger
 
@@ -408,6 +409,7 @@ def scan_directory(
     path: str,
     primary: bool = True,
     original: bool = True,
+    disable_tqdm: bool = False,
 ) -> List[List[DicomFile]]:
     """Recursive scan → filtered, deduped, series-grouped, z-sorted header list.
 
@@ -425,7 +427,7 @@ def scan_directory(
 
     headers: List[DicomFile] = []
     seen = set()
-    for fname in sorted(all_files):
+    for fname in tqdm(sorted(all_files), disable=disable_tqdm, desc="DICOM scan"):
         base = os.path.splitext(os.path.basename(fname))[0]
         if base == "DICOMDIR":
             continue

@@ -93,7 +93,9 @@ def read_dicoms(
 ) -> List[MedicalImage]:
     """Reference ``read_dicoms`` (/root/reference/lungmask/utils.py:132-230):
     list of assembled volumes, one per DICOM series under ``path``."""
-    series = dicom.scan_directory(path, primary=primary, original=original)
+    series = dicom.scan_directory(
+        path, primary=primary, original=original, disable_tqdm=disable_tqdm
+    )
     return [_volume_from_series(s, read_metadata=read_metadata) for s in series]
 
 

