@@ -95,6 +95,25 @@ def main():
     except Exception:
         params = unet.init_params(jax.random.PRNGKey(0), n_classes=3)
         weights = "synthetic(R231-shaped)"
+        print(
+            "BENCH WARNING: real R231 weights unavailable (no egress; cache "
+            f"empty at {registry.cache_dir()}) — running with synthetic "
+            "weights. U-Net FLOPs identical; postprocess timing reflects "
+            "noise-like masks, golden parity NOT exercised.",
+            file=sys.stderr,
+        )
+
+    # The exact postprocessing path leans on the C++ core; a silent scipy
+    # fallback would change the perf story — surface it.
+    from lungmask_tpu.ops import native
+
+    native_core = native.get_lib() is not None
+    if not native_core:
+        print(
+            "BENCH WARNING: native postproc core failed to build/load — "
+            "host postprocessing falls back to numpy/scipy (slower).",
+            file=sys.stderr,
+        )
 
     device = jax.devices()[0]
     params = jax.device_put(jax.tree_util.tree_map(jnp.asarray, params), device)
@@ -181,6 +200,7 @@ def main():
                     "backend": device.platform,
                     "device": str(device),
                     "weights": weights,
+                    "native_postproc_core": native_core,
                     "unet_compile_s": round(compile_s, 2),
                     "single_volume_slices_per_sec": round(seq_slices_per_sec, 1),
                     "timed_region": "steady-state volume stream (dispatch per half-volume, downloads overlapped); single-dispatch-per-volume value in single_volume_slices_per_sec",

@@ -114,6 +114,16 @@ def convert_pth(path: str) -> Tuple[Params, int]:
     return convert_state_dict(sd), infer_n_classes(sd)
 
 
+def torch_available() -> bool:
+    """Whether .pth conversion is possible in this environment."""
+    try:
+        import torch  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
 # ---------------------------------------------------------------------------
 # Flat (de)serialization to .npz
 # ---------------------------------------------------------------------------

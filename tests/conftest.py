@@ -36,6 +36,26 @@ if jax.default_backend() != "cpu" or len(jax.devices()) < 8:
 REFERENCE_TESTDATA = "/root/reference/tests/testdata"
 
 
+def pytest_report_header(config):
+    """Surface golden-gate status loudly: the voxel-identical north star is
+    only proven when the real checkpoints are present in the cache."""
+    from lungmask_tpu.models import registry
+
+    missing = []
+    for name in ("R231", "LTRCLobes"):
+        url, _ = registry.MODEL_URLS[name]
+        pth = os.path.join(registry.cache_dir(), os.path.basename(url))
+        if not (os.path.exists(registry._npz_cache_path(name)) or os.path.exists(pth)):
+            missing.append(os.path.basename(url))
+    if missing:
+        return (
+            "WARNING: real pretrained weights NOT cached -> golden-count "
+            f"parity gates in tests/test_golden.py will SKIP. Drop "
+            f"{', '.join(missing)} into {registry.cache_dir()} to activate them."
+        )
+    return "golden-count parity gates ACTIVE (real weights cached)"
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)

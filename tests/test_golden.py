@@ -1,0 +1,134 @@
+"""Golden-count gates against the real pretrained checkpoints.
+
+The reference pins exact per-label voxel counts on its 2-slice test series
+(/root/reference/tests/test_mask.py:36 and :58-60). These tests reproduce
+every one of those gates — plus gates for THIS framework's default
+configuration (device preprocessing, bfloat16) and a measured bf16-vs-f32
+argmax-delta report.
+
+The environment has no network egress, so the tests are skipped unless the
+converted weights are cached. They are one file-drop away from green: place
+
+    ~/.cache/lungmask_tpu/unet_r231-d5d2fc3d.pth
+    ~/.cache/lungmask_tpu/unet_ltrclobes-3a07043d.pth
+
+(or the converted .npz of each) and the whole file activates. The skip is
+surfaced loudly in the pytest header (see conftest.pytest_report_header).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from lungmask_tpu import LMInferer
+
+REFDATA = "/root/reference/tests/testdata"
+
+GOLDEN_R231 = [423000, 64752, 36536]
+GOLDEN_FUSED = [423000, 13334, 23202, 23834, 40918]
+
+
+def _available(modelname):
+    from lungmask_tpu.models import convert, registry
+
+    npz = registry._npz_cache_path(modelname)
+    if os.path.exists(npz):
+        return True
+    url, _ = registry.MODEL_URLS[modelname]
+    pth = os.path.join(registry.cache_dir(), os.path.basename(url))
+    return os.path.exists(pth) and convert.torch_available()
+
+
+needs_r231 = pytest.mark.skipif(
+    not (_available("R231") and os.path.isdir(REFDATA)),
+    reason="real R231 weights not cached (drop unet_r231-d5d2fc3d.pth in the cache)",
+)
+needs_both = pytest.mark.skipif(
+    not (_available("R231") and _available("LTRCLobes") and os.path.isdir(REFDATA)),
+    reason="real R231+LTRCLobes weights not cached",
+)
+
+
+@pytest.fixture(scope="module")
+def refvol():
+    from lungmask_tpu.io import loader
+
+    return loader.read_dicoms(REFDATA)[0]
+
+
+@needs_r231
+def test_golden_counts_r231_parity_config(refvol):
+    """Reference test_mask.py:36 — bit-exact config (host preprocess, f32)."""
+    inferer = LMInferer(tqdm_disable=True, preprocessing="host", precision="float32")
+    res = inferer.apply(refvol)
+    assert np.all(np.unique(res, return_counts=True)[1] == GOLDEN_R231)
+
+
+@needs_r231
+def test_golden_counts_r231_cli_roundtrip(tmp_path, refvol):
+    """Reference test_cli.py:20 — golden counts survive the CLI + file I/O."""
+    from lungmask_tpu import cli
+    from lungmask_tpu.io import loader
+
+    out = str(tmp_path / "mask.nii.gz")
+    cli.main([REFDATA, out, "--noprogress"])
+    res = loader.load_input_image(out).array
+    # CLI runs the default (device/bf16) config; gate on near-identity and
+    # report exactly how far off the defaults land.
+    counts = np.bincount(res.ravel(), minlength=3)
+    _report_delta("cli_default_vs_golden", counts, GOLDEN_R231)
+    assert _agreement(counts, GOLDEN_R231) > 0.999
+
+
+@needs_both
+def test_golden_counts_fused(refvol):
+    """Reference test_mask.py:50-60 — the LTRCLobes_R231 fused path."""
+    inferer = LMInferer(
+        modelname="LTRCLobes",
+        fillmodel="R231",
+        tqdm_disable=True,
+        preprocessing="host",
+        precision="float32",
+    )
+    res = inferer.apply(refvol)
+    assert np.all(np.unique(res, return_counts=True)[1] == GOLDEN_FUSED)
+
+
+@needs_r231
+def test_golden_counts_r231_default_config(refvol):
+    """The DEFAULT product config (device preprocessing, bfloat16) must land
+    within 0.1% of the golden voxel assignment, with the delta reported."""
+    inferer = LMInferer(tqdm_disable=True)  # defaults: device, bf16
+    res = inferer.apply(refvol)
+    counts = np.bincount(res.ravel(), minlength=3)
+    _report_delta("default_vs_golden", counts, GOLDEN_R231)
+    assert res.shape == refvol.array.shape
+    assert _agreement(counts, GOLDEN_R231) > 0.999
+
+
+@needs_r231
+def test_bf16_vs_f32_argmax_delta(refvol):
+    """Measured precision report: fraction of voxels whose final label differs
+    between bf16 and f32 compute (same device preprocessing)."""
+    res16 = LMInferer(tqdm_disable=True, precision="bfloat16").apply(refvol)
+    res32 = LMInferer(tqdm_disable=True, precision="float32").apply(refvol)
+    frac = float(np.mean(res16 != res32))
+    print(f"\n[golden] bf16_vs_f32_label_delta_fraction={frac:.6f}")
+    assert frac < 0.005
+
+
+def _agreement(counts, golden):
+    counts = np.asarray(counts, dtype=np.int64)
+    golden = np.asarray(golden, dtype=np.int64)
+    n = min(len(counts), len(golden))
+    total = golden.sum()
+    diff = np.abs(counts[:n] - golden[:n]).sum() + abs(
+        counts[n:].sum() - golden[n:].sum()
+    )
+    return 1.0 - diff / total
+
+
+def _report_delta(name, counts, golden):
+    print(f"\n[golden] {name}: counts={list(map(int, counts))} golden={golden} "
+          f"agreement={_agreement(counts, golden):.6f}")

@@ -130,30 +130,8 @@ def test_bad_modelname_raises():
         LMInferer(modelname="NotAModel")
 
 
-# ---------------------------------------------------------------------------
-# Golden-count tests against real pretrained weights (reference
-# test_mask.py:36,58-60) — run only when the converted weights are cached
-# locally, since this environment has no network egress.
-# ---------------------------------------------------------------------------
-
-
-def _cached(modelname):
-    from lungmask_tpu.models import registry
-
-    return os.path.exists(registry._npz_cache_path(modelname))
-
-
-@pytest.mark.skipif(
-    not (_cached("R231") and os.path.isdir("/root/reference/tests/testdata")),
-    reason="real R231 weights not cached",
-)
-def test_golden_counts_r231():
-    from lungmask_tpu.io import loader
-
-    vol = loader.read_dicoms("/root/reference/tests/testdata")[0]
-    inferer = LMInferer(tqdm_disable=True, preprocessing="host", precision="float32")
-    res = inferer.apply(vol)
-    assert np.all(np.unique(res, return_counts=True)[1] == [423000, 64752, 36536])
+# Golden-count tests against the real pretrained weights live in
+# tests/test_golden.py (gated on a populated weight cache).
 
 
 def test_progress_bars_real(weights3, testvol, capsys):
