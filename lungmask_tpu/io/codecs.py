@@ -1,0 +1,325 @@
+"""Compressed DICOM pixel codecs: RLE Lossless and JPEG Lossless (process 14).
+
+The reference reads compressed series through ITK/GDCM
+(/root/reference/lungmask/utils.py:215-222); here the decoders are native C++
+(csrc/dicom_codecs.cpp, ctypes-loaded, built on first use) with a pure-Python
+RLE fallback so RLE series decode even without a compiler. An RLE and a
+JPEG-lossless *encoder* live here too — used by the DICOM writer to emit
+compressed fixtures and by tests to round-trip the decoders.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import struct
+import subprocess
+from typing import List, Optional
+
+import numpy as np
+
+from lungmask_tpu.logger import logger
+
+RLE_LOSSLESS = "1.2.840.10008.1.2.5"
+JPEG_LOSSLESS_P14 = "1.2.840.10008.1.2.4.57"
+JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+_SRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc", "dicom_codecs.cpp")
+_OUT_DIR = os.path.join(os.path.dirname(__file__), "..", "ops", "_native")
+_OUT = os.path.join(_OUT_DIR, "libdicomcodecs.so")
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    path = _OUT
+    if not os.path.exists(path):
+        src = os.path.abspath(_SRC)
+        if not os.path.exists(src):
+            return None
+        os.makedirs(_OUT_DIR, exist_ok=True)
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", src, "-o", _OUT],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except Exception as e:
+            logger.info(f"dicom codec build skipped ({e}); python fallbacks only")
+            return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError as e:
+        logger.info(f"dicom codec load failed ({e}); python fallbacks only")
+        return None
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.lm_rle_decode.restype = ctypes.c_int32
+    lib.lm_rle_decode.argtypes = [u8p, ctypes.c_int64, u8p, ctypes.c_int64,
+                                  ctypes.c_int32]
+    lib.lm_jpegll_decode.restype = ctypes.c_int32
+    lib.lm_jpegll_decode.argtypes = [u8p, ctypes.c_int64, u16p, ctypes.c_int64,
+                                     i32p, i32p, i32p]
+    _LIB = lib
+    return _LIB
+
+
+# ---------------------------------------------------------------------------
+# RLE Lossless (PS3.5 annex G)
+# ---------------------------------------------------------------------------
+
+
+def _packbits_decode_py(src: bytes, out_len: int) -> bytes:
+    out = bytearray()
+    i, n = 0, len(src)
+    while i < n and len(out) < out_len:
+        c = src[i]
+        i += 1
+        if c < 128:  # literal run of c+1 bytes
+            out += src[i : i + c + 1]
+            i += c + 1
+        elif c != 128:  # replicate next byte 257-c times
+            out += src[i : i + 1] * (257 - c)
+            i += 1
+    if len(out) != out_len:
+        raise ValueError("RLE segment decoded to wrong length")
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits encode one byte plane (literal/replicate runs, max 128)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # find a run of >=3 identical bytes (2 would not compress)
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        # literal stretch until the next >=3 run (or 128 bytes)
+        j = i
+        while j < n and j - i < 128:
+            r = 1
+            while j + r < n and r < 3 and data[j + r] == data[j]:
+                r += 1
+            if r >= 3:
+                break
+            j += 1
+        out.append(j - i - 1)
+        out += data[i:j]
+        i = j
+    return bytes(out)
+
+
+def rle_encode_frame(pixels: np.ndarray) -> bytes:
+    """Encode one frame as a DICOM RLE frame (byte planes, MSB first)."""
+    pixels = np.ascontiguousarray(pixels)
+    itemsize = pixels.dtype.itemsize
+    if itemsize not in (1, 2):
+        raise ValueError("RLE: only 8/16-bit samples supported")
+    raw = pixels.astype(pixels.dtype.newbyteorder("<"), copy=False).tobytes()
+    planes = []
+    for s in range(itemsize):  # s=0 → MSB plane
+        byte_ix = itemsize - 1 - s  # little-endian byte index
+        plane = raw[byte_ix::itemsize]
+        enc = _packbits_encode(plane)
+        if len(enc) % 2:
+            enc += b"\x00"
+        planes.append(enc)
+    header = struct.pack("<I", len(planes))
+    offsets = []
+    off = 64
+    for p in planes:
+        offsets.append(off)
+        off += len(p)
+    header += b"".join(struct.pack("<I", o) for o in offsets)
+    header += b"\x00" * (64 - len(header))
+    return header + b"".join(planes)
+
+
+def rle_decode_frame(data: bytes, n_pixels: int, bytes_per_sample: int) -> np.ndarray:
+    """Decode one RLE frame → uint8/uint16 array of n_pixels samples."""
+    dtype = np.uint8 if bytes_per_sample == 1 else np.uint16
+    lib = get_lib()
+    if lib is not None:
+        src = np.frombuffer(data, dtype=np.uint8)
+        out = np.empty(n_pixels, dtype=dtype)
+        rc = lib.lm_rle_decode(
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            len(data),
+            out.view(np.uint8).ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            n_pixels,
+            bytes_per_sample,
+        )
+        if rc == 0:
+            return out
+        raise ValueError(f"RLE decode failed (native rc={rc})")
+    # Pure-Python fallback
+    if len(data) < 64:
+        raise ValueError("RLE frame too short")
+    n_seg = struct.unpack_from("<I", data, 0)[0]
+    if n_seg != bytes_per_sample:
+        raise ValueError(f"RLE: {n_seg} segments for {bytes_per_sample}-byte samples")
+    offsets = list(struct.unpack_from(f"<{n_seg}I", data, 4)) + [len(data)]
+    out = np.zeros(n_pixels, dtype=dtype)
+    for s in range(n_seg):
+        plane = np.frombuffer(
+            _packbits_decode_py(data[offsets[s] : offsets[s + 1]], n_pixels),
+            dtype=np.uint8,
+        )
+        out |= plane.astype(dtype) << (8 * (n_seg - 1 - s))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# JPEG Lossless (ITU T.81 process 14)
+# ---------------------------------------------------------------------------
+
+
+def jpegll_decode(data: bytes) -> np.ndarray:
+    """Decode a single-component JPEG-lossless codestream → uint16 (rows, cols)."""
+    lib = get_lib()
+    if lib is None:
+        raise ValueError(
+            "JPEG Lossless decode requires the native codec core "
+            "(csrc/dicom_codecs.cpp) and no compiler is available"
+        )
+    src = np.frombuffer(data, dtype=np.uint8)
+    # Parse SOF3 dims up front for the output allocation.
+    rows, cols = _peek_sof3_dims(data)
+    out = np.empty(rows * cols, dtype=np.uint16)
+    r = ctypes.c_int32()
+    c = ctypes.c_int32()
+    prec = ctypes.c_int32()
+    rc = lib.lm_jpegll_decode(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        out.size,
+        ctypes.byref(r),
+        ctypes.byref(c),
+        ctypes.byref(prec),
+    )
+    if rc != 0:
+        raise ValueError(f"JPEG Lossless decode failed (rc={rc})")
+    return out.reshape(r.value, c.value)
+
+
+def _peek_sof3_dims(data: bytes):
+    p = 2
+    while p + 4 <= len(data):
+        if data[p] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        m = data[p + 1]
+        if m in (0xD8,) or 0xD0 <= m <= 0xD7:
+            p += 2
+            continue
+        seg = (data[p + 2] << 8) | data[p + 3]
+        if m == 0xC3:
+            rows = (data[p + 5] << 8) | data[p + 6]
+            cols = (data[p + 7] << 8) | data[p + 8]
+            return rows, cols
+        if m in (0xC0, 0xC1, 0xC2):
+            raise ValueError("lossy/non-lossless JPEG process not supported")
+        p += 2 + seg
+    raise ValueError("no SOF3 marker found")
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, nbits: int):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.out.append(0x00)
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self):
+        if self.nbits:
+            self.acc = (self.acc << (8 - self.nbits)) | ((1 << (8 - self.nbits)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+
+
+def jpegll_encode(pixels: np.ndarray, precision: int = 16) -> bytes:
+    """Encode (rows, cols) unsigned samples as JPEG Lossless SV1 (predictor 1).
+
+    Fixture/round-trip encoder: fixed 5-bit Huffman table over all 17
+    magnitude categories (valid canonical table, never all-ones).
+    """
+    px = np.ascontiguousarray(pixels).astype(np.uint16)
+    rows, cols = px.shape
+    if px.max() >= (1 << precision):
+        raise ValueError("pixel exceeds declared precision")
+
+    # Canonical table: 17 symbols, all code length 5 → codes 0..16.
+    counts = [0] * 16
+    counts[4] = 17
+    values = list(range(17))
+    codes = {sym: (i, 5) for i, sym in enumerate(values)}
+
+    def category(diff: int) -> int:
+        return 0 if diff == 0 else int(diff if diff > 0 else -diff).bit_length()
+
+    bw = _BitWriter()
+    default_pred = 1 << (precision - 1)
+    px_i = px.astype(np.int32)
+    for r_ in range(rows):
+        for c_ in range(cols):
+            if r_ == 0 and c_ == 0:
+                pred = default_pred
+            elif r_ == 0:
+                pred = int(px_i[0, c_ - 1])
+            elif c_ == 0:
+                pred = int(px_i[r_ - 1, 0])
+            else:
+                pred = int(px_i[r_, c_ - 1])  # SV1: Ra
+            diff = (int(px_i[r_, c_]) - pred) & 0xFFFF
+            if diff >= 0x8000:
+                diff -= 0x10000
+            ssss = category(diff)
+            if ssss > 16:
+                raise ValueError("difference out of range")
+            code, ln = codes[min(ssss, 16)]
+            bw.put(code, ln)
+            if ssss == 16:
+                pass  # diff == 32768, no extra bits
+            elif ssss:
+                v = diff if diff > 0 else diff + (1 << ssss) - 1
+                bw.put(v, ssss)
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # SOF3
+    sof = struct.pack(">BHHB", precision, rows, cols, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc3" + struct.pack(">H", len(sof) + 2) + sof
+    # DHT (class 0, id 0)
+    dht = bytes([0x00]) + bytes(counts) + bytes(values)
+    out += b"\xff\xc4" + struct.pack(">H", len(dht) + 2) + dht
+    # SOS: 1 comp, DC table 0, Ss=1 (predictor), Se=0, Ah/Al=0
+    sos = bytes([1, 1, 0x00, 1, 0, 0x00])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

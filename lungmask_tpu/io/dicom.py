@@ -3,9 +3,11 @@
 Replaces the reference's pydicom header scanning + SimpleITK series decoding
 (/root/reference/lungmask/utils.py:132-230) with a self-contained parser.
 
-Supported transfer syntaxes: Implicit VR Little Endian (1.2.840.10008.1.2) and
-Explicit VR Little Endian (1.2.840.10008.1.2.1) — the uncompressed encodings
-CT series overwhelmingly use. Compressed syntaxes raise a clear error.
+Supported transfer syntaxes: Implicit VR Little Endian (1.2.840.10008.1.2),
+Explicit VR Little Endian (1.2.840.10008.1.2.1), RLE Lossless
+(1.2.840.10008.1.2.5), and JPEG Lossless process 14 (1.2.840.10008.1.2.4.57
+and .70) — compressed frames decode through the native codec core
+(io/codecs.py). Remaining syntaxes raise a clear error.
 
 The reader exposes tags under ``"gggg|eeee"`` lowercase-hex keys (the
 SimpleITK key format the reference CLI's metadata propagation relies on,
@@ -31,6 +33,10 @@ from lungmask_tpu.logger import logger
 
 IMPLICIT_VR_LE = "1.2.840.10008.1.2"
 EXPLICIT_VR_LE = "1.2.840.10008.1.2.1"
+RLE_LOSSLESS = "1.2.840.10008.1.2.5"
+JPEG_LOSSLESS_P14 = "1.2.840.10008.1.2.4.57"
+JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"
+_ENCAPSULATED = {RLE_LOSSLESS, JPEG_LOSSLESS_P14, JPEG_LOSSLESS_SV1}
 CT_STORAGE_UID = "1.2.840.10008.5.1.4.1.1.2"
 
 # VRs whose explicit encoding uses a 2-byte reserved field + 4-byte length.
@@ -258,12 +264,12 @@ def read_file(
 
     if transfer_syntax == IMPLICIT_VR_LE:
         explicit = False
-    elif transfer_syntax == EXPLICIT_VR_LE:
-        explicit = True
+    elif transfer_syntax == EXPLICIT_VR_LE or transfer_syntax in _ENCAPSULATED:
+        explicit = True  # encapsulated syntaxes encode the dataset explicit LE
     else:
         raise DicomError(
             f"{path}: transfer syntax {transfer_syntax} not supported "
-            "(only uncompressed little-endian)"
+            "(uncompressed little-endian, RLE, or JPEG Lossless)"
         )
 
     pixels = None
@@ -273,7 +279,14 @@ def read_file(
             if stop_before_pixels:
                 break
             if vlen == 0xFFFFFFFF:
-                raise DicomError(f"{path}: encapsulated pixel data not supported")
+                if transfer_syntax not in _ENCAPSULATED:
+                    raise DicomError(
+                        f"{path}: undefined-length pixel data in an "
+                        "uncompressed transfer syntax"
+                    )
+                fragments, pos = _read_fragments(buf, voff)
+                pixels = _decode_encapsulated(tags, fragments, transfer_syntax, path)
+                continue
             pixels = _decode_pixels(tags, bytes(buf[voff : voff + vlen]))
             pos = voff + vlen
             continue
@@ -287,6 +300,57 @@ def read_file(
         pos = voff + vlen
 
     return DicomFile(path=path, tags=tags, pixels=pixels)
+
+
+def _read_fragments(buf: memoryview, pos: int):
+    """Parse encapsulated pixel-data items: Basic Offset Table (skipped) then
+    one or more fragments, ending at the sequence delimiter. Returns
+    (fragments, position after the delimiter)."""
+    fragments: List[bytes] = []
+    first = True
+    while pos + 8 <= len(buf):
+        group, elem = struct.unpack_from("<HH", buf, pos)
+        (length,) = struct.unpack_from("<I", buf, pos + 4)
+        pos += 8
+        if (group, elem) == _TAG_SEQ_DELIM:
+            return fragments, pos
+        if (group, elem) != _TAG_ITEM:
+            raise DicomError("malformed encapsulated pixel data")
+        if first:
+            first = False  # Basic Offset Table — unused (single-frame files)
+        else:
+            fragments.append(bytes(buf[pos : pos + length]))
+        pos += length
+    raise DicomError("unterminated encapsulated pixel data")
+
+
+def _decode_encapsulated(
+    tags: Dict[str, str], fragments: List[bytes], transfer_syntax: str, path: str
+) -> np.ndarray:
+    from lungmask_tpu.io import codecs
+
+    n_frames = int(tags.get("0028|0008", "1") or 1)
+    if n_frames != 1:
+        raise DicomError(
+            f"{path}: multi-frame encapsulated pixel data not supported "
+            "(CT series store one frame per file)"
+        )
+    rows = int(tags.get("0028|0010", "0"))
+    cols = int(tags.get("0028|0011", "0"))
+    bits_alloc = int(tags.get("0028|0100", "16"))
+    data = b"".join(fragments)
+    if transfer_syntax == RLE_LOSSLESS:
+        samples = codecs.rle_decode_frame(data, rows * cols, bits_alloc // 8)
+    else:  # JPEG Lossless (process 14 / SV1)
+        decoded = codecs.jpegll_decode(data)
+        if decoded.shape != (rows, cols):
+            raise DicomError(
+                f"{path}: JPEG frame is {decoded.shape}, header says "
+                f"({rows}, {cols})"
+            )
+        samples = decoded if bits_alloc == 16 else decoded.astype(np.uint8)
+    # Route through the uncompressed path for photometric/sign/rescale rules.
+    return _decode_pixels(tags, np.ascontiguousarray(samples).tobytes())
 
 
 # ---------------------------------------------------------------------------
@@ -346,20 +410,26 @@ def write_slice(
     slice_thickness: float = 1.0,
     image_type: str = "ORIGINAL\\PRIMARY\\AXIAL",
     rescale: Tuple[float, float] = (1.0, 0.0),
+    transfer_syntax: str = EXPLICIT_VR_LE,
 ) -> None:
-    """Write one int16 CT slice as Explicit VR LE."""
+    """Write one int16 CT slice. ``transfer_syntax`` may be Explicit VR LE
+    (default), RLE Lossless, or JPEG Lossless SV1 — the compressed forms are
+    used to synthesize encapsulated test fixtures."""
     pixels = np.ascontiguousarray(pixels.astype(np.int16))
     rows, cols = pixels.shape
     sop_uid = sop_uid or generate_uid()
     series_uid = series_uid or generate_uid()
     study_uid = study_uid or generate_uid()
 
+    if transfer_syntax not in (EXPLICIT_VR_LE, RLE_LOSSLESS, JPEG_LOSSLESS_SV1):
+        raise DicomError(f"writer does not support {transfer_syntax}")
+
     meta = b""
     meta_elems = [
         ((0x0002, 0x0001), b"OB", b"\x00\x01"),
         ((0x0002, 0x0002), b"UI", CT_STORAGE_UID.encode()),
         ((0x0002, 0x0003), b"UI", sop_uid.encode()),
-        ((0x0002, 0x0010), b"UI", EXPLICIT_VR_LE.encode()),
+        ((0x0002, 0x0010), b"UI", transfer_syntax.encode()),
         ((0x0002, 0x0012), b"UI", f"{_UID_ROOT}.1".encode()),
     ]
     for (g, e), vr, v in meta_elems:
@@ -399,7 +469,23 @@ def write_slice(
         if isinstance(val, str):
             val = _us(int(val)) if vr == b"US" else val.encode()
         body += _encode_element(g, e, vr, val)
-    body += _encode_element(0x7FE0, 0x0010, b"OW", pixels.tobytes())
+    if transfer_syntax == EXPLICIT_VR_LE:
+        body += _encode_element(0x7FE0, 0x0010, b"OW", pixels.tobytes())
+    else:
+        from lungmask_tpu.io import codecs
+
+        if transfer_syntax == RLE_LOSSLESS:
+            frame = codecs.rle_encode_frame(pixels.view(np.uint16))
+        else:
+            frame = codecs.jpegll_encode(pixels.view(np.uint16), precision=16)
+        if len(frame) % 2:
+            frame += b"\x00"
+        # OB, undefined length: empty Basic Offset Table item + one fragment.
+        body += struct.pack("<HH", 0x7FE0, 0x0010) + b"OB\x00\x00"
+        body += struct.pack("<I", 0xFFFFFFFF)
+        body += struct.pack("<HHI", *_TAG_ITEM, 0)
+        body += struct.pack("<HHI", *_TAG_ITEM, len(frame)) + frame
+        body += struct.pack("<HHI", *_TAG_SEQ_DELIM, 0)
 
     with open(path, "wb") as f:
         f.write(b"\x00" * 128 + b"DICM" + group_len + meta + body)

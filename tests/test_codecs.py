@@ -1,0 +1,144 @@
+"""Compressed DICOM codec tests: RLE Lossless and JPEG Lossless round-trips,
+both through the codec layer directly and through full DICOM files
+(reference reads these via ITK/GDCM — /root/reference/lungmask/utils.py:215)."""
+
+import numpy as np
+import pytest
+
+from lungmask_tpu.io import codecs, dicom
+
+
+@pytest.fixture(scope="module")
+def ct_slice():
+    rng = np.random.default_rng(11)
+    h = w = 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    arr = np.full((h, w), -1000, dtype=np.int16)
+    body = ((yy - h / 2) / (h * 0.4)) ** 2 + ((xx - w / 2) / (w * 0.35)) ** 2 < 1
+    arr[body] = 40
+    arr += rng.integers(-100, 100, size=arr.shape).astype(np.int16)
+    return arr
+
+
+# ---------------------------------------------------------------------------
+# RLE
+# ---------------------------------------------------------------------------
+
+
+def test_packbits_roundtrip_runs_and_literals():
+    data = b"\x00" * 200 + bytes(range(120)) + b"\xff" * 5 + b"ab" * 3
+    enc = codecs._packbits_encode(data)
+    assert codecs._packbits_decode_py(enc, len(data)) == data
+    assert len(enc) < len(data)  # the runs must actually compress
+
+
+@pytest.mark.parametrize("use_native", [True, False])
+def test_rle_frame_roundtrip_int16(ct_slice, use_native, monkeypatch):
+    if use_native and codecs.get_lib() is None:
+        pytest.skip("native codec core unavailable")
+    if not use_native:
+        monkeypatch.setattr(codecs, "get_lib", lambda: None)
+    frame = codecs.rle_encode_frame(ct_slice.view(np.uint16))
+    out = codecs.rle_decode_frame(frame, ct_slice.size, 2)
+    np.testing.assert_array_equal(
+        out.view(np.int16).reshape(ct_slice.shape), ct_slice
+    )
+
+
+def test_rle_frame_roundtrip_uint8(rng):
+    arr = rng.integers(0, 255, size=(32, 32)).astype(np.uint8)
+    frame = codecs.rle_encode_frame(arr)
+    out = codecs.rle_decode_frame(frame, arr.size, 1)
+    np.testing.assert_array_equal(out.reshape(arr.shape), arr)
+
+
+# ---------------------------------------------------------------------------
+# JPEG Lossless
+# ---------------------------------------------------------------------------
+
+
+def test_jpegll_roundtrip(ct_slice):
+    if codecs.get_lib() is None:
+        pytest.skip("native codec core unavailable")
+    stream = codecs.jpegll_encode(ct_slice.view(np.uint16), precision=16)
+    out = codecs.jpegll_decode(stream)
+    np.testing.assert_array_equal(out.view(np.int16), ct_slice)
+
+
+def test_jpegll_roundtrip_extreme_diffs():
+    """Alternating min/max exercises every magnitude category incl. 16."""
+    if codecs.get_lib() is None:
+        pytest.skip("native codec core unavailable")
+    arr = np.zeros((8, 8), dtype=np.uint16)
+    arr[::2, ::2] = 0xFFFF
+    arr[1::2, 1::2] = 0x8000
+    stream = codecs.jpegll_encode(arr, precision=16)
+    np.testing.assert_array_equal(codecs.jpegll_decode(stream), arr)
+
+
+def test_jpegll_rejects_lossy():
+    # A fake SOF0 (baseline DCT) stream must be refused, not misdecoded.
+    bad = b"\xff\xd8\xff\xc0\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00\xff\xd9"
+    with pytest.raises(ValueError):
+        codecs.jpegll_decode(bad)
+
+
+# ---------------------------------------------------------------------------
+# Full DICOM files
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "syntax", [dicom.RLE_LOSSLESS, dicom.JPEG_LOSSLESS_SV1]
+)
+def test_compressed_dicom_roundtrip(tmp_path, ct_slice, syntax):
+    if syntax == dicom.JPEG_LOSSLESS_SV1 and codecs.get_lib() is None:
+        pytest.skip("native codec core unavailable")
+    p = str(tmp_path / "c.dcm")
+    dicom.write_slice(p, ct_slice, transfer_syntax=syntax)
+    parsed = dicom.read_file(p)
+    np.testing.assert_array_equal(parsed.pixels, ct_slice)
+
+
+def test_compressed_dicom_rescale(tmp_path, ct_slice):
+    """RescaleSlope/Intercept must apply after decompression."""
+    raw = ((ct_slice.astype(np.int32) + 1024)).astype(np.int16)  # stored form
+    p = str(tmp_path / "r.dcm")
+    dicom.write_slice(
+        p, raw, transfer_syntax=dicom.RLE_LOSSLESS, rescale=(1.0, -1024.0)
+    )
+    parsed = dicom.read_file(p)
+    np.testing.assert_array_equal(parsed.pixels, ct_slice)
+
+
+def test_mixed_syntax_series(tmp_path, ct_slice):
+    """A series whose slices use different transfer syntaxes must assemble."""
+    from lungmask_tpu.io import loader
+
+    suid, stuid = dicom.generate_uid(), dicom.generate_uid()
+    syntaxes = [dicom.EXPLICIT_VR_LE, dicom.RLE_LOSSLESS, dicom.JPEG_LOSSLESS_SV1]
+    if codecs.get_lib() is None:
+        syntaxes[2] = dicom.RLE_LOSSLESS
+    for i, ts in enumerate(syntaxes):
+        dicom.write_slice(
+            str(tmp_path / f"{i}.dcm"),
+            ct_slice + i,
+            series_uid=suid,
+            study_uid=stuid,
+            position=(0.0, 0.0, float(i)),
+            transfer_syntax=ts,
+        )
+    vols = loader.read_dicoms(str(tmp_path), disable_tqdm=True)
+    assert len(vols) == 1
+    arr = vols[0].array
+    assert arr.shape == (3,) + ct_slice.shape
+    for i in range(3):
+        np.testing.assert_array_equal(arr[i], ct_slice + i)
+
+
+def test_stop_before_pixels_skips_decode(tmp_path, ct_slice):
+    p = str(tmp_path / "c.dcm")
+    dicom.write_slice(p, ct_slice, transfer_syntax=dicom.RLE_LOSSLESS)
+    hdr = dicom.read_file(p, stop_before_pixels=True)
+    assert hdr.pixels is None
+    assert hdr.get("0028|0010") == str(ct_slice.shape[0])
