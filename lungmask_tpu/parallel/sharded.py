@@ -7,6 +7,12 @@ partitioned convolutions need and keeps everything on ICI. This subsumes the
 reference's only parallelism (single-device slice batching,
 /root/reference/lungmask/mask.py:173-187) and is the TPU-native replacement
 for a hand-written communication layer.
+
+Execution model (mirrors runtime.engine.volume_argmax): the WHOLE padded
+slice stack is one jitted program — ``lax.map`` over fixed-size chunks, each
+chunk data-parallel across the mesh — so a volume costs one dispatch
+regardless of slice count. ``run_numpy`` splits the stack in two dispatches
+to overlap the first half's mask download with the second half's compute.
 """
 
 from __future__ import annotations
@@ -16,16 +22,19 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lungmask_tpu.models import unet
 from lungmask_tpu.parallel import mesh as mesh_lib
+from lungmask_tpu.runtime.engine import _cast_kernels, unpack_nibbles
 
 
 def make_sharded_argmax(mesh: Mesh, compute_dtype=jnp.float32):
     """Compiled (params, batch(N,H,W,1)) → uint8 (N,H,W) over the mesh.
 
-    N shards over 'data', H over 'space'; params replicated.
+    N shards over 'data', H over 'space'; params replicated. Single-batch
+    building block — volume work goes through :func:`make_sharded_volume_argmax`.
     """
     batch_sh = NamedSharding(mesh, P("data", "space", None, None))
     out_sh = NamedSharding(mesh, P("data", "space", None))
@@ -42,6 +51,41 @@ def make_sharded_argmax(mesh: Mesh, compute_dtype=jnp.float32):
     return step
 
 
+def make_sharded_volume_argmax(mesh: Mesh, compute_dtype=jnp.float32, packed=False):
+    """Compiled (params, chunks(C,B,H,W)) → uint8 (C·B, H, W), one dispatch.
+
+    The chunk axis is mapped sequentially (``lax.map``, bounding activation
+    memory exactly like the engine's single-device program); within a chunk
+    the B slices shard over 'data' and H over 'space', so every device
+    cooperates on every chunk and no device idles while another loops.
+    With ``packed`` the class map is nibble-packed on device (W/2 out).
+    """
+    chunks_sh = NamedSharding(mesh, P(None, "data", "space", None))
+    out_sh = NamedSharding(mesh, P("data", "space", None))
+    rep = NamedSharding(mesh, P())
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(rep, chunks_sh),
+        out_shardings=out_sh,
+    )
+    def volume_step(params, chunks):
+        c, b, h, w = chunks.shape
+
+        def f(batch):
+            return unet.unet_argmax(
+                params, batch[..., None], compute_dtype=compute_dtype
+            )
+
+        dense = jax.lax.map(f, chunks).reshape(c * b, h, w)
+        if not packed:
+            return dense
+        pairs = dense.reshape(c * b, h, w // 2, 2)
+        return pairs[..., 0] | (pairs[..., 1] << 4)
+
+    return volume_step
+
+
 class ShardedUNetRunner:
     """Mesh-parallel drop-in for runtime.engine.UNetRunner."""
 
@@ -55,30 +99,59 @@ class ShardedUNetRunner:
     ):
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
         self.params = jax.device_put(
-            jax.tree_util.tree_map(jnp.asarray, params),
+            _cast_kernels(jax.tree_util.tree_map(jnp.asarray, params), compute_dtype),
             NamedSharding(self.mesh, P()),
         )
         self.n_classes = n_classes
+        self.compute_dtype = compute_dtype
         ndata = self.mesh.devices.shape[0]
         # batch must divide evenly over the data axis
         self.batch_size = ((int(batch_size) + ndata - 1) // ndata) * ndata
-        self._step = make_sharded_argmax(self.mesh, compute_dtype)
+        self._volume_step = make_sharded_volume_argmax(self.mesh, compute_dtype)
+        self._volume_step_packed = make_sharded_volume_argmax(
+            self.mesh, compute_dtype, packed=True
+        )
+        self._chunks_sh = NamedSharding(self.mesh, P(None, "data", "space", None))
 
-    def run(self, slices: jnp.ndarray) -> jnp.ndarray:
+    def _to_chunks(self, slices):
+        """Pad to a power-of-two chunk count and shard onto the mesh."""
+        slices = np.asarray(slices) if not isinstance(slices, jnp.ndarray) else slices
         n = slices.shape[0]
         b = self.batch_size
-        n_pad = ((n + b - 1) // b) * b
+        n_chunks = max(1, -(-n // b))
+        n_chunks = 1 << (n_chunks - 1).bit_length()
+        n_pad = n_chunks * b
         if n_pad != n:
-            slices = jnp.concatenate(
-                [slices, jnp.zeros((n_pad - n,) + slices.shape[1:], slices.dtype)]
+            pad = [(0, n_pad - n)] + [(0, 0)] * (slices.ndim - 1)
+            slices = (
+                np.pad(slices, pad)
+                if isinstance(slices, np.ndarray)
+                else jnp.pad(slices, pad)
             )
-        outs = []
-        for i in range(0, n_pad, b):
-            batch = jax.device_put(
-                slices[i : i + b, ..., None],
-                NamedSharding(self.mesh, P("data", "space", None, None)),
-            )
-            outs.append(self._step(self.params, batch))
-        import numpy as np
+        chunks = jnp.reshape(jnp.asarray(slices), (n_chunks, b) + slices.shape[1:])
+        return jax.device_put(chunks, self._chunks_sh), n
 
-        return np.concatenate([jax.device_get(o) for o in outs], axis=0)[:n]
+    def run(self, slices) -> jnp.ndarray:
+        """(N, H, W) normalized slices → (N, H, W) uint8; ONE device dispatch
+        for the whole stack (sharded in, sharded out)."""
+        chunks, n = self._to_chunks(slices)
+        return self._volume_step(self.params, chunks)[:n]
+
+    def run_numpy(self, slices) -> np.ndarray:
+        """Host-fetched :meth:`run` with the download overlapped: the padded
+        stack splits into two dispatches, nibble-packed on device (2 px/byte),
+        and the first half downloads while the second half computes."""
+        chunks, n = self._to_chunks(slices)
+        n_chunks = chunks.shape[0]
+        packed_ok = chunks.shape[3] % 2 == 0 and self.n_classes <= 16
+        step = self._volume_step_packed if packed_ok else self._volume_step
+        if n_chunks < 2:
+            out = np.asarray(step(self.params, chunks))
+            return (unpack_nibbles(out) if packed_ok else out)[:n]
+        half = n_chunks // 2
+        o1 = step(self.params, chunks[:half])
+        o2 = step(self.params, chunks[half:])
+        a1 = np.asarray(o1)
+        a2 = np.asarray(o2)
+        out = np.concatenate([a1, a2], axis=0)
+        return (unpack_nibbles(out) if packed_ok else out)[:n]
