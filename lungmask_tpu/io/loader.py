@@ -99,12 +99,33 @@ def read_dicoms(
     return [_volume_from_series(s, read_metadata=read_metadata) for s in series]
 
 
+def _read_hdr_img(path: str) -> MedicalImage:
+    """Dispatch .hdr/.img pairs: detached NIfTI ("ni1" magic) vs Analyze 7.5."""
+    from lungmask_tpu.io import analyze
+
+    hdr_path, _ = analyze._paths(path)
+    with open(hdr_path, "rb") as f:
+        head = f.read(348)
+    if len(head) >= 348 and head[344:348] == b"ni1\x00":
+        return nifti.read(hdr_path)
+    return analyze.read(path)
+
+
+def _write_analyze(image: MedicalImage, path: str) -> None:
+    from lungmask_tpu.io import analyze
+
+    analyze.write(image, path)
+
+
 _READERS = {
     ".nii": nifti.read,
     ".nii.gz": nifti.read,
     ".mha": mha.read,
     ".mhd": mha.read,
     ".nrrd": nrrd.read,
+    ".hdr": _read_hdr_img,
+    ".img": _read_hdr_img,
+    ".img.gz": _read_hdr_img,
 }
 _WRITERS = {
     ".nii": nifti.write,
@@ -112,12 +133,14 @@ _WRITERS = {
     ".mha": mha.write,
     ".mhd": mha.write,
     ".nrrd": nrrd.write,
+    ".hdr": _write_analyze,
+    ".img": _write_analyze,
 }
 
 
 def _format_of(path: str) -> Optional[str]:
     lower = path.lower()
-    for ext in (".nii.gz", ".nii", ".mha", ".mhd", ".nrrd"):
+    for ext in (".nii.gz", ".nii", ".mha", ".mhd", ".nrrd", ".img.gz", ".hdr", ".img"):
         if lower.endswith(ext):
             return ext
     return None

@@ -9,6 +9,7 @@ conversion to/from this framework's LPS direction/origin negates the x/y rows.
 from __future__ import annotations
 
 import gzip
+import os
 import struct
 from typing import Tuple
 
@@ -79,6 +80,15 @@ def read(path: str) -> MedicalImage:
 
     dtype = _DTYPES[datatype]
     count = nx * ny * nz
+    if magic == b"ni1\x00":
+        # Detached header/data pair: voxels live in the sibling .img file.
+        base = path[:-7] if path.endswith(".hdr.gz") else path.rsplit(".", 1)[0]
+        img_path = base + ".img"
+        if not os.path.exists(img_path):
+            img_path += ".gz"
+        with _open(img_path, "rb") as f:
+            data = f.read()
+        vox_offset = 0.0
     arr = np.frombuffer(
         data, dtype=dtype, count=count, offset=int(vox_offset)
     ).reshape(nz, ny, nx)

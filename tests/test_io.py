@@ -458,3 +458,73 @@ def test_nrrd_crlf_header_with_payload_false_terminator(tmp_path):
         f.write(header.encode("ascii") + arr.tobytes())
     back = nrrd.read(p)
     np.testing.assert_array_equal(back.array, arr)
+
+
+# ---------------------------------------------------------------------------
+# Analyze 7.5 (.hdr/.img) and detached NIfTI pairs
+# ---------------------------------------------------------------------------
+
+
+def test_analyze_roundtrip(tmp_path, rng):
+    from lungmask_tpu.io import analyze
+
+    arr = rng.integers(-1024, 600, size=(3, 7, 5)).astype(np.int16)
+    img = image.MedicalImage(arr, spacing=(0.7, 0.8, 2.5))
+    p = str(tmp_path / "vol.hdr")
+    analyze.write(img, p)
+    back = analyze.read(p)
+    np.testing.assert_array_equal(back.array, arr)
+    np.testing.assert_allclose(back.spacing, img.spacing, rtol=1e-6)
+    # Loading via the generic loader (by .img path too) must also work.
+    np.testing.assert_array_equal(
+        loader.load_input_image(str(tmp_path / "vol.img")).array, arr
+    )
+
+
+def test_analyze_big_endian(tmp_path, rng):
+    """Big-endian Analyze headers/data must be byte-swapped, not garbled."""
+    from lungmask_tpu.io import analyze
+    import struct
+
+    arr = rng.integers(-500, 500, size=(2, 4, 4)).astype(np.int16)
+    hdr = bytearray(348)
+    struct.pack_into(">i", hdr, 0, 348)
+    struct.pack_into(">8h", hdr, 40, 3, 4, 4, 2, 1, 1, 1, 1)
+    struct.pack_into(">2h", hdr, 70, 4, 16)
+    struct.pack_into(">8f", hdr, 76, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0)
+    (tmp_path / "be.hdr").write_bytes(bytes(hdr))
+    (tmp_path / "be.img").write_bytes(arr.astype(">i2").tobytes())
+    back = analyze.read(str(tmp_path / "be.hdr"))
+    np.testing.assert_array_equal(back.array, arr)
+
+
+def test_analyze_rejects_flipped_orient(tmp_path, rng):
+    from lungmask_tpu.io import analyze
+    import struct
+
+    arr = np.zeros((1, 2, 2), dtype=np.int16)
+    img = image.MedicalImage(arr)
+    p = str(tmp_path / "f.hdr")
+    analyze.write(img, p)
+    data = bytearray(open(p, "rb").read())
+    data[252] = 3  # coronal flipped
+    open(p, "wb").write(bytes(data))
+    with pytest.raises(ValueError, match="orient"):
+        analyze.read(p)
+
+
+def test_nifti_detached_pair(tmp_path, rng):
+    """NIfTI 'ni1' magic: header in .hdr, voxels in sibling .img."""
+    arr = rng.integers(-100, 100, size=(2, 6, 4)).astype(np.int16)
+    img = image.MedicalImage(arr, spacing=(1.0, 1.0, 1.0))
+    nii = str(tmp_path / "v.nii")
+    nifti.write(img, nii)
+    data = bytearray(open(nii, "rb").read())
+    hdr = data[:348]
+    hdr[344:348] = b"ni1\x00"
+    import struct as _s
+    _s.pack_into("<f", hdr, 108, 0.0)  # vox_offset 0 in the detached file
+    (tmp_path / "v.hdr").write_bytes(bytes(hdr))
+    (tmp_path / "v.img").write_bytes(bytes(data[352:]))
+    back = loader.load_input_image(str(tmp_path / "v.hdr"))
+    np.testing.assert_array_equal(back.array, arr)
