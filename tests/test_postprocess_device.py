@@ -60,3 +60,66 @@ def test_inferer_device_mode(tmp_path):
     )
     out = inferer.apply(vol)
     assert out.shape == vol.shape and out.dtype == np.uint8
+
+
+def _lobe_phantom():
+    """LTRCLobes-like phantom: 5 solid lobes + satellite components that the
+    exact path REMAPS into adjacent lobes and the device path REMOVES."""
+    pred = np.zeros((12, 96, 96), dtype=np.uint8)
+    yy, xx = np.mgrid[0:96, 0:96]
+
+    def ellipse(cy, cx, ry, rx):
+        return ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 < 1
+
+    # left lung: lobes 1 (upper) / 2 (lower); right lung: 3 / 4 / 5
+    pred[2:10, ellipse(30, 28, 16, 12)] = 1
+    pred[2:10, ellipse(62, 28, 16, 12)] = 2
+    pred[2:10, ellipse(22, 68, 12, 11)] = 3
+    pred[2:10, ellipse(48, 68, 12, 11)] = 4
+    pred[2:10, ellipse(72, 68, 12, 11)] = 5
+
+    satellites = np.zeros_like(pred, dtype=bool)
+    # satellite of label 1 glued to the OUTSIDE edge of lobe 2 (area well
+    # below label-1's champion): exact remaps it to 2, device removes it.
+    sat1 = np.zeros_like(pred, dtype=bool)
+    sat1[4:6, 60:64, 40:44] = True
+    sat1 &= pred == 0
+    assert sat1.any()
+    pred[sat1] = 1
+    satellites |= sat1
+    # satellite of label 4 glued to the outside edge of lobe 5:
+    sat2 = np.zeros_like(pred, dtype=bool)
+    sat2[5:7, 70:73, 79:83] = True
+    sat2 &= pred == 0
+    assert sat2.any()
+    pred[sat2] = 4
+    satellites |= sat2
+    # sub-skip_below speck (area 2): both paths must drop it
+    pred[0, 2, 2:4] = 3
+    return pred, satellites
+
+
+def test_device_divergence_contract():
+    """Accuracy contract for postprocessing_mode='device' (VERDICT r1 #9):
+    it may differ from the exact path ONLY on non-champion components that the
+    exact path merges into a neighboring label (device removes them instead).
+    On this merge-heavy lobe phantom the difference is exactly the satellite
+    set, and the divergence fraction is reported."""
+    pred, satellites = _lobe_phantom()
+    exact = postprocessing(pred.copy(), disable_tqdm=True)
+    dev = np.asarray(postprocess_device(jnp.asarray(pred), n_classes=6))
+
+    diff = dev != exact
+    frac = float(diff.mean())
+    nonzero = float((pred != 0).mean())
+    print(
+        f"\n[device-postprocess] divergence: {diff.sum()} voxels "
+        f"({frac:.5f} of volume, phantom occupancy {nonzero:.3f}); "
+        f"satellite voxels: {satellites.sum()}"
+    )
+    # Exactly the satellites diverge — remapped by exact, removed by device.
+    np.testing.assert_array_equal(diff, satellites)
+    assert np.all(dev[satellites] == 0)
+    assert np.all(exact[satellites] != 0)
+    # Everywhere else: bit-identical.
+    np.testing.assert_array_equal(dev[~satellites], exact[~satellites])
