@@ -48,7 +48,7 @@ class LMInferer:
         batch_size: int = 20,
         volume_postprocessing: bool = True,
         tqdm_disable: bool = False,
-        preprocessing: str = "device",
+        preprocessing: str = "hybrid",
         precision: str = "bfloat16",
         mesh=None,
         postprocessing_mode: str = "exact",
@@ -67,9 +67,13 @@ class LMInferer:
                 mask.py:79); larger values feed the MXU better on TPU.
             volume_postprocessing: connected-component cleanup toggle.
             tqdm_disable: disable progress output.
-            preprocessing: 'device' (default, batched TPU pipeline) or 'host'
+            preprocessing: 'hybrid' (default — device bodymask/boxes from a
+                packed-bits upload, float64 host-oracle resample, minimal
+                transfers; bit-exact with 'host'), 'device' (fully
+                device-resident volume, float32 gather weights), or 'host'
                 (float64 scipy path, bit-exact with the reference's CPU
-                preprocessing — see ops/resample.py notes).
+                preprocessing — see ops/resample.py and
+                transforms/preprocess.py notes).
             precision: 'bfloat16' (default — MXU-native compute with float32
                 accumulation) or 'float32' (HIGHEST precision convs, for
                 strict numerical parity with the reference's float32 torch).
@@ -89,7 +93,7 @@ class LMInferer:
             assert (
                 fillmodel in MODEL_URLS
             ), "Modelname not found. Please choose from: {}".format(MODEL_URLS.keys())
-        assert preprocessing in ("device", "host")
+        assert preprocessing in ("hybrid", "device", "host")
         assert postprocessing_mode in ("exact", "device")
         self.postprocessing_mode = postprocessing_mode
         enable_compile_cache()
@@ -126,6 +130,7 @@ class LMInferer:
 
         assert precision in ("bfloat16", "float32")
         compute_dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
+        self._compute_dtype = compute_dtype
 
         if mesh is not None:
             from lungmask_tpu.parallel import ShardedUNetRunner
@@ -171,6 +176,10 @@ class LMInferer:
         if self.mesh is not None:
             return preprocess.preprocess_sharded(
                 volume, self.mesh, resolution=(256, 256)
+            )
+        if self.preprocessing == "hybrid":
+            return preprocess.preprocess_hybrid(
+                volume, resolution=(256, 256), compute_dtype=self._compute_dtype
             )
         return preprocess.preprocess(volume, resolution=(256, 256))
 

@@ -21,17 +21,21 @@ from lungmask_tpu.logger import logger
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 
-_SRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc", "postproc.cpp")
+_CSRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
+_SRCS = [
+    os.path.abspath(os.path.join(_CSRC, name))
+    for name in ("postproc.cpp", "preproc.cpp")
+]
 _OUT_DIR = os.path.join(os.path.dirname(__file__), "_native")
 _OUT = os.path.join(_OUT_DIR, "libpostproc.so")
 
 
 def _build() -> Optional[str]:
-    src = os.path.abspath(_SRC)
-    if not os.path.exists(src):
+    srcs = [s for s in _SRCS if os.path.exists(s)]
+    if not srcs:
         return None
     os.makedirs(_OUT_DIR, exist_ok=True)
-    cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", src, "-o", _OUT]
+    cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", *srcs, "-o", _OUT]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return _OUT
@@ -40,12 +44,22 @@ def _build() -> Optional[str]:
         return None
 
 
+def _cached_fresh() -> bool:
+    """A cached .so is reused only if newer than every source file."""
+    if not os.path.exists(_OUT):
+        return False
+    so_mtime = os.path.getmtime(_OUT)
+    return all(
+        os.path.getmtime(s) <= so_mtime for s in _SRCS if os.path.exists(s)
+    )
+
+
 def get_lib() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    path = _OUT if os.path.exists(_OUT) else _build()
+    path = _OUT if _cached_fresh() else _build()
     if path is None:
         return None
     try:
@@ -67,6 +81,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
     ]
     lib.lm_fill_holes.restype = None
     lib.lm_fill_holes.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
+    if hasattr(lib, "lm_crop_resize_norm_i16"):
+        i16p = ctypes.POINTER(ctypes.c_int16)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        i64 = ctypes.c_int64
+        lib.lm_crop_resize_norm_i16.restype = ctypes.c_int32
+        lib.lm_crop_resize_norm_i16.argtypes = [
+            i16p, i64, i64, i64, i32p, i64, i64, f32p
+        ]
     _LIB = lib
     return _LIB
 
@@ -116,6 +138,42 @@ def regionprops_arrays(labels: np.ndarray, intensity: Optional[np.ndarray], n: i
         bbox.ctypes.data_as(ip),
     )
     return areas, (maxint if intensity is not None else None), bbox
+
+
+def crop_resize_normalize(
+    volume: np.ndarray, boxes: np.ndarray, out_shape
+) -> Optional[np.ndarray]:
+    """Native fused crop + scipy-exact bilinear resize + HU window + normalize.
+
+    (n, H, W) integer HU volume + (n, 4) half-open boxes → (n, out_h, out_w)
+    float32 in [0, 1]. Returns None when the native core is unavailable OR
+    the volume is float (no rounding cast exists there to absorb the last-ulp
+    two-pass-vs-scipy float64 difference — see csrc/preproc.cpp); callers
+    fall back to the scipy path. Non-int16 integers are clipped to
+    [−1024, 600] first, which loses nothing (the kernel clips identically,
+    /root/reference/lungmask/utils.py:45).
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "lm_crop_resize_norm_i16"):
+        return None
+    if not np.issubdtype(volume.dtype, np.integer):
+        return None
+    n, h, w = volume.shape
+    out_h, out_w = out_shape
+    b = np.ascontiguousarray(boxes, dtype=np.int32)
+    out = np.empty((n, out_h, out_w), dtype=np.float32)
+    if volume.dtype == np.int16:
+        v = np.ascontiguousarray(volume)
+    else:
+        v = np.clip(volume, -1024, 600).astype(np.int16)
+    rc = lib.lm_crop_resize_norm_i16(
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        n, h, w,
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_h, out_w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out if rc == 0 else None
 
 
 def fill_holes(mask: np.ndarray) -> Optional[np.ndarray]:

@@ -223,6 +223,137 @@ def preprocess(
     return normalized, boxes[:n]
 
 
+# ---------------------------------------------------------------------------
+# Hybrid (transfer-lean) preprocessing
+# ---------------------------------------------------------------------------
+#
+# On remote-attached TPUs the full-resolution HU upload dominates end-to-end
+# latency (a 192×512² int16 volume is 96 MB; the tunnel can dip below
+# 20 MB/s). The hybrid mode ships only what each side actually needs:
+#
+#   1. host: nearest-subsample every slice to 128² with the exact scipy
+#      order-0 plan, threshold at −500 HU, pack to bits → 0.4 MB upload
+#      (the bodymask pipeline only ever consumes the thresholded mask),
+#   2. device: bodymask → crop boxes (bit-identical to the full device path),
+#      download the (N, 4) box array,
+#   3. host: fused crop + scipy-exact float64 bilinear resize + HU window +
+#      normalize (native C++ core, scipy fallback) — bit-identical to the
+#      strict host pipeline — and upload the 256² stack in the compute dtype
+#      (bf16 halves the one remaining large transfer; casting on host is
+#      bit-identical to the device's own entry cast in models/unet.py:158).
+#
+# Net transfer: ~0.4 MB + N·256²·dtype vs N·H·W·2 — ~4× less for bf16 at
+# 512², and the resample is the float64 host-oracle arithmetic rather than
+# the device path's float32 gather weights.
+
+
+def pack_bodymask_bits(volume: np.ndarray) -> np.ndarray:
+    """(N, H, W) HU volume → (N, 128, 16) uint8 packed body-threshold bits.
+
+    Replicates the device path exactly: order-0 subsample to 128² (scipy plan,
+    zero-filled out-of-bounds samples — and 0 > −500 is *body*, the same quirk
+    the full-resolution paths inherit from scipy's cval=0), threshold −500 HU.
+    Clipping to [−1024, 600] commutes with the gather and never changes the
+    threshold predicate, so it is skipped here.
+    """
+    n, h, w = volume.shape
+    ridx, roob = resample._axis_plan_np(h, 128, 0)
+    cidx, coob = resample._axis_plan_np(w, 128, 0)
+    mask = volume[:, ridx][:, :, cidx] > BODY_THRESHOLD
+    if roob.any():
+        mask[:, roob, :] = True
+    if coob.any():
+        mask[:, :, coob] = True
+    return np.packbits(mask, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "use_pallas"))
+def _boxes_from_packed(
+    packed: jnp.ndarray, shape: Tuple[int, int], use_pallas: bool
+) -> jnp.ndarray:
+    """(N, 128, 16) packed threshold bits → (N, 4) crop boxes (device)."""
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = (packed[..., None] >> shifts) & jnp.uint8(1)
+    thresholded = bits.reshape(packed.shape[0], 128, 128) != 0
+    # Re-express as HU so the (Pallas or XLA) bodymask kernels run unchanged:
+    # body ↦ 0 (> −500), background ↦ −1024.
+    smalls = jnp.where(thresholded, jnp.int16(0), jnp.int16(-1024))
+    masks = _bodymasks_batch(smalls, use_pallas)
+    return jax.vmap(lambda m: _box_from_mask(shape, m))(masks)
+
+
+def _crop_resize_normalize_scipy(
+    volume: np.ndarray, boxes: np.ndarray, resolution: Tuple[int, int]
+) -> np.ndarray:
+    """scipy fallback for the host resample+normalize stage (bit-identical to
+    transforms/host_pipeline: clip → crop → zoom order=1 → window/scale)."""
+    from scipy import ndimage
+
+    clipped = np.clip(volume, HU_LO, HU_HI)
+    out = np.empty((volume.shape[0],) + tuple(resolution), dtype=np.float32)
+    target = np.asarray(resolution, dtype=np.float64)
+    for i, (r0, c0, r1, c1) in enumerate(boxes):
+        cropped = clipped[i, r0:r1, c0:c1]
+        resized = ndimage.zoom(cropped, target / np.asarray(cropped.shape), order=1)
+        resized = np.asarray(resized, dtype=np.float64)
+        resized[resized > HU_HI] = HU_HI
+        out[i] = (resized + 1024.0) / 1624.0
+    return out
+
+
+def crop_resize_normalize_host(
+    volume: np.ndarray, boxes: np.ndarray, resolution: Tuple[int, int]
+) -> np.ndarray:
+    """Fused host crop+resize+normalize: native C++ core, scipy fallback."""
+    from lungmask_tpu.ops import native
+
+    out = native.crop_resize_normalize(volume, boxes, resolution)
+    if out is None:
+        out = _crop_resize_normalize_scipy(volume, boxes, resolution)
+    return out
+
+
+def preprocess_hybrid(
+    volume: np.ndarray,
+    resolution: Tuple[int, int] = (256, 256),
+    compute_dtype=None,
+) -> Tuple[jnp.ndarray, np.ndarray]:
+    """Transfer-lean preprocessing (see module section above).
+
+    Returns:
+        normalized: (N, res, res) device array in [0, 1] — float32, or
+            ``compute_dtype`` when given (bf16 halves the upload; the host
+            cast is bit-identical to the device entry cast).
+        boxes: (N, 4) int32 numpy crop boxes.
+
+    The resample/normalize stage is the float64 host-oracle arithmetic, so
+    the output matches ``preprocessing="host"`` bit-for-bit (the boxes are
+    the device bodymask's, which are proven equal to the host's — see
+    tests/test_preprocess.py and tests/test_preprocess_hybrid.py).
+    """
+    n, h, w = volume.shape
+    if h < 128 or w < 128:
+        # The upzoom bbox mapping needs ≥128² slices; tiny slices take the
+        # resident-volume device path (the upload is small anyway).
+        normalized, boxes = preprocess(volume, resolution)
+        return normalized[:n], boxes
+    n_pad = pad_slices(n)
+    packed = pack_bodymask_bits(volume)
+    if n_pad != n:
+        packed = np.concatenate(
+            [packed, np.zeros((n_pad - n,) + packed.shape[1:], np.uint8)]
+        )
+    boxes = np.asarray(
+        _boxes_from_packed(
+            jnp.asarray(packed), (h, w), default_use_pallas()
+        )
+    )[:n]
+    normalized = crop_resize_normalize_host(volume, boxes, resolution)
+    if compute_dtype is not None and jnp.dtype(compute_dtype) != jnp.float32:
+        normalized = normalized.astype(compute_dtype)
+    return jnp.asarray(normalized), boxes
+
+
 _SHARDED_CACHE = {}
 
 
