@@ -19,9 +19,10 @@ Methodology notes:
   on this host's CPU (PyTorch f32, 1 thread, architecture-identical oracle,
   measured 2026-08-16: 0.493 slices/sec — mean of 3×20-slice batches taking
   35.3/44.3/42.1 s). Re-measure live with BENCH_TORCH=1.
-* End-to-end uses real R231 weights when cached, else synthetic weights
-  (identical FLOPs; postprocessing cost then reflects noise-like masks and is
-  reported separately per stage).
+* End-to-end uses real R231 weights when cached, else crafted
+  intensity-threshold weights (models/synthetic.py — identical architecture
+  and FLOPs, lung-like mask topology so the postprocessing stage does
+  representative work). Golden parity is only exercised with real weights.
 """
 
 
@@ -57,6 +58,12 @@ def measure_torch_baseline():
 
 
 def _synthetic_volume(n_slices: int) -> np.ndarray:
+    """Lung-like CT phantom whose HU values land in the threshold-model's
+    bands (models/synthetic.py): outside air + left lung ↦ class 2, right
+    lung + small body pockets ↦ class 1, soft tissue + vessels ↦ class 0.
+    Vessels inside the lungs and satellite pockets in the body give the
+    postprocessing stage realistic work (holes to fill, satellites to merge)
+    instead of the noise-like masks random weights produce."""
     h = w = 512
     rng = np.random.default_rng(0)
     vol = np.full((n_slices, h, w), -1000, dtype=np.int16)
@@ -64,10 +71,48 @@ def _synthetic_volume(n_slices: int) -> np.ndarray:
     body = ((yy - h / 2) / (h * 0.40)) ** 2 + ((xx - w / 2) / (w * 0.35)) ** 2 < 1
     lung_l = ((yy - h / 2) / (h * 0.2)) ** 2 + ((xx - w * 0.35) / (w * 0.12)) ** 2 < 1
     lung_r = ((yy - h / 2) / (h * 0.2)) ** 2 + ((xx - w * 0.65) / (w * 0.12)) ** 2 < 1
+    # 3-D-coherent structures: vessels are tubes drifting through the lungs,
+    # satellites are blobs spanning a contiguous slice range — like real
+    # anatomy/noise, they form tens (not hundreds) of 3-D components.
+    vessels = []  # (lung mask, y, x, radius, drift-phase)
+    for lung, cx in ((lung_l, 0.35), (lung_r, 0.65)):
+        for _ in range(6):
+            vessels.append(
+                (
+                    lung,
+                    float(rng.integers(h * 0.42, h * 0.58)),
+                    float(rng.integers(w * (cx - 0.06), w * (cx + 0.06))),
+                    int(rng.integers(2, 6)),
+                    float(rng.uniform(0, 2 * np.pi)),
+                )
+            )
+    pockets = []  # (z0, z1, y, x, radius, HU)
+    for j in range(4):
+        z0 = int(rng.integers(0, max(1, n_slices - 4)))
+        pockets.append(
+            (
+                z0,
+                min(n_slices, z0 + int(rng.integers(4, 20))),
+                int(rng.integers(h * 0.25, h * 0.75)),
+                int(rng.integers(w * 0.2, w * 0.8)),
+                int(rng.integers(2, 5)),
+                -550 if j % 2 else -850,
+            )
+        )
     for i in range(n_slices):
         sl = vol[i]
         sl[body] = 40
-        sl[lung_l | lung_r] = -850
+        sl[lung_l] = -850  # deep-air band (class 2)
+        sl[lung_r] = -550  # moderate-air band (class 1)
+        for lung, vy, vx, r, phase in vessels:
+            cy_ = vy + 6 * np.sin(phase + i / 17.0)
+            cx_ = vx + 6 * np.cos(phase + i / 23.0)
+            disk = (yy - cy_) ** 2 + (xx - cx_) ** 2 < r * r
+            sl[disk & lung] = 40
+        for z0, z1, py, px, r, hu in pockets:
+            if z0 <= i < z1:
+                disk = (yy - py) ** 2 + (xx - px) ** 2 < r * r
+                sl[disk & body & ~lung_l & ~lung_r] = hu
         sl += rng.integers(-30, 30, size=sl.shape).astype(np.int16)
     return vol
 
@@ -80,8 +125,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from lungmask_tpu.models import registry, unet
-    from lungmask_tpu.runtime import enable_compile_cache, volume_argmax
+    from lungmask_tpu.models import registry
+    from lungmask_tpu.runtime import enable_compile_cache
 
     enable_compile_cache()
 
@@ -93,13 +138,16 @@ def main():
         params, _ = registry.get_model("R231")
         weights = "R231"
     except Exception:
-        params = unet.init_params(jax.random.PRNGKey(0), n_classes=3)
-        weights = "synthetic(R231-shaped)"
+        from lungmask_tpu.models import synthetic
+
+        params = synthetic.threshold_params(n_classes=3)
+        weights = "synthetic-threshold(R231-shaped)"
         print(
             "BENCH WARNING: real R231 weights unavailable (no egress; cache "
-            f"empty at {registry.cache_dir()}) — running with synthetic "
-            "weights. U-Net FLOPs identical; postprocess timing reflects "
-            "noise-like masks, golden parity NOT exercised.",
+            f"empty at {registry.cache_dir()}) — running with crafted "
+            "intensity-threshold weights (models/synthetic.py). U-Net FLOPs "
+            "identical and masks have realistic lung topology, but golden "
+            "parity is NOT exercised.",
             file=sys.stderr,
         )
 
@@ -125,17 +173,22 @@ def main():
         device,
     )
 
+    # Single-volume latency via the PRODUCTION path (UNetRunner.run_numpy:
+    # nibble-packed masks, two-way split with the first half's download
+    # overlapped against the second half's compute) — what one `apply` call
+    # actually experiences for the U-Net stage.
+    from lungmask_tpu.runtime.engine import UNetRunner
+
+    runner = UNetRunner(params, 3, batch_size=chunk, compute_dtype=jnp.bfloat16)
     t0 = time.perf_counter()
-    np.asarray(volume_argmax(params, vol_dev, chunk, jnp.bfloat16))
+    runner.run_numpy(vol_dev)
     compile_s = time.perf_counter() - t0
 
     reps = 2 if small else 3
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        # download forces completion (block_until_ready is unreliable on
-        # remote-attached backends)
-        np.asarray(volume_argmax(params, vol_dev, chunk, jnp.bfloat16))
+        runner.run_numpy(vol_dev)
         best = min(best, time.perf_counter() - t0)
     seq_slices_per_sec = n_slices / best
 
@@ -174,6 +227,15 @@ def main():
         e2e_s = time.perf_counter() - t0
         stages = {k: round(v, 3) for k, v in inferer.timings.summary().items()}
 
+        # Cohort serving throughput: stream copies of the volume through the
+        # overlapped decode→device→finish pipeline (runtime/cohort.py) and
+        # report volumes/hour (BASELINE.json config 5, README serving claim).
+        from lungmask_tpu.runtime.cohort import run_cohort
+
+        cohort = run_cohort([e2e_vol] * (2 if small else 6), inferer)
+        cohort_vph = round(cohort.volumes_per_hour, 1)
+        cohort_errors = sum(1 for r in cohort.results if r.error)
+
     baseline = _TORCH_BASELINE_CONST
     if os.environ.get("BENCH_TORCH") == "1":
         baseline = measure_torch_baseline()
@@ -208,6 +270,10 @@ def main():
                     "e2e_first_call_s": round(e2e_first, 2),
                     "e2e_stage_seconds": stages,
                     "e2e_volume_shape": list(e2e_vol.shape),
+                    "e2e_preprocessing": inferer.preprocessing,
+                    "cohort_volumes_per_hour": cohort_vph,
+                    "cohort_size": len(cohort.results),
+                    "cohort_errors": cohort_errors,
                     "baseline": "reference torch-cpu-1thread on this host",
                     "baseline_slices_per_sec": baseline,
                     "link_upload_MBps": round(up_mbps, 1),

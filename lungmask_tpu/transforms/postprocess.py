@@ -136,14 +136,42 @@ def postprocessing(
     class_volume = class_of_comp[comp_map]
     class_volume[np.isin(class_volume, spare)] = 0
 
-    if class_volume.shape[0] == 1:
-        def fill_fn(x):
-            return cc_host.area_closing_binary(x[0], area_threshold=64)[None, :, :]
-    else:
-        fill_fn = cc_host.fill_holes_3d
-
     outmask = np.zeros(class_volume.shape, dtype=np.uint8)
+
+    if class_volume.shape[0] == 1:
+        # Single-slice volumes keep the literal per-class path: area_closing
+        # is defined on the full slice (a background component's area must be
+        # measured globally, so it cannot be windowed).
+        for i in np.unique(class_volume)[1:]:
+            largest = cc_host.keep_largest_connected_component(class_volume == i)
+            filled = cc_host.area_closing_binary(largest[0], area_threshold=64)
+            outmask[filled[None]] = i
+        return outmask
+
+    # One same-value labeling pass serves every class: the components of
+    # class i inside it are exactly the components of the binary mask
+    # ``class_volume == i`` (same connectivity, same raster ordering), so the
+    # reference's per-class largest-CC (ties → LAST maximal region,
+    # cc_host.keep_largest_connected_component) reduces to an area/label scan.
+    # Hole filling then runs on the champion's own bounding window — outside a
+    # component's bbox its binary mask is empty, so every window-border
+    # background voxel connects to the volume border through the empty
+    # exterior and window holes coincide with volume holes.
+    comp_final = cc_host.label(class_volume)
+    finals = cc_host.regionprops(comp_final, class_volume)
+    champion = {}  # class -> Region; ascending-label scan keeps the LAST max
+    for r in finals:
+        v = int(r.max_intensity)
+        cur = champion.get(v)
+        if cur is None or r.area >= cur.area:
+            champion[v] = r
+    nd = class_volume.ndim
     for i in np.unique(class_volume)[1:]:
-        outmask[fill_fn(cc_host.keep_largest_connected_component(class_volume == i))] = i
+        r = champion[int(i)]
+        window = tuple(
+            slice(int(a), int(b)) for a, b in zip(r.bbox[:nd], r.bbox[nd:])
+        )
+        filled = cc_host.fill_holes_3d(comp_final[window] == r.label)
+        outmask[window][filled] = i
 
     return outmask
