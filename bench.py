@@ -130,9 +130,11 @@ def main():
 
     enable_compile_cache()
 
+    from lungmask_tpu.runtime.engine import DEFAULT_CHUNK
+
     small = os.environ.get("BENCH_SMALL") == "1"
-    chunk = 20
-    n_slices = 80 if small else 320  # power-of-two chunk counts (engine buckets)
+    chunk = DEFAULT_CHUNK  # engine default (32); reference's bs=20 in extras
+    n_slices = 64 if small else 320  # exact chunk-bucket sizes (no padding)
 
     try:
         params, _ = registry.get_model("R231")
@@ -179,7 +181,7 @@ def main():
     # actually experiences for the U-Net stage.
     from lungmask_tpu.runtime.engine import UNetRunner
 
-    runner = UNetRunner(params, 3, batch_size=chunk, compute_dtype=jnp.bfloat16)
+    runner = UNetRunner(params, 3, compute_dtype=jnp.bfloat16)  # default chunk
     t0 = time.perf_counter()
     runner.run_numpy(vol_dev)
     compile_s = time.perf_counter() - t0
@@ -192,19 +194,30 @@ def main():
         best = min(best, time.perf_counter() - t0)
     seq_slices_per_sec = n_slices / best
 
+    # Reference-comparable configuration (BASELINE.json: bs=20).
+    runner20 = UNetRunner(params, 3, batch_size=20, compute_dtype=jnp.bfloat16)
+    runner20.run_numpy(vol_dev)
+    best20 = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        runner20.run_numpy(vol_dev)
+        best20 = min(best20, time.perf_counter() - t0)
+    bs20_slices_per_sec = n_slices / best20
+
     # Steady-state serving throughput: a stream of volumes with downloads
-    # overlapped against the next volume's compute and masks nibble-packed on
-    # device (the engine's run_numpy path).
-    from lungmask_tpu.runtime.engine import unpack_nibbles, volume_argmax_packed
+    # overlapped against the next volume's compute and masks crumb-packed
+    # (2 bits/pixel) on device — the engine's production packing for
+    # ≤4-class models.
+    from lungmask_tpu.runtime.engine import unpack_crumbs, volume_argmax_packed2
 
     half = n_slices // 2
     streams = [vol_dev[:half], vol_dev[half:]] * (2 if small else 4)
-    np.asarray(volume_argmax_packed(params, streams[0], chunk, jnp.bfloat16))
+    np.asarray(volume_argmax_packed2(params, streams[0], chunk, jnp.bfloat16))
     best_pipe = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        outs = [volume_argmax_packed(params, v, chunk, jnp.bfloat16) for v in streams]
-        masks = [unpack_nibbles(np.asarray(o)) for o in outs]
+        outs = [volume_argmax_packed2(params, v, chunk, jnp.bfloat16) for v in streams]
+        masks = [unpack_crumbs(np.asarray(o)) for o in outs]
         best_pipe = min(best_pipe, time.perf_counter() - t0)
     slices_per_sec = half * len(streams) / best_pipe
 
@@ -217,15 +230,26 @@ def main():
     with tempfile.TemporaryDirectory() as td:
         wpath = os.path.join(td, "w.npz")
         convert.save_npz(wpath, jax.tree_util.tree_map(np.asarray, params))
-        inferer = LMInferer(modelpath=wpath, tqdm_disable=True, batch_size=chunk)
+        inferer = LMInferer(modelpath=wpath, tqdm_disable=True)
         t0 = time.perf_counter()
         inferer.apply(e2e_vol)
         e2e_first = time.perf_counter() - t0
-        inferer.timings.reset()
-        t0 = time.perf_counter()
-        inferer.apply(e2e_vol)
-        e2e_s = time.perf_counter() - t0
-        stages = {k: round(v, 3) for k, v in inferer.timings.summary().items()}
+        # Host CPU on this shared machine is noisy (same postprocess measured
+        # 1.1-4.1 s across runs at identical inputs); best-of-N is the
+        # low-noise latency estimate, the mean is reported alongside.
+        e2e_times, e2e_stages = [], []
+        for _ in range(2 if small else 3):
+            inferer.timings.reset()
+            t0 = time.perf_counter()
+            inferer.apply(e2e_vol)
+            e2e_times.append(time.perf_counter() - t0)
+            e2e_stages.append(inferer.timings.summary())
+        e2e_s = min(e2e_times)
+        e2e_mean = float(np.mean(e2e_times))
+        stages = {
+            k: round(v, 3)
+            for k, v in e2e_stages[int(np.argmin(e2e_times))].items()
+        }
 
         # Cohort serving throughput: stream copies of the volume through the
         # overlapped decode→device→finish pipeline (runtime/cohort.py) and
@@ -254,7 +278,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "CT slices/sec/chip (R231 @ 256^2, bs=20)",
+                "metric": "CT slices/sec/chip (R231 @ 256^2)",
                 "value": round(slices_per_sec, 1),
                 "unit": "slices/sec",
                 "vs_baseline": round(slices_per_sec / baseline, 1),
@@ -263,10 +287,15 @@ def main():
                     "device": str(device),
                     "weights": weights,
                     "native_postproc_core": native_core,
+                    "engine_chunk": chunk,
                     "unet_compile_s": round(compile_s, 2),
                     "single_volume_slices_per_sec": round(seq_slices_per_sec, 1),
+                    "single_volume_slices_per_sec_bs20": round(
+                        bs20_slices_per_sec, 1
+                    ),
                     "timed_region": "steady-state volume stream (dispatch per half-volume, downloads overlapped); single-dispatch-per-volume value in single_volume_slices_per_sec",
                     "e2e_sec_per_volume": round(e2e_s, 3),
+                    "e2e_sec_per_volume_mean": round(e2e_mean, 3),
                     "e2e_first_call_s": round(e2e_first, 2),
                     "e2e_stage_seconds": stages,
                     "e2e_volume_shape": list(e2e_vol.shape),

@@ -47,65 +47,116 @@ struct UnionFind {
 
 extern "C" {
 
-// Multi-class connected components.
+// Multi-class connected components, run-length union-find.
+//
+// Label volumes are highly run-compressible (a lung field is one run per
+// row), so rows compress into maximal same-value runs and all union work
+// happens between overlapping runs of adjacent rows — typically 50-100×
+// fewer union-find operations than the per-voxel formulation, with the
+// remaining O(voxels) work being two sequential passes (run extraction and
+// label fill).
+//
 //   img:  int32 volume (z*y*x), 0 = background
 //   out:  int32 labels, 0 background, 1..n in raster first-occurrence order
 // Returns n (number of components), or -1 on error.
+
+namespace {
+
+struct Run {
+  int32_t x0, x1;  // half-open
+  int32_t value;
+  int32_t prov;  // union-find provisional id
+};
+
+// Union a row's runs against a previously-visited row's runs (two-pointer
+// interval sweep). `slack` is 0 for axis connectivity, 1 for full
+// (diagonal) connectivity: intervals [x0-slack, x1+slack) must intersect.
+inline void unite_rows(UnionFind& uf, std::vector<Run>& runs,
+                       int64_t a0, int64_t a1, int64_t b0, int64_t b1,
+                       int32_t slack) {
+  int64_t j = b0;
+  for (int64_t i = a0; i < a1; ++i) {
+    const int32_t lo = runs[i].x0 - slack, hi = runs[i].x1 + slack;
+    while (j < b1 && runs[j].x1 <= lo) ++j;
+    for (int64_t k = j; k < b1 && runs[k].x0 < hi; ++k)
+      if (runs[k].value == runs[i].value) {
+        const int32_t ra = uf.find(runs[i].prov), rb = uf.find(runs[k].prov);
+        if (ra != rb) uf.unite(ra, rb);
+      }
+  }
+}
+
+}  // namespace
+
 int32_t lm_label(const int32_t* img, int64_t nz, int64_t ny, int64_t nx,
                  int32_t connectivity, int32_t* out) {
-  const int64_t sy = nx, sz = ny * nx, n = nz * sz;
+  const int64_t sy = nx, sz = ny * nx;
+  const bool full = connectivity != 1;
+  const int32_t slack = full ? 1 : 0;
   UnionFind uf;
-  std::vector<int32_t> prov(n, -1);
-
-  // Offsets to already-visited neighbors (negative raster offsets).
-  int odz[13], ody[13], odx[13];
-  int n_off = 0;
-  if (connectivity == 1) {
-    if (nz > 1) { odz[n_off] = -1; ody[n_off] = 0; odx[n_off] = 0; ++n_off; }
-    odz[n_off] = 0; ody[n_off] = -1; odx[n_off] = 0; ++n_off;
-    odz[n_off] = 0; ody[n_off] = 0; odx[n_off] = -1; ++n_off;
-  } else {
-    for (int dz = -1; dz <= 0; ++dz)
-      for (int dy = -1; dy <= 1; ++dy)
-        for (int dx = -1; dx <= 1; ++dx) {
-          if (dz == 0 && (dy > 0 || (dy == 0 && dx >= 0))) continue;
-          if (nz == 1 && dz != 0) continue;
-          odz[n_off] = dz; ody[n_off] = dy; odx[n_off] = dx; ++n_off;
-        }
-  }
+  std::vector<Run> runs;
+  runs.reserve(1 << 16);
+  // row_start[z*ny + y] .. row_start[z*ny + y + 1]: that row's runs.
+  std::vector<int64_t> row_start(nz * ny + 1, 0);
 
   for (int64_t z = 0; z < nz; ++z) {
     for (int64_t y = 0; y < ny; ++y) {
       const int64_t row = z * sz + y * sy;
-      for (int64_t x = 0; x < nx; ++x) {
-        const int64_t i = row + x;
-        const int32_t v = img[i];
-        if (v == 0) continue;
-        int32_t lbl = -1;
-        for (int k = 0; k < n_off; ++k) {
-          const int64_t zz = z + odz[k], yy = y + ody[k], xx = x + odx[k];
-          if (zz < 0 || yy < 0 || yy >= ny || xx < 0 || xx >= nx) continue;
-          const int64_t j = zz * sz + yy * sy + xx;
-          if (img[j] != v) continue;
-          const int32_t pl = prov[j];
-          if (lbl == -1) lbl = pl;
-          else if (pl != lbl) uf.unite(lbl, pl);
+      row_start[z * ny + y] = static_cast<int64_t>(runs.size());
+      // Extract maximal same-value runs; adjacent runs differ by
+      // construction, so within-row connectivity needs no unions.
+      for (int64_t x = 0; x < nx;) {
+        const int32_t v = img[row + x];
+        if (v == 0) { ++x; continue; }
+        int64_t e = x + 1;
+        while (e < nx && img[row + e] == v) ++e;
+        runs.push_back({static_cast<int32_t>(x), static_cast<int32_t>(e), v,
+                        uf.make()});
+        x = e;
+      }
+      const int64_t a0 = row_start[z * ny + y];
+      const int64_t a1 = static_cast<int64_t>(runs.size());
+      if (a1 == a0) continue;
+      if (y > 0) {  // (z, y-1)
+        const int64_t b0 = row_start[z * ny + y - 1];
+        unite_rows(uf, runs, a0, a1, b0, row_start[z * ny + y], slack);
+      }
+      if (z > 0) {  // (z-1, y) always; (z-1, y±1) for full connectivity
+        const int64_t ylo = full ? (y > 0 ? y - 1 : 0) : y;
+        const int64_t yhi = full ? (y + 1 < ny ? y + 1 : ny - 1) : y;
+        for (int64_t yy = ylo; yy <= yhi; ++yy) {
+          const int64_t b0 = row_start[(z - 1) * ny + yy];
+          const int64_t b1 = row_start[(z - 1) * ny + yy + 1];
+          unite_rows(uf, runs, a0, a1, b0, b1, slack);
         }
-        if (lbl == -1) lbl = uf.make();
-        prov[i] = lbl;
       }
     }
   }
+  row_start[nz * ny] = static_cast<int64_t>(runs.size());
 
-  // Resolve + renumber in raster first-occurrence order.
+  // Resolve + renumber in raster first-occurrence order (runs were created
+  // in raster order, so a run sweep visits first occurrences in order),
+  // then fill the output: zero it and paint each run with its final label.
   std::vector<int32_t> remap(uf.parent.size(), 0);
   int32_t next = 0;
-  for (int64_t i = 0; i < n; ++i) {
-    if (prov[i] < 0) { out[i] = 0; continue; }
-    const int32_t root = uf.find(prov[i]);
+  for (auto& r : runs) {
+    const int32_t root = uf.find(r.prov);
     if (remap[root] == 0) remap[root] = ++next;
-    out[i] = remap[root];
+    r.prov = remap[root];  // reuse the field for the final label
   }
+  std::memset(out, 0, sizeof(int32_t) * nz * sz);
+  int64_t ri = 0;
+  for (int64_t z = 0; z < nz; ++z)
+    for (int64_t y = 0; y < ny; ++y) {
+      const int64_t row = z * sz + y * sy;
+      const int64_t r1 = row_start[z * ny + y + 1];
+      for (; ri < r1; ++ri) {
+        const Run& r = runs[ri];
+        int32_t* dst = out + row + r.x0;
+        const int32_t lbl = r.prov;
+        for (int32_t x = r.x0; x < r.x1; ++x) *dst++ = lbl;
+      }
+    }
   return next;
 }
 
@@ -151,31 +202,77 @@ void lm_regionprops(const int32_t* labels, const int32_t* intensity,
 //   mask: uint8 in/out — holes (background unreachable from the border) are
 //   set to 1. Matches scipy.ndimage.binary_fill_holes' default structure /
 //   fill_voids.fill (/root/reference/lungmask/utils.py:352).
+//
+// Scanline span flood: whole maximal background runs are marked and queued
+// at once, so the queue holds O(runs) spans instead of O(voxels) positions.
+
+namespace {
+
+struct Span {
+  int32_t z, y, x0, x1;  // x half-open
+};
+
+}  // namespace
+
 void lm_fill_holes(uint8_t* mask, int64_t nz, int64_t ny, int64_t nx) {
   const int64_t sy = nx, sz = ny * nx, n = nz * sz;
   std::vector<uint8_t> reached(n, 0);
-  std::vector<int64_t> stack;
-  stack.reserve(1 << 16);
-  auto push = [&](int64_t z, int64_t y, int64_t x) {
-    const int64_t i = z * sz + y * sy + x;
-    if (!mask[i] && !reached[i]) { reached[i] = 1; stack.push_back(i); }
+  std::vector<Span> stack;
+  stack.reserve(1 << 12);
+
+  // Expand position x in row (z, y) to its maximal unreached-background run,
+  // mark it reached, and queue it.
+  auto seed = [&](int64_t z, int64_t y, int64_t x) {
+    const int64_t base = z * sz + y * sy;
+    if (mask[base + x] || reached[base + x]) return;
+    int64_t l = x, r = x + 1;
+    while (l > 0 && !mask[base + l - 1] && !reached[base + l - 1]) --l;
+    while (r < nx && !mask[base + r] && !reached[base + r]) ++r;
+    std::memset(reached.data() + base + l, 1, (size_t)(r - l));
+    stack.push_back({(int32_t)z, (int32_t)y, (int32_t)l, (int32_t)r});
   };
-  for (int64_t z = 0; z < nz; ++z)
-    for (int64_t y = 0; y < ny; ++y)
-      for (int64_t x = 0; x < nx; ++x)
-        if (z == 0 || z == nz - 1 || y == 0 || y == ny - 1 || x == 0 || x == nx - 1)
-          push(z, y, x);
-  while (!stack.empty()) {
-    const int64_t i = stack.back();
-    stack.pop_back();
-    const int64_t z = i / sz, y = (i % sz) / sy, x = i % sy;
-    if (z > 0) push(z - 1, y, x);
-    if (z < nz - 1) push(z + 1, y, x);
-    if (y > 0) push(z, y - 1, x);
-    if (y < ny - 1) push(z, y + 1, x);
-    if (x > 0) push(z, y, x - 1);
-    if (x < nx - 1) push(z, y, x + 1);
+
+  for (int64_t y = 0; y < ny; ++y)
+    for (int64_t x = 0; x < nx; ++x) {
+      seed(0, y, x);
+      seed(nz - 1, y, x);
+    }
+  for (int64_t z = 0; z < nz; ++z) {
+    for (int64_t x = 0; x < nx; ++x) {
+      seed(z, 0, x);
+      seed(z, ny - 1, x);
+    }
+    for (int64_t y = 0; y < ny; ++y) {
+      seed(z, y, 0);
+      seed(z, y, nx - 1);
+    }
   }
+
+  while (!stack.empty()) {
+    const Span s = stack.back();
+    stack.pop_back();
+    const int64_t nbrs[4][2] = {
+        {s.z, s.y - 1}, {s.z, s.y + 1}, {s.z - 1, s.y}, {s.z + 1, s.y}};
+    for (const auto& nb : nbrs) {
+      const int64_t z = nb[0], y = nb[1];
+      if (z < 0 || z >= nz || y < 0 || y >= ny) continue;
+      const int64_t base = z * sz + y * sy;
+      int64_t x = s.x0;
+      while (x < s.x1) {
+        if (!mask[base + x] && !reached[base + x]) {
+          int64_t l = x, r = x + 1;
+          while (l > 0 && !mask[base + l - 1] && !reached[base + l - 1]) --l;
+          while (r < nx && !mask[base + r] && !reached[base + r]) ++r;
+          std::memset(reached.data() + base + l, 1, (size_t)(r - l));
+          stack.push_back({(int32_t)z, (int32_t)y, (int32_t)l, (int32_t)r});
+          x = r;
+        } else {
+          ++x;
+        }
+      }
+    }
+  }
+
   for (int64_t i = 0; i < n; ++i)
     if (!mask[i] && !reached[i]) mask[i] = 1;
 }

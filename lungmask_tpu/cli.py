@@ -74,8 +74,9 @@ def main(argv=None) -> None:
         "--batchsize",
         type=int,
         help="slices per forward-pass batch; smaller values need less "
-        "accelerator memory at some speed cost",
-        default=20,
+        "accelerator memory at some speed cost (default: TPU-tuned 32; "
+        "the reference used 20)",
+        default=None,
     )
     parser.add_argument(
         "--noprogress",

@@ -45,7 +45,7 @@ class LMInferer:
         fillmodel: Optional[str] = None,
         fillmodel_path: Optional[str] = None,
         force_cpu: bool = False,
-        batch_size: int = 20,
+        batch_size: Optional[int] = None,
         volume_postprocessing: bool = True,
         tqdm_disable: bool = False,
         preprocessing: str = "hybrid",
@@ -63,8 +63,11 @@ class LMInferer:
             fillmodel / fillmodel_path: optional second model for the fused
                 FN-fill/FP-removal mode.
             force_cpu: run on the host CPU backend instead of the accelerator.
-            batch_size: slices per device batch. Defaults to 20 (reference
-                mask.py:79); larger values feed the MXU better on TPU.
+            batch_size: slices per device batch — the activation-memory knob,
+                honored exactly when set (the reference's default is 20,
+                mask.py:79). None (default) picks the TPU-tuned chunk
+                (runtime.engine.DEFAULT_CHUNK = 32, +16% MXU throughput over
+                20 at 256² on v5e).
             volume_postprocessing: connected-component cleanup toggle.
             tqdm_disable: disable progress output.
             preprocessing: 'hybrid' (default — device bodymask/boxes from a
@@ -298,23 +301,9 @@ class LMInferer:
         )
         with self.timings.stage("unet"):
             if same_cfg:
-                slices = jnp.asarray(normalized)
-                bsz = a.batch_size
-                n_chunks = max(1, -(-slices.shape[0] // bsz))
-                n_chunks = 1 << (n_chunks - 1).bit_length()
-                n_pad = n_chunks * bsz
-                if n_pad != slices.shape[0]:
-                    slices = jnp.concatenate(
-                        [
-                            slices,
-                            jnp.zeros(
-                                (n_pad - slices.shape[0],) + slices.shape[1:],
-                                slices.dtype,
-                            ),
-                        ]
-                    )
+                slices, _, _ = a._pad(jnp.asarray(normalized))
                 pa, pb = volume_argmax_pair(
-                    a.params, b.params, slices, bsz, a.compute_dtype
+                    a.params, b.params, slices, a.batch_size, a.compute_dtype
                 )
                 return np.asarray(pa)[:n], np.asarray(pb)[:n]
             pa = (

@@ -82,7 +82,9 @@ def _verify_sha(path: str, expected_prefix: Optional[str]) -> None:
 def _download(url: str, dest: str) -> None:
     logger.info(f"Downloading {url} -> {dest}")
     tmp = dest + ".part"
-    with urllib.request.urlopen(url) as r, open(tmp, "wb") as f:
+    # Bounded timeout: in egress-blocked environments the DNS/connect stall
+    # would otherwise block callers (e.g. bench.py) for minutes.
+    with urllib.request.urlopen(url, timeout=15) as r, open(tmp, "wb") as f:
         while True:
             chunk = r.read(1 << 20)
             if not chunk:

@@ -94,7 +94,7 @@ class ShardedUNetRunner:
         params,
         n_classes: int,
         mesh: Optional[Mesh] = None,
-        batch_size: int = 64,
+        batch_size: Optional[int] = 64,
         compute_dtype=jnp.float32,
     ):
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
@@ -105,8 +105,9 @@ class ShardedUNetRunner:
         self.n_classes = n_classes
         self.compute_dtype = compute_dtype
         ndata = self.mesh.devices.shape[0]
-        # batch must divide evenly over the data axis
-        self.batch_size = ((int(batch_size) + ndata - 1) // ndata) * ndata
+        # batch must divide evenly over the data axis (None = mesh default 64)
+        batch_size = 64 if batch_size is None else int(batch_size)
+        self.batch_size = ((batch_size + ndata - 1) // ndata) * ndata
         self._volume_step = make_sharded_volume_argmax(self.mesh, compute_dtype)
         self._volume_step_packed = make_sharded_volume_argmax(
             self.mesh, compute_dtype, packed=True
@@ -114,12 +115,13 @@ class ShardedUNetRunner:
         self._chunks_sh = NamedSharding(self.mesh, P(None, "data", "space", None))
 
     def _to_chunks(self, slices):
-        """Pad to a power-of-two chunk count and shard onto the mesh."""
+        """Pad to a bucketed chunk count and shard onto the mesh."""
+        from lungmask_tpu.runtime.engine import bucket_chunks
+
         slices = np.asarray(slices) if not isinstance(slices, jnp.ndarray) else slices
         n = slices.shape[0]
         b = self.batch_size
-        n_chunks = max(1, -(-n // b))
-        n_chunks = 1 << (n_chunks - 1).bit_length()
+        n_chunks = bucket_chunks(-(-n // b))
         n_pad = n_chunks * b
         if n_pad != n:
             pad = [(0, n_pad - n)] + [(0, 0)] * (slices.ndim - 1)

@@ -77,11 +77,35 @@ def volume_argmax_packed(params, vol: jnp.ndarray, chunk: int, compute_dtype) ->
     return pairs[..., 0] | (pairs[..., 1] << 4)
 
 
+@functools.partial(jax.jit, static_argnames=("chunk", "compute_dtype"))
+def volume_argmax_packed2(params, vol: jnp.ndarray, chunk: int, compute_dtype) -> jnp.ndarray:
+    """:func:`volume_argmax` crumb-packed: four 2-bit pixels per byte →
+    (M, H, W/4) uint8. Quarter-size mask transfer for ≤4-class models (R231
+    and R231CovidWeb have 3). Unpack with :func:`unpack_crumbs`."""
+    dense = volume_argmax(params, vol, chunk, compute_dtype)
+    m, h, w = dense.shape
+    quads = dense.reshape(m, h, w // 4, 4)
+    return (
+        quads[..., 0]
+        | (quads[..., 1] << 2)
+        | (quads[..., 2] << 4)
+        | (quads[..., 3] << 6)
+    )
+
+
 def unpack_nibbles(packed: np.ndarray) -> np.ndarray:
     """(M, H, W/2) uint8 nibble pairs → (M, H, W) uint8 class map (host)."""
     lo = packed & 0x0F
     hi = packed >> 4
     return np.stack([lo, hi], axis=-1).reshape(packed.shape[:-1] + (packed.shape[-1] * 2,))
+
+
+def unpack_crumbs(packed: np.ndarray) -> np.ndarray:
+    """(M, H, W/4) uint8 2-bit quads → (M, H, W) uint8 class map (host)."""
+    parts = [(packed >> s) & 0x03 for s in (0, 2, 4, 6)]
+    return np.stack(parts, axis=-1).reshape(
+        packed.shape[:-1] + (packed.shape[-1] * 4,)
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "compute_dtype"))
@@ -108,6 +132,42 @@ def volume_argmax_pair(
     return out_a.reshape(m, h, w), out_b.reshape(m, h, w)
 
 
+DEFAULT_CHUNK = 32  # measured MXU sweet spot on v5e (+16% over the
+# reference's batch 20 at 256²; 40/64 plateau at the same rate)
+
+
+def bucket_chunks(n_chunks: int) -> int:
+    """Smallest value ≥ n_chunks of the form {1,2,3,5}·2^k.
+
+    Each distinct ``lax.map`` length is a separate XLA program (compiles cost
+    tens of seconds on remote-attached TPUs), so slice counts pad up to a
+    small shape family. The 5-smooth family keeps the worst-case padding at
+    ~25% (the previous power-of-two family wasted up to 78% — e.g. a
+    192-slice volume at chunk 20 padded to 320).
+    """
+    n = max(1, int(n_chunks))
+    best = None
+    for base in (1, 2, 3, 5):
+        k = 0
+        while base << k < n:
+            k += 1
+        cand = base << k
+        if best is None or cand < best:
+            best = cand
+    return best
+
+
+def split_for_overlap(n_chunks: int) -> Tuple[int, int]:
+    """Split a bucketed chunk count into two family-sized parts (larger
+    first) so the first part's download overlaps the second's compute."""
+    if n_chunks < 2:
+        return n_chunks, 0
+    hi = -(-n_chunks // 2)
+    if bucket_chunks(hi) != hi:  # e.g. 5 → ceil 3 (+2), 3 → 2 (+1)
+        hi = bucket_chunks(hi)
+    return hi, n_chunks - hi
+
+
 class UNetRunner:
     """Holds device-resident parameters and the compiled volume forward."""
 
@@ -115,62 +175,67 @@ class UNetRunner:
         self,
         params,
         n_classes: int,
-        batch_size: int = 20,
+        batch_size=None,
         compute_dtype=jnp.float32,
     ):
+        """``batch_size=None`` (the default) picks the TPU-tuned chunk
+        (DEFAULT_CHUNK); an explicit value is honored exactly — it is the
+        user's activation-memory bound, like the reference's batch size
+        (/root/reference/lungmask/mask.py:79,173)."""
         self.params = _cast_kernels(
             jax.tree_util.tree_map(jnp.asarray, params), compute_dtype
         )
         self.n_classes = n_classes
-        self.batch_size = int(batch_size)
+        self.batch_size = DEFAULT_CHUNK if batch_size is None else int(batch_size)
         self.compute_dtype = compute_dtype
+
+    def _pad(self, slices: jnp.ndarray):
+        n = slices.shape[0]
+        b = self.batch_size
+        n_chunks = bucket_chunks(-(-n // b))
+        n_pad = n_chunks * b
+        if n_pad != n:
+            slices = jnp.concatenate(
+                [slices, jnp.zeros((n_pad - n,) + slices.shape[1:], slices.dtype)]
+            )
+        return slices, n, n_chunks
 
     def run(self, slices: jnp.ndarray) -> jnp.ndarray:
         """(N, H, W) normalized slices → (N, H, W) uint8 class map.
 
-        N pads up to a power-of-two number of chunks (zero slices, dropped
-        after) so arbitrary volume lengths hit a handful of compiled programs
-        — compilation is expensive on remote-attached TPUs, padded compute is
-        ~milliseconds. One device dispatch for the whole stack.
+        N pads up to a bucketed number of chunks (zero slices, dropped after;
+        see :func:`bucket_chunks`). One device dispatch for the whole stack.
         """
-        n = slices.shape[0]
-        b = self.batch_size
-        n_chunks = max(1, -(-n // b))
-        n_chunks = 1 << (n_chunks - 1).bit_length()  # next power of two
-        n_pad = n_chunks * b
-        if n_pad != n:
-            slices = jnp.concatenate(
-                [slices, jnp.zeros((n_pad - n,) + slices.shape[1:], slices.dtype)]
-            )
-        return volume_argmax(self.params, slices, b, self.compute_dtype)[:n]
+        slices, n, _ = self._pad(jnp.asarray(slices))
+        return volume_argmax(self.params, slices, self.batch_size, self.compute_dtype)[:n]
+
+    def _packing(self, width: int):
+        if width % 4 == 0 and self.n_classes <= 4:
+            return volume_argmax_packed2, unpack_crumbs
+        if width % 2 == 0 and self.n_classes <= 16:
+            return volume_argmax_packed, unpack_nibbles
+        return volume_argmax, lambda x: x
 
     def run_numpy(self, slices) -> np.ndarray:
         """Like :func:`run` but fetches the result to the host with the
-        download overlapped against compute: the (power-of-two-padded) stack
-        splits into two half-size dispatches and the first half's download
-        runs while the second half executes (+~25% measured on the
-        tunnel-attached v5e). Halving stays within the same power-of-two shape
-        family, so no extra program shapes are introduced.
+        download overlapped against compute: the padded stack splits into two
+        family-sized dispatches and the first part's download runs while the
+        second part executes (+~25% measured on the tunnel-attached v5e).
+        Masks are bit-packed on device (2 bits/pixel for ≤4-class models,
+        4 bits for ≤16) — on this link the dense download costs as much as
+        the U-Net compute itself.
         """
-        slices = jnp.asarray(slices)
-        n = slices.shape[0]
+        slices, n, n_chunks = self._pad(jnp.asarray(slices))
         b = self.batch_size
-        n_chunks = max(1, -(-n // b))
-        n_chunks = 1 << (n_chunks - 1).bit_length()
-        n_pad = n_chunks * b
-        if n_pad != n:
-            slices = jnp.concatenate(
-                [slices, jnp.zeros((n_pad - n,) + slices.shape[1:], slices.dtype)]
-            )
-        packed_ok = slices.shape[2] % 2 == 0 and self.n_classes <= 16
-        fwd = volume_argmax_packed if packed_ok else volume_argmax
+        fwd, unpack = self._packing(slices.shape[2])
         if n_chunks < 2:
             out = np.asarray(fwd(self.params, slices, b, self.compute_dtype))
-            return (unpack_nibbles(out) if packed_ok else out)[:n]
-        half = n_pad // 2
-        o1 = fwd(self.params, slices[:half], b, self.compute_dtype)
-        o2 = fwd(self.params, slices[half:], b, self.compute_dtype)
+            return unpack(out)[:n]
+        h1, _ = split_for_overlap(n_chunks)
+        cut = h1 * b
+        o1 = fwd(self.params, slices[:cut], b, self.compute_dtype)
+        o2 = fwd(self.params, slices[cut:], b, self.compute_dtype)
         a1 = np.asarray(o1)
         a2 = np.asarray(o2)
         out = np.concatenate([a1, a2], axis=0)
-        return (unpack_nibbles(out) if packed_ok else out)[:n]
+        return unpack(out)[:n]

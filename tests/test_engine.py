@@ -1,0 +1,81 @@
+"""Unit tests for the batched U-Net execution engine (runtime/engine.py):
+shape bucketing, bit-packed mask transfers, and run/run_numpy agreement."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lungmask_tpu.models import unet
+from lungmask_tpu.runtime import engine
+
+
+def test_bucket_chunks_family():
+    # 5-smooth family {1,2,3,5}·2^k, smallest ≥ n
+    expected = {
+        1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 6, 7: 8, 8: 8, 9: 10, 10: 10,
+        11: 12, 12: 12, 13: 16, 16: 16, 17: 20, 20: 20, 21: 24, 24: 24,
+        25: 32, 33: 40,
+    }
+    for n, want in expected.items():
+        assert engine.bucket_chunks(n) == want, n
+    # padding waste bounded by ~25%
+    for n in range(1, 200):
+        assert engine.bucket_chunks(n) / n <= 1.34
+
+
+def test_split_for_overlap_parts_in_family():
+    for n in (2, 3, 4, 5, 6, 8, 10, 12, 16, 20, 24, 32):
+        h1, h2 = engine.split_for_overlap(n)
+        assert h1 + h2 == n and h1 >= h2 > 0
+        assert engine.bucket_chunks(h1) == h1
+        assert engine.bucket_chunks(h2) == h2
+    assert engine.split_for_overlap(1) == (1, 0)
+
+
+def test_pack_roundtrips(rng):
+    dense = rng.integers(0, 4, (3, 8, 16)).astype(np.uint8)
+    quads = dense.reshape(3, 8, 4, 4)
+    packed2 = (
+        quads[..., 0] | (quads[..., 1] << 2) | (quads[..., 2] << 4) | (quads[..., 3] << 6)
+    )
+    assert np.array_equal(engine.unpack_crumbs(packed2), dense)
+    dense16 = rng.integers(0, 16, (2, 4, 10)).astype(np.uint8)
+    pairs = dense16.reshape(2, 4, 5, 2)
+    packed4 = pairs[..., 0] | (pairs[..., 1] << 4)
+    assert np.array_equal(engine.unpack_nibbles(packed4), dense16)
+
+
+@pytest.fixture(scope="module")
+def small_runner():
+    params = unet.init_params(jax.random.PRNGKey(0), n_classes=3)
+    return engine.UNetRunner(params, 3, batch_size=2, compute_dtype=jnp.float32)
+
+
+@pytest.mark.parametrize("n", [1, 2, 5, 7, 11])
+def test_run_numpy_matches_run(small_runner, rng, n):
+    """run_numpy (split dispatches + bit-packed downloads) must agree exactly
+    with the single-dispatch dense path for every bucket/split shape."""
+    x = jnp.asarray(rng.uniform(0, 1, (n, 64, 64)).astype(np.float32))
+    dense = np.asarray(small_runner.run(x))
+    packed = small_runner.run_numpy(x)
+    assert packed.shape == (n, 64, 64)
+    assert np.array_equal(dense, packed)
+
+
+def test_default_chunk_when_batch_size_none():
+    params = unet.init_params(jax.random.PRNGKey(1), n_classes=3)
+    r = engine.UNetRunner(params, 3)
+    assert r.batch_size == engine.DEFAULT_CHUNK
+    r2 = engine.UNetRunner(params, 3, batch_size=7)
+    assert r2.batch_size == 7
+
+
+def test_packing_choice_by_classes():
+    params = unet.init_params(jax.random.PRNGKey(1), n_classes=3)
+    r3 = engine.UNetRunner(params, 3)
+    assert r3._packing(256)[0] is engine.volume_argmax_packed2
+    r6 = engine.UNetRunner(params, 6)
+    assert r6._packing(256)[0] is engine.volume_argmax_packed
+    assert r3._packing(255)[1]("x") == "x"  # odd width: dense passthrough
