@@ -305,6 +305,13 @@ def main():
                     "cohort_errors": cohort_errors,
                     "baseline": "reference torch-cpu-1thread on this host",
                     "baseline_slices_per_sec": baseline,
+                    # Roofline: the R231 U-Net costs ~96.2 GFLOP/slice at 256²
+                    # (2·HW·Cin·Cout·K² summed over all convs); v5e bf16 peak
+                    # is ~197 TFLOP/s.
+                    "unet_gflops_per_slice": 96.2,
+                    "mfu_vs_v5e_bf16_peak": round(
+                        slices_per_sec * 96.2e9 / 197e12, 3
+                    ),
                     "link_upload_MBps": round(up_mbps, 1),
                     "link_download_MBps": round(down_mbps, 1),
                 },

@@ -277,4 +277,32 @@ void lm_fill_holes(uint8_t* mask, int64_t nz, int64_t ny, int64_t nx) {
     if (!mask[i] && !reached[i]) mask[i] = 1;
 }
 
+// Expand bit-packed class maps (runtime/engine.py packs masks to 2 or 4 bits
+// per pixel on device to shrink the device→host download; the expansion back
+// to uint8 sits on the single-volume latency path). One 256-entry word-wide
+// LUT turns each packed byte into a 4- or 2-byte store at memory bandwidth.
+//   bits: 2 (4 pixels/byte, low crumb first) or 4 (2 pixels/byte, low nibble
+//   first). Returns 0 on success, -1 on unsupported bits.
+int32_t lm_unpack_bits(const uint8_t* packed, int64_t n_bytes, int32_t bits,
+                       uint8_t* out) {
+  if (bits == 2) {
+    uint32_t lut[256];
+    for (uint32_t v = 0; v < 256; ++v)
+      lut[v] = (v & 3u) | ((v >> 2 & 3u) << 8) | ((v >> 4 & 3u) << 16) |
+               ((v >> 6 & 3u) << 24);
+    for (int64_t i = 0; i < n_bytes; ++i)
+      std::memcpy(out + 4 * i, &lut[packed[i]], 4);
+    return 0;
+  }
+  if (bits == 4) {
+    uint16_t lut[256];
+    for (uint32_t v = 0; v < 256; ++v)
+      lut[v] = (uint16_t)((v & 15u) | ((v >> 4) << 8));
+    for (int64_t i = 0; i < n_bytes; ++i)
+      std::memcpy(out + 2 * i, &lut[packed[i]], 2);
+    return 0;
+  }
+  return -1;
+}
+
 }  // extern "C"

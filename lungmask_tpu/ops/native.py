@@ -81,6 +81,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
     ]
     lib.lm_fill_holes.restype = None
     lib.lm_fill_holes.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
+    if hasattr(lib, "lm_unpack_bits"):
+        lib.lm_unpack_bits.restype = ctypes.c_int32
+        lib.lm_unpack_bits.argtypes = [u8p, ctypes.c_int64, ctypes.c_int32, u8p]
     if hasattr(lib, "lm_crop_resize_norm_i16"):
         i16p = ctypes.POINTER(ctypes.c_int16)
         f32p = ctypes.POINTER(ctypes.c_float)
@@ -172,6 +175,22 @@ def crop_resize_normalize(
         b.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         out_h, out_w,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out if rc == 0 else None
+
+
+def unpack_bits(packed: np.ndarray, bits: int) -> Optional[np.ndarray]:
+    """Expand 2- or 4-bit packed class maps along the last axis (see
+    runtime/engine.py). Returns None when the native core is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "lm_unpack_bits"):
+        return None
+    p = np.ascontiguousarray(packed, dtype=np.uint8)
+    per = 8 // bits
+    out = np.empty(p.shape[:-1] + (p.shape[-1] * per,), dtype=np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    rc = lib.lm_unpack_bits(
+        p.ctypes.data_as(u8p), p.size, bits, out.ctypes.data_as(u8p)
     )
     return out if rc == 0 else None
 

@@ -93,19 +93,36 @@ def volume_argmax_packed2(params, vol: jnp.ndarray, chunk: int, compute_dtype) -
     )
 
 
+# Byte → unpacked-pixels lookup tables: one vectorized gather per volume
+# beats per-bitfield shift+stack by ~3× on the host CPU (the unpack sits on
+# the single-volume latency path right after the overlapped downloads).
+_NIBBLE_LUT = np.stack(
+    [np.arange(256, dtype=np.uint8) & 0x0F, np.arange(256, dtype=np.uint8) >> 4],
+    axis=-1,
+)
+_CRUMB_LUT = np.stack(
+    [(np.arange(256, dtype=np.uint8) >> s) & 0x03 for s in (0, 2, 4, 6)], axis=-1
+)
+
+
 def unpack_nibbles(packed: np.ndarray) -> np.ndarray:
     """(M, H, W/2) uint8 nibble pairs → (M, H, W) uint8 class map (host)."""
-    lo = packed & 0x0F
-    hi = packed >> 4
-    return np.stack([lo, hi], axis=-1).reshape(packed.shape[:-1] + (packed.shape[-1] * 2,))
+    from lungmask_tpu.ops import native
+
+    out = native.unpack_bits(packed, 4)
+    if out is not None:
+        return out
+    return _NIBBLE_LUT[packed].reshape(packed.shape[:-1] + (packed.shape[-1] * 2,))
 
 
 def unpack_crumbs(packed: np.ndarray) -> np.ndarray:
     """(M, H, W/4) uint8 2-bit quads → (M, H, W) uint8 class map (host)."""
-    parts = [(packed >> s) & 0x03 for s in (0, 2, 4, 6)]
-    return np.stack(parts, axis=-1).reshape(
-        packed.shape[:-1] + (packed.shape[-1] * 4,)
-    )
+    from lungmask_tpu.ops import native
+
+    out = native.unpack_bits(packed, 2)
+    if out is not None:
+        return out
+    return _CRUMB_LUT[packed].reshape(packed.shape[:-1] + (packed.shape[-1] * 4,))
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "compute_dtype"))
@@ -157,15 +174,23 @@ def bucket_chunks(n_chunks: int) -> int:
     return best
 
 
-def split_for_overlap(n_chunks: int) -> Tuple[int, int]:
-    """Split a bucketed chunk count into two family-sized parts (larger
-    first) so the first part's download overlaps the second's compute."""
-    if n_chunks < 2:
-        return n_chunks, 0
-    hi = -(-n_chunks // 2)
-    if bucket_chunks(hi) != hi:  # e.g. 5 → ceil 3 (+2), 3 → 2 (+1)
-        hi = bucket_chunks(hi)
-    return hi, n_chunks - hi
+def split_parts(n_chunks: int):
+    """Decompose a chunk count into 2- and 3-chunk parts (one dispatch each)
+    so every part's download overlaps the later parts' compute.
+
+    Measured on the tunnel-attached v5e (320 slices, chunk 32): one dispatch
+    679 slices/s, two halves 800, 2-chunk parts 886 — the download and
+    dispatch tail hides behind compute once parts are small, while parts of
+    ≥2 chunks keep the per-dispatch overhead (~30 ms here) amortized. Only
+    three program shapes ({1,2,3} chunks) ever compile for the split path.
+    """
+    n = int(n_chunks)
+    if n <= 3:
+        return [n] if n else []
+    parts = [2] * (n // 2)
+    if n % 2:
+        parts[-1] = 3
+    return parts
 
 
 class UNetRunner:
@@ -217,25 +242,22 @@ class UNetRunner:
         return volume_argmax, lambda x: x
 
     def run_numpy(self, slices) -> np.ndarray:
-        """Like :func:`run` but fetches the result to the host with the
-        download overlapped against compute: the padded stack splits into two
-        family-sized dispatches and the first part's download runs while the
-        second part executes (+~25% measured on the tunnel-attached v5e).
-        Masks are bit-packed on device (2 bits/pixel for ≤4-class models,
-        4 bits for ≤16) — on this link the dense download costs as much as
-        the U-Net compute itself.
+        """Like :func:`run` but fetches the result to the host with downloads
+        overlapped against compute: the padded stack splits into 2-3-chunk
+        dispatches, all enqueued up front, fetched in order — each part's
+        download hides behind the later parts' compute (+30% over one
+        dispatch measured on the tunnel-attached v5e, see
+        :func:`split_parts`). Masks are bit-packed on device (2 bits/pixel
+        for ≤4-class models, 4 bits for ≤16) — dense downloads would cost as
+        much as the U-Net compute itself on this link.
         """
         slices, n, n_chunks = self._pad(jnp.asarray(slices))
         b = self.batch_size
         fwd, unpack = self._packing(slices.shape[2])
-        if n_chunks < 2:
-            out = np.asarray(fwd(self.params, slices, b, self.compute_dtype))
-            return unpack(out)[:n]
-        h1, _ = split_for_overlap(n_chunks)
-        cut = h1 * b
-        o1 = fwd(self.params, slices[:cut], b, self.compute_dtype)
-        o2 = fwd(self.params, slices[cut:], b, self.compute_dtype)
-        a1 = np.asarray(o1)
-        a2 = np.asarray(o2)
-        out = np.concatenate([a1, a2], axis=0)
+        outs = []
+        start = 0
+        for p in split_parts(n_chunks):
+            outs.append(fwd(self.params, slices[start : start + p * b], b, self.compute_dtype))
+            start += p * b
+        out = np.concatenate([np.asarray(o) for o in outs], axis=0)
         return unpack(out)[:n]

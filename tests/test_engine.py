@@ -25,13 +25,13 @@ def test_bucket_chunks_family():
         assert engine.bucket_chunks(n) / n <= 1.34
 
 
-def test_split_for_overlap_parts_in_family():
-    for n in (2, 3, 4, 5, 6, 8, 10, 12, 16, 20, 24, 32):
-        h1, h2 = engine.split_for_overlap(n)
-        assert h1 + h2 == n and h1 >= h2 > 0
-        assert engine.bucket_chunks(h1) == h1
-        assert engine.bucket_chunks(h2) == h2
-    assert engine.split_for_overlap(1) == (1, 0)
+def test_split_parts_cover_and_shapes():
+    for n in range(1, 64):
+        parts = engine.split_parts(n)
+        assert sum(parts) == n
+        assert all(p in (1, 2, 3) for p in parts)
+        assert parts.count(1) == (1 if n == 1 else 0)
+    assert engine.split_parts(0) == []
 
 
 def test_pack_roundtrips(rng):
