@@ -14,6 +14,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <utility>
+#include <vector>
 
 extern "C" {
 
@@ -291,6 +293,364 @@ int lm_jpegll_decode(const uint8_t* src, int64_t n, uint16_t* out,
   *rows_out = rows;
   *cols_out = cols;
   *prec_out = prec;
+  return 0;
+}
+
+}  // extern "C"
+
+// --- JPEG-LS (ITU-T T.87 / ISO 14495-1) --------------------------------------
+//
+// From-scratch LOCO-I decoder: regular mode (gradient-quantized contexts, MED
+// prediction, bias correction, limited-length Golomb) and run mode (J-table
+// run lengths, run-interruption contexts 365/366), lossless and near-lossless,
+// single component (CT is monochrome), LSE preset parameters honored.
+// Validated bit-for-bit against the CharLS reference implementation in
+// tests/test_codecs.py (CharLS encodes the fixtures; this decodes them).
+
+namespace jls {
+
+struct BitReader {
+  const uint8_t* d;
+  int64_t n, p = 0;
+  uint32_t cache = 0;
+  int32_t ncached = 0;
+  bool prev_ff = false;
+
+  explicit BitReader(const uint8_t* data, int64_t len) : d(data), n(len) {}
+
+  // Refill one byte honoring T.87 bit stuffing: a byte following 0xFF
+  // carries only 7 payload bits (MSB is a stuffed 0). 0xFF followed by a
+  // byte with MSB set is a marker — the scan is over; feed zero bits.
+  void refill() {
+    if (p >= n) {
+      cache <<= 8;
+      ncached += 8;
+      return;
+    }
+    const uint8_t b = d[p];
+    if (prev_ff) {
+      if (b & 0x80) {  // marker: stop consuming, feed zeros
+        cache <<= 8;
+        ncached += 8;
+        return;
+      }
+      ++p;
+      prev_ff = false;
+      cache = (cache << 7) | b;  // stuffed MSB dropped
+      ncached += 7;
+      return;
+    }
+    ++p;
+    prev_ff = (b == 0xFF);
+    cache = (cache << 8) | b;
+    ncached += 8;
+  }
+
+  int32_t bit() {
+    if (ncached == 0) refill();
+    --ncached;
+    return (cache >> ncached) & 1;
+  }
+
+  int32_t bits(int32_t k) {
+    int32_t v = 0;
+    for (int32_t i = 0; i < k; ++i) v = (v << 1) | bit();
+    return v;
+  }
+};
+
+constexpr int J[32] = {0, 0, 0, 0, 1, 1, 1, 1, 2, 2,  2,  2,  3,  3,  3,  3,
+                       4, 4, 5, 5, 6, 6, 7, 7, 8, 9, 10, 11, 12, 13, 14, 15};
+
+inline int32_t clamp3(int32_t v, int32_t lo, int32_t hi) {
+  return v < lo ? lo : (v > hi ? hi : v);
+}
+
+struct Decoder {
+  int32_t maxval, near, t1, t2, t3, reset;
+  int32_t range, qbpp, bpp, limit;
+  int32_t A[367], B[365], C[365], N[367], Nn[2];
+  int32_t run_index = 0;
+  BitReader* br = nullptr;
+
+  void init_params(int32_t precision, int32_t near_, int32_t maxval_,
+                   int32_t t1_, int32_t t2_, int32_t t3_, int32_t reset_) {
+    maxval = maxval_ > 0 ? maxval_ : (1 << precision) - 1;
+    near = near_;
+    // Default thresholds (T.87 C.2.4.1.1.1), overridable via LSE.
+    int32_t d1, d2, d3;
+    if (maxval >= 128) {
+      int32_t factor = (maxval < 4095 ? maxval : 4095) / 256 + 1;
+      // NOTE: spec formula uses FACTOR = floor((min(MAXVAL,4095)+128)/256)
+      factor = ((maxval < 4095 ? maxval : 4095) + 128) >> 8;
+      d1 = clamp3(factor * (3 - 2) + 2 + 3 * near, near + 1, maxval);
+      d2 = clamp3(factor * (7 - 3) + 3 + 5 * near, d1, maxval);
+      d3 = clamp3(factor * (21 - 4) + 4 + 7 * near, d2, maxval);
+    } else {
+      int32_t factor = 256 / (maxval + 1);
+      auto mx = [](int32_t a, int32_t b) { return a > b ? a : b; };
+      d1 = clamp3(mx(2, 3 / factor + 3 * near), near + 1, maxval);
+      d2 = clamp3(mx(3, 7 / factor + 5 * near), d1, maxval);
+      d3 = clamp3(mx(4, 21 / factor + 7 * near), d2, maxval);
+    }
+    t1 = t1_ > 0 ? t1_ : d1;
+    t2 = t2_ > 0 ? t2_ : d2;
+    t3 = t3_ > 0 ? t3_ : d3;
+    reset = reset_ > 0 ? reset_ : 64;
+
+    range = (maxval + 2 * near) / (2 * near + 1) + 1;
+    qbpp = 1;
+    while ((1 << qbpp) < range) ++qbpp;
+    bpp = 2;
+    while ((1 << bpp) < maxval + 1) ++bpp;
+    limit = 2 * (bpp + (bpp > 8 ? bpp : 8));
+
+    const int32_t a0 = ((range + 32) / 64) > 2 ? (range + 32) / 64 : 2;
+    for (int i = 0; i < 367; ++i) {
+      A[i] = a0;
+      N[i] = 1;
+    }
+    for (int i = 0; i < 365; ++i) B[i] = C[i] = 0;
+    Nn[0] = Nn[1] = 0;
+    run_index = 0;
+  }
+
+  static int32_t quantize(int32_t d, int32_t near, int32_t t1, int32_t t2,
+                          int32_t t3) {
+    if (d <= -t3) return -4;
+    if (d <= -t2) return -3;
+    if (d <= -t1) return -2;
+    if (d < -near) return -1;
+    if (d <= near) return 0;
+    if (d < t1) return 1;
+    if (d < t2) return 2;
+    if (d < t3) return 3;
+    return 4;
+  }
+
+  int32_t golomb(int32_t k, int32_t glimit) {
+    int32_t u = 0;
+    while (br->bit() == 0) {
+      if (++u > 64) return -1;  // corrupt stream guard
+    }
+    if (u < glimit - qbpp - 1) return (u << k) | br->bits(k);
+    return br->bits(qbpp) + 1;
+  }
+
+  int32_t mod_range(int64_t rx) const {
+    const int64_t span = (int64_t)range * (2 * near + 1);
+    if (rx < -near) rx += span;
+    else if (rx > maxval + near) rx -= span;
+    if (rx < 0) rx = 0;
+    if (rx > maxval) rx = maxval;
+    return (int32_t)rx;
+  }
+
+  // Regular-mode sample. q in [1,364] after sign folding; sign ∈ {+1,-1}.
+  int32_t regular(int32_t q, int32_t sign, int32_t ra, int32_t rb,
+                  int32_t rc, bool* err) {
+    // MED predictor
+    int32_t px;
+    const int32_t mn = ra < rb ? ra : rb, mx = ra > rb ? ra : rb;
+    if (rc >= mx) px = mn;
+    else if (rc <= mn) px = mx;
+    else px = ra + rb - rc;
+    px = clamp3(px + sign * C[q], 0, maxval);
+
+    int32_t k = 0;
+    while ((N[q] << k) < A[q] && k < 24) ++k;
+    const int32_t merr = golomb(k, limit);
+    if (merr < 0) { *err = true; return 0; }
+
+    int32_t errval;
+    if (near == 0 && k == 0 && 2 * B[q] <= -N[q]) {  // flipped mapping
+      errval = (merr & 1) ? (merr - 1) / 2 : -(merr / 2) - 1;
+    } else {
+      errval = (merr & 1) ? -(merr + 1) / 2 : merr / 2;
+    }
+
+    // Statistics update with the sign-normalized reduced error (A.6.1).
+    B[q] += errval * (2 * near + 1);
+    A[q] += errval < 0 ? -errval : errval;
+    if (N[q] == reset) {
+      A[q] >>= 1;
+      B[q] = B[q] >= 0 ? B[q] >> 1 : -((1 - B[q]) >> 1);
+      N[q] >>= 1;
+    }
+    ++N[q];
+    // Bias computation (A.6.2).
+    if (B[q] <= -N[q]) {
+      B[q] += N[q];
+      if (C[q] > -128) --C[q];
+      if (B[q] <= -N[q]) B[q] = -N[q] + 1;
+    } else if (B[q] > 0) {
+      B[q] -= N[q];
+      if (C[q] < 127) ++C[q];
+      if (B[q] > 0) B[q] = 0;
+    }
+
+    int64_t e = (int64_t)errval * (2 * near + 1);
+    if (sign < 0) e = -e;
+    return mod_range(px + e);
+  }
+
+  // Run-interruption sample (A.7.2).
+  int32_t interruption(int32_t ra, int32_t rb, bool* err) {
+    const int32_t abs_diff = ra > rb ? ra - rb : rb - ra;
+    const int32_t ritype = abs_diff <= near ? 1 : 0;
+    const int32_t q = 365 + ritype;
+    const int32_t px = ritype ? ra : rb;
+    // T.87 A.7.2: TEMP = A[366] + (N[366] >> 1) for RItype 1, A[365] for 0.
+    const int32_t temp = ritype ? A[366] + (N[366] >> 1) : A[365];
+    int32_t k = 0;
+    while ((N[q] << k) < temp && k < 24) ++k;
+    const int32_t em = golomb(k, limit - J[run_index] - 1);
+    if (em < 0) { *err = true; return 0; }
+
+    // Invert EMErrval = 2|e| - RItype - map: parity pins `map`, and the
+    // positive-map condition pins the sign (its negation is exactly the
+    // negative-map condition).
+    const int32_t map = (em + ritype) & 1;
+    const int32_t mag = (em + ritype + map) / 2;
+    const int32_t pos_map = (k == 0 && 2 * Nn[ritype] < N[q]) ? 1 : 0;
+    int32_t errval = (map == pos_map) ? mag : -mag;
+    if (mag == 0) errval = 0;
+
+    if (errval < 0) ++Nn[ritype];
+    A[q] += (em + 1 - ritype) >> 1;
+    if (N[q] == reset) {
+      A[q] >>= 1;
+      N[q] >>= 1;
+      Nn[ritype] >>= 1;
+    }
+    ++N[q];
+
+    int64_t e = (int64_t)errval * (2 * near + 1);
+    if (ritype == 0 && ra > rb) e = -e;  // SIGN flip (A.7.2, A.19)
+    return mod_range(px + e);
+  }
+};
+
+}  // namespace jls
+
+extern "C" {
+
+// Decode a single-component JPEG-LS codestream.
+//   src/n: codestream (SOI..EOI); out: row-major uint16 samples
+//   rows/cols/prec/near_out: parsed stream properties
+// Returns 0 on success; negative error codes otherwise.
+int32_t lm_jpegls_decode(const uint8_t* src, int64_t n, uint16_t* out,
+                         int64_t out_cap, int32_t* rows, int32_t* cols,
+                         int32_t* prec, int32_t* near_out) {
+  if (n < 4 || src[0] != 0xFF || src[1] != 0xD8) return -1;
+  int64_t p = 2;
+  int32_t precision = 0, h = 0, w = 0, ncomp = 0;
+  int32_t maxval = 0, t1 = 0, t2 = 0, t3 = 0, reset = 0;
+  int32_t near = 0;
+  int64_t scan_start = -1;
+  while (p + 4 <= n) {
+    if (src[p] != 0xFF) return -2;
+    const uint8_t m = src[p + 1];
+    if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7)) { p += 2; continue; }
+    if (m == 0xD9) break;
+    const int32_t seg = (src[p + 2] << 8) | src[p + 3];
+    if (p + 2 + seg > n) return -3;
+    const uint8_t* s = src + p + 4;
+    if (m == 0xF7) {  // SOF55
+      precision = s[0];
+      h = (s[1] << 8) | s[2];
+      w = (s[3] << 8) | s[4];
+      ncomp = s[5];
+    } else if (m == 0xF8) {  // LSE
+      if (s[0] == 1) {
+        maxval = (s[1] << 8) | s[2];
+        t1 = (s[3] << 8) | s[4];
+        t2 = (s[5] << 8) | s[6];
+        t3 = (s[7] << 8) | s[8];
+        reset = (s[9] << 8) | s[10];
+      }
+    } else if (m == 0xDD) {
+      return -4;  // restart intervals unsupported
+    } else if (m == 0xDA) {  // SOS
+      const int32_t ns = s[0];
+      if (ns != 1 || ncomp != 1) return -5;  // single component only
+      near = s[1 + 2 * ns];
+      const int32_t ilv = s[1 + 2 * ns + 1];
+      if (ilv != 0) return -6;
+      scan_start = p + 2 + seg;
+      break;
+    }
+    p += 2 + seg;
+  }
+  if (scan_start < 0 || precision < 2 || precision > 16 || h <= 0 || w <= 0)
+    return -7;
+  if ((int64_t)h * w > out_cap) return -8;
+
+  jls::Decoder dec;
+  dec.init_params(precision, near, maxval, t1, t2, t3, reset);
+  jls::BitReader br(src + scan_start, n - scan_start);
+  dec.br = &br;
+
+  std::vector<int32_t> prev(w + 2, 0), cur(w + 2, 0);
+  bool err = false;
+  for (int32_t y = 0; y < h; ++y) {
+    prev[w + 1] = prev[w];  // Rd at the last column equals Rb
+    cur[0] = prev[1];       // Ra at the first column equals Rb
+    int32_t x = 1;
+    while (x <= w) {
+      const int32_t ra = cur[x - 1], rb = prev[x], rc = prev[x - 1],
+                    rd = prev[x + 1];
+      const int32_t q1 = jls::Decoder::quantize(rd - rb, dec.near, dec.t1,
+                                                dec.t2, dec.t3);
+      const int32_t q2 = jls::Decoder::quantize(rb - rc, dec.near, dec.t1,
+                                                dec.t2, dec.t3);
+      const int32_t q3 = jls::Decoder::quantize(rc - ra, dec.near, dec.t1,
+                                                dec.t2, dec.t3);
+      if (q1 == 0 && q2 == 0 && q3 == 0) {
+        // Run mode (A.7): run of samples "equal" to Ra, then interruption.
+        bool line_done = false;
+        while (true) {
+          if (br.bit() == 1) {
+            const int32_t rm = 1 << jls::J[dec.run_index];
+            const int32_t take = rm < (w - x + 1) ? rm : (w - x + 1);
+            for (int32_t i = 0; i < take; ++i) cur[x++] = ra;
+            // A full 2^J run increments RUNindex even when it lands exactly
+            // on the end of the line (the encoder's while-loop did).
+            if (take == rm && dec.run_index < 31) ++dec.run_index;
+            if (x > w) { line_done = true; break; }
+          } else {
+            const int32_t jn = jls::J[dec.run_index];
+            const int32_t r = jn ? br.bits(jn) : 0;
+            for (int32_t i = 0; i < r && x <= w; ++i) cur[x++] = ra;
+            if (x > w) return -9;  // interruption sample must exist
+            cur[x] = dec.interruption(ra, prev[x], &err);
+            ++x;
+            if (dec.run_index > 0) --dec.run_index;
+            break;
+          }
+        }
+        if (line_done) break;
+        if (err) return -10;
+      } else {
+        int32_t q = 81 * q1 + 9 * q2 + q3;
+        int32_t sign = 1;
+        if (q < 0) { q = -q; sign = -1; }
+        cur[x] = dec.regular(q, sign, ra, rb, rc, &err);
+        if (err) return -10;
+        ++x;
+      }
+    }
+    uint16_t* row_out = out + (int64_t)y * w;
+    for (int32_t i = 0; i < w; ++i) row_out[i] = (uint16_t)cur[i + 1];
+    // After the swap, prev[0] is the old cur[0] — exactly "the value Ra had
+    // at the first sample of the previous line", which is the Rc edge value
+    // the next line needs (T.87 A.2.1).
+    std::swap(prev, cur);
+  }
+  *rows = h;
+  *cols = w;
+  *prec = precision;
+  *near_out = near;
   return 0;
 }
 

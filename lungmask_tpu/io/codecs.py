@@ -23,6 +23,8 @@ from lungmask_tpu.logger import logger
 RLE_LOSSLESS = "1.2.840.10008.1.2.5"
 JPEG_LOSSLESS_P14 = "1.2.840.10008.1.2.4.57"
 JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"
+JPEG_LS_LOSSLESS = "1.2.840.10008.1.2.4.80"
+JPEG_LS_NEAR_LOSSLESS = "1.2.840.10008.1.2.4.81"
 
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
@@ -37,8 +39,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         return _LIB
     _TRIED = True
     path = _OUT
-    if not os.path.exists(path):
-        src = os.path.abspath(_SRC)
+    src = os.path.abspath(_SRC)
+    stale = os.path.exists(path) and os.path.exists(src) and (
+        os.path.getmtime(src) > os.path.getmtime(path)
+    )
+    if not os.path.exists(path) or stale:
         if not os.path.exists(src):
             return None
         os.makedirs(_OUT_DIR, exist_ok=True)
@@ -66,6 +71,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.lm_jpegll_decode.restype = ctypes.c_int32
     lib.lm_jpegll_decode.argtypes = [u8p, ctypes.c_int64, u16p, ctypes.c_int64,
                                      i32p, i32p, i32p]
+    lib.lm_jpegls_decode.restype = ctypes.c_int32
+    lib.lm_jpegls_decode.argtypes = [u8p, ctypes.c_int64, u16p, ctypes.c_int64,
+                                     i32p, i32p, i32p, i32p]
     _LIB = lib
     return _LIB
 
@@ -233,6 +241,161 @@ def _peek_sof3_dims(data: bytes):
             raise ValueError("lossy/non-lossless JPEG process not supported")
         p += 2 + seg
     raise ValueError("no SOF3 marker found")
+
+
+# ---------------------------------------------------------------------------
+# JPEG-LS (ITU-T T.87) — from-scratch native decoder (csrc/dicom_codecs.cpp);
+# the system CharLS reference library (when present) serves as the fixture
+# encoder and the spec oracle in tests.
+# ---------------------------------------------------------------------------
+
+
+def jpegls_decode(data: bytes) -> np.ndarray:
+    """Decode a single-component JPEG-LS codestream → uint16 (rows, cols).
+
+    Lossless and near-lossless, LSE presets honored; validated bit-for-bit
+    against CharLS in tests/test_codecs.py."""
+    lib = get_lib()
+    if lib is None:
+        raise ValueError(
+            "JPEG-LS decode requires the native codec core "
+            "(csrc/dicom_codecs.cpp) and no compiler is available"
+        )
+    rows, cols = _peek_jpegls_dims(data)
+    src = np.frombuffer(data, dtype=np.uint8)
+    out = np.empty(rows * cols, dtype=np.uint16)
+    r = ctypes.c_int32()
+    c = ctypes.c_int32()
+    prec = ctypes.c_int32()
+    near = ctypes.c_int32()
+    rc = lib.lm_jpegls_decode(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        out.size,
+        ctypes.byref(r),
+        ctypes.byref(c),
+        ctypes.byref(prec),
+        ctypes.byref(near),
+    )
+    if rc != 0:
+        raise ValueError(f"JPEG-LS decode failed (rc={rc})")
+    return out.reshape(r.value, c.value)
+
+
+def _peek_jpegls_dims(data: bytes):
+    p = 2
+    while p + 4 <= len(data):
+        if data[p] != 0xFF:
+            raise ValueError("bad JPEG-LS marker stream")
+        m = data[p + 1]
+        if m == 0xD8 or 0xD0 <= m <= 0xD7:
+            p += 2
+            continue
+        seg = (data[p + 2] << 8) | data[p + 3]
+        if m == 0xF7:  # SOF55
+            rows = (data[p + 5] << 8) | data[p + 6]
+            cols = (data[p + 7] << 8) | data[p + 8]
+            return rows, cols
+        p += 2 + seg
+    raise ValueError("no SOF55 marker found")
+
+
+class _CharlsFrameInfo(ctypes.Structure):
+    _fields_ = [
+        ("width", ctypes.c_uint32),
+        ("height", ctypes.c_uint32),
+        ("bits_per_sample", ctypes.c_int32),
+        ("component_count", ctypes.c_int32),
+    ]
+
+
+_CHARLS: Optional[ctypes.CDLL] = None
+_CHARLS_TRIED = False
+
+
+def charls_lib() -> Optional[ctypes.CDLL]:
+    """The system CharLS reference implementation, if installed (test oracle
+    and fixture encoder — the product decode path never needs it)."""
+    global _CHARLS, _CHARLS_TRIED
+    if _CHARLS is not None or _CHARLS_TRIED:
+        return _CHARLS
+    _CHARLS_TRIED = True
+    for name in ("libcharls.so.2", "libCharLS.so.2", "libcharls.so"):
+        try:
+            lib = ctypes.CDLL(name)
+        except OSError:
+            continue
+        # 64-bit handles: the create() functions must not default to c_int.
+        lib.charls_jpegls_encoder_create.restype = ctypes.c_void_p
+        lib.charls_jpegls_decoder_create.restype = ctypes.c_void_p
+        _CHARLS = lib
+        return _CHARLS
+    return None
+
+
+def jpegls_encode(pixels: np.ndarray, precision: int = 16, near: int = 0) -> bytes:
+    """Encode (rows, cols) unsigned samples as JPEG-LS via system CharLS.
+
+    Fixture/writer encoder only. Raises when CharLS is not installed."""
+    lib = charls_lib()
+    if lib is None:
+        raise ValueError("JPEG-LS encoding requires the system CharLS library")
+    # CharLS sample width follows bits_per_sample: 1 byte ≤8 bits, else 2.
+    sample_dtype = np.uint8 if precision <= 8 else np.uint16
+    px = np.ascontiguousarray(pixels, dtype=sample_dtype)
+    rows, cols = px.shape
+    if int(px.max(initial=0)) >= (1 << precision):
+        raise ValueError("pixel exceeds declared precision")
+    enc = ctypes.c_void_p(lib.charls_jpegls_encoder_create())
+    try:
+        info = _CharlsFrameInfo(cols, rows, precision, 1)
+        if lib.charls_jpegls_encoder_set_frame_info(enc, ctypes.byref(info)):
+            raise ValueError("CharLS: set_frame_info failed")
+        if near and lib.charls_jpegls_encoder_set_near_lossless(enc, near):
+            raise ValueError("CharLS: set_near_lossless failed")
+        cap = ctypes.c_size_t(px.nbytes * 2 + 1024)
+        dest = (ctypes.c_uint8 * cap.value)()
+        if lib.charls_jpegls_encoder_set_destination_buffer(enc, dest, cap):
+            raise ValueError("CharLS: set_destination failed")
+        rc = lib.charls_jpegls_encoder_encode_from_buffer(
+            enc, px.ctypes.data_as(ctypes.c_void_p), ctypes.c_size_t(px.nbytes), 0
+        )
+        if rc:
+            raise ValueError(f"CharLS encode failed (rc={rc})")
+        written = ctypes.c_size_t()
+        lib.charls_jpegls_encoder_get_bytes_written(enc, ctypes.byref(written))
+        return bytes(bytearray(dest)[: written.value])
+    finally:
+        lib.charls_jpegls_encoder_destroy(enc)
+
+
+def charls_decode(data: bytes) -> np.ndarray:
+    """Decode via system CharLS (spec-oracle for tests). uint16 (rows, cols)."""
+    lib = charls_lib()
+    if lib is None:
+        raise ValueError("CharLS not installed")
+    dec = ctypes.c_void_p(lib.charls_jpegls_decoder_create())
+    try:
+        buf = np.frombuffer(data, dtype=np.uint8)
+        if lib.charls_jpegls_decoder_set_source_buffer(
+            dec, buf.ctypes.data_as(ctypes.c_void_p), ctypes.c_size_t(len(data))
+        ):
+            raise ValueError("CharLS: set_source failed")
+        if lib.charls_jpegls_decoder_read_header(dec):
+            raise ValueError("CharLS: read_header failed")
+        info = _CharlsFrameInfo()
+        lib.charls_jpegls_decoder_get_frame_info(dec, ctypes.byref(info))
+        dtype = np.uint8 if info.bits_per_sample <= 8 else np.uint16
+        out = np.empty((info.height, info.width), dtype=dtype)
+        rc = lib.charls_jpegls_decoder_decode_to_buffer(
+            dec, out.ctypes.data_as(ctypes.c_void_p), ctypes.c_size_t(out.nbytes), 0
+        )
+        if rc:
+            raise ValueError(f"CharLS decode failed (rc={rc})")
+        return out.astype(np.uint16)
+    finally:
+        lib.charls_jpegls_decoder_destroy(dec)
 
 
 class _BitWriter:

@@ -5,9 +5,10 @@ Replaces the reference's pydicom header scanning + SimpleITK series decoding
 
 Supported transfer syntaxes: Implicit VR Little Endian (1.2.840.10008.1.2),
 Explicit VR Little Endian (1.2.840.10008.1.2.1), RLE Lossless
-(1.2.840.10008.1.2.5), and JPEG Lossless process 14 (1.2.840.10008.1.2.4.57
-and .70) — compressed frames decode through the native codec core
-(io/codecs.py). Remaining syntaxes raise a clear error.
+(1.2.840.10008.1.2.5), JPEG Lossless process 14 (1.2.840.10008.1.2.4.57
+and .70), and JPEG-LS lossless/near-lossless (1.2.840.10008.1.2.4.80/.81) —
+compressed frames decode through the native codec core (io/codecs.py).
+Remaining syntaxes raise a clear error.
 
 The reader exposes tags under ``"gggg|eeee"`` lowercase-hex keys (the
 SimpleITK key format the reference CLI's metadata propagation relies on,
@@ -36,7 +37,15 @@ EXPLICIT_VR_LE = "1.2.840.10008.1.2.1"
 RLE_LOSSLESS = "1.2.840.10008.1.2.5"
 JPEG_LOSSLESS_P14 = "1.2.840.10008.1.2.4.57"
 JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"
-_ENCAPSULATED = {RLE_LOSSLESS, JPEG_LOSSLESS_P14, JPEG_LOSSLESS_SV1}
+JPEG_LS_LOSSLESS = "1.2.840.10008.1.2.4.80"
+JPEG_LS_NEAR_LOSSLESS = "1.2.840.10008.1.2.4.81"
+_ENCAPSULATED = {
+    RLE_LOSSLESS,
+    JPEG_LOSSLESS_P14,
+    JPEG_LOSSLESS_SV1,
+    JPEG_LS_LOSSLESS,
+    JPEG_LS_NEAR_LOSSLESS,
+}
 CT_STORAGE_UID = "1.2.840.10008.5.1.4.1.1.2"
 
 # VRs whose explicit encoding uses a 2-byte reserved field + 4-byte length.
@@ -341,6 +350,14 @@ def _decode_encapsulated(
     data = b"".join(fragments)
     if transfer_syntax == RLE_LOSSLESS:
         samples = codecs.rle_decode_frame(data, rows * cols, bits_alloc // 8)
+    elif transfer_syntax in (JPEG_LS_LOSSLESS, JPEG_LS_NEAR_LOSSLESS):
+        decoded = codecs.jpegls_decode(data)
+        if decoded.shape != (rows, cols):
+            raise DicomError(
+                f"{path}: JPEG-LS frame is {decoded.shape}, header says "
+                f"({rows}, {cols})"
+            )
+        samples = decoded if bits_alloc == 16 else decoded.astype(np.uint8)
     else:  # JPEG Lossless (process 14 / SV1)
         decoded = codecs.jpegll_decode(data)
         if decoded.shape != (rows, cols):
@@ -421,7 +438,9 @@ def write_slice(
     series_uid = series_uid or generate_uid()
     study_uid = study_uid or generate_uid()
 
-    if transfer_syntax not in (EXPLICIT_VR_LE, RLE_LOSSLESS, JPEG_LOSSLESS_SV1):
+    if transfer_syntax not in (
+        EXPLICIT_VR_LE, RLE_LOSSLESS, JPEG_LOSSLESS_SV1, JPEG_LS_LOSSLESS
+    ):
         raise DicomError(f"writer does not support {transfer_syntax}")
 
     meta = b""
@@ -476,6 +495,8 @@ def write_slice(
 
         if transfer_syntax == RLE_LOSSLESS:
             frame = codecs.rle_encode_frame(pixels.view(np.uint16))
+        elif transfer_syntax == JPEG_LS_LOSSLESS:
+            frame = codecs.jpegls_encode(pixels.view(np.uint16), precision=16)
         else:
             frame = codecs.jpegll_encode(pixels.view(np.uint16), precision=16)
         if len(frame) % 2:

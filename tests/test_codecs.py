@@ -86,14 +86,80 @@ def test_jpegll_rejects_lossy():
 # ---------------------------------------------------------------------------
 # Full DICOM files
 # ---------------------------------------------------------------------------
+# JPEG-LS (ITU-T T.87): the from-scratch decoder is validated against the
+# system CharLS reference implementation (true spec compliance, not just
+# self-round-trips — CharLS encodes, we decode, outputs must be identical).
+# ---------------------------------------------------------------------------
+
+needs_jls = pytest.mark.skipif(
+    codecs.get_lib() is None or codecs.charls_lib() is None,
+    reason="needs the native codec core and system CharLS",
+)
+
+
+def _jls_image(rng, kind, bits, h=48, w=37):
+    maxv = (1 << bits) - 1
+    if kind == "random":
+        return rng.integers(0, maxv + 1, (h, w)).astype(np.uint16)
+    if kind == "runs":
+        vals = rng.integers(0, maxv + 1, 3)
+        img = vals[rng.integers(0, 3, (h, w))].astype(np.uint16)
+        img[:, : w // 2] = vals[0]
+        return img
+    if kind == "flat":
+        return np.full((h, w), maxv, np.uint16)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = (np.sin(yy / 9.0) * np.cos(xx / 13.0) * 0.5 + 0.5) * maxv * 0.7
+    img += rng.integers(0, max(2, maxv // 50), (h, w))
+    body = ((yy - h / 2) / (h * 0.4)) ** 2 + ((xx - w / 2) / (w * 0.35)) ** 2 < 1
+    img[~body] = 0
+    return np.clip(img, 0, maxv).astype(np.uint16)
+
+
+@needs_jls
+@pytest.mark.parametrize("bits", [2, 8, 12, 16])
+@pytest.mark.parametrize("kind", ["ct", "random", "runs", "flat"])
+def test_jpegls_matches_charls_oracle(rng, bits, kind):
+    img = _jls_image(rng, kind, bits)
+    enc = codecs.jpegls_encode(img, precision=bits)
+    mine = codecs.jpegls_decode(enc)
+    np.testing.assert_array_equal(mine, img)  # lossless
+    np.testing.assert_array_equal(mine, codecs.charls_decode(enc))
+
+
+@needs_jls
+def test_jpegls_near_lossless_matches_charls(rng):
+    img = _jls_image(rng, "ct", 12, h=64, w=64)
+    enc = codecs.jpegls_encode(img, precision=12, near=3)
+    mine = codecs.jpegls_decode(enc)
+    oracle = codecs.charls_decode(enc)
+    np.testing.assert_array_equal(mine, oracle)
+    assert np.abs(mine.astype(int) - img.astype(int)).max() <= 3
+
+
+@needs_jls
+def test_jpegls_fuzz_small_shapes(rng):
+    for trial in range(60):
+        h = int(rng.integers(1, 10))
+        w = int(rng.integers(1, 24))
+        bits = int(rng.choice([2, 4, 8, 12, 16]))
+        img = _jls_image(rng, ["random", "runs", "flat"][trial % 3], bits, h, w)
+        enc = codecs.jpegls_encode(img, precision=bits)
+        np.testing.assert_array_equal(codecs.jpegls_decode(enc), img)
+
+
+# ---------------------------------------------------------------------------
 
 
 @pytest.mark.parametrize(
-    "syntax", [dicom.RLE_LOSSLESS, dicom.JPEG_LOSSLESS_SV1]
+    "syntax",
+    [dicom.RLE_LOSSLESS, dicom.JPEG_LOSSLESS_SV1, dicom.JPEG_LS_LOSSLESS],
 )
 def test_compressed_dicom_roundtrip(tmp_path, ct_slice, syntax):
-    if syntax == dicom.JPEG_LOSSLESS_SV1 and codecs.get_lib() is None:
+    if syntax != dicom.RLE_LOSSLESS and codecs.get_lib() is None:
         pytest.skip("native codec core unavailable")
+    if syntax == dicom.JPEG_LS_LOSSLESS and codecs.charls_lib() is None:
+        pytest.skip("JPEG-LS fixture encoding needs system CharLS")
     p = str(tmp_path / "c.dcm")
     dicom.write_slice(p, ct_slice, transfer_syntax=syntax)
     parsed = dicom.read_file(p)
@@ -119,6 +185,8 @@ def test_mixed_syntax_series(tmp_path, ct_slice):
     syntaxes = [dicom.EXPLICIT_VR_LE, dicom.RLE_LOSSLESS, dicom.JPEG_LOSSLESS_SV1]
     if codecs.get_lib() is None:
         syntaxes[2] = dicom.RLE_LOSSLESS
+    elif codecs.charls_lib() is not None:
+        syntaxes.append(dicom.JPEG_LS_LOSSLESS)
     for i, ts in enumerate(syntaxes):
         dicom.write_slice(
             str(tmp_path / f"{i}.dcm"),
@@ -131,8 +199,8 @@ def test_mixed_syntax_series(tmp_path, ct_slice):
     vols = loader.read_dicoms(str(tmp_path), disable_tqdm=True)
     assert len(vols) == 1
     arr = vols[0].array
-    assert arr.shape == (3,) + ct_slice.shape
-    for i in range(3):
+    assert arr.shape == (len(syntaxes),) + ct_slice.shape
+    for i in range(len(syntaxes)):
         np.testing.assert_array_equal(arr[i], ct_slice + i)
 
 
