@@ -123,6 +123,7 @@ _READERS = {
     ".mha": mha.read,
     ".mhd": mha.read,
     ".nrrd": nrrd.read,
+    ".nhdr": nrrd.read,
     ".hdr": _read_hdr_img,
     ".img": _read_hdr_img,
     ".img.gz": _read_hdr_img,
@@ -140,7 +141,7 @@ _WRITERS = {
 
 def _format_of(path: str) -> Optional[str]:
     lower = path.lower()
-    for ext in (".nii.gz", ".nii", ".mha", ".mhd", ".nrrd", ".img.gz", ".hdr", ".img"):
+    for ext in (".nii.gz", ".nii", ".mha", ".mhd", ".nrrd", ".nhdr", ".img.gz", ".hdr", ".img"):
         if lower.endswith(ext):
             return ext
     return None
@@ -229,7 +230,7 @@ def write_image(image: MedicalImage, path: str) -> None:
         write_dicom_series(image, path)
         return
     ext = _format_of(path)
-    if ext is None:
+    if ext is None or ext not in _WRITERS:
         raise ValueError(
             f"{path}: unsupported output format "
             "(supported: .nii, .nii.gz, .mha, .mhd, .nrrd, .dcm)"

@@ -1,6 +1,7 @@
 """NRRD reader/writer — further file-format parity with the reference's
 ITK-based I/O (/root/reference/lungmask/utils.py:247-249). Single-file NRRD
-(detached headers unsupported), raw or gzip encodings, little-endian.
+and detached headers (.nhdr with a ``data file`` field, optional ``byte
+skip``), raw or gzip encodings, little-endian.
 
 Geometry: NRRD ``space`` is declared as left-posterior-superior and the
 ``space directions`` rows are the (x, y, z) image-axis direction vectors
@@ -54,6 +55,8 @@ def read(path: str) -> MedicalImage:
     while pos < len(data):
         nl = data.find(b"\n", pos)
         if nl == -1:
+            header_lines.append(data[pos:].rstrip(b"\r").decode("ascii", "replace"))
+            pos = len(data)
             break
         line = data[pos:nl].rstrip(b"\r")
         if line == b"":
@@ -62,7 +65,10 @@ def read(path: str) -> MedicalImage:
         header_lines.append(line.decode("ascii", errors="replace"))
         pos = nl + 1
     if payload_start is None:
-        raise ValueError(f"{path}: NRRD header has no terminating blank line")
+        # Detached headers (.nhdr) may end without a blank line — the payload
+        # comes from the `data file` field then. A single-file NRRD missing
+        # its terminator still fails below with a truncated-payload error.
+        payload_start = len(data)
     header_lines = header_lines[1:]  # drop the NRRD magic line
     fields: Dict[str, str] = {}
     for line in header_lines:
@@ -76,6 +82,20 @@ def read(path: str) -> MedicalImage:
             continue
         fields[k.strip().lower()] = v.strip()
     payload = data[payload_start:]
+
+    datafile = fields.get("data file") or fields.get("datafile")
+    if datafile:
+        if any(ch in datafile for ch in "% "):  # printf-style multi-file list
+            raise ValueError(f"{path}: multi-file NRRD data lists not supported")
+        import os
+
+        with open(os.path.join(os.path.dirname(path) or ".", datafile), "rb") as df:
+            payload = df.read()
+        skip = int(fields.get("byte skip", fields.get("byteskip", "0")) or 0)
+        if skip > 0:
+            payload = payload[skip:]
+        # byte skip: -1 (raw only) means "take the payload from the tail";
+        # handled after the dtype/size fields are known, below.
 
     if int(fields.get("dimension", "3")) != 3:
         raise ValueError(f"{path}: only 3-D NRRD supported")
@@ -92,6 +112,11 @@ def read(path: str) -> MedicalImage:
         raise ValueError(f"{path}: unsupported NRRD encoding {encoding!r}")
 
     nx, ny, nz = sizes
+    need = nx * ny * nz * np.dtype(dtype).itemsize
+    if datafile and encoding == "raw" and fields.get("byte skip", "") == "-1":
+        payload = payload[-need:]
+    if len(payload) < need:
+        raise ValueError(f"{path}: NRRD payload truncated ({len(payload)} < {need})")
     arr = np.frombuffer(payload, dtype=dtype, count=nx * ny * nz).reshape(nz, ny, nx)
 
     direction = np.eye(3)

@@ -171,6 +171,37 @@ def test_nrrd_roundtrip(tmp_path, compressed, rng):
     np.testing.assert_allclose(back.direction, img.direction)
 
 
+@pytest.mark.parametrize("byte_skip", [0, 7, -1])
+def test_nrrd_detached_header(tmp_path, rng, byte_skip):
+    """ITK writes detached .nhdr + .raw pairs; the reader must follow the
+    ``data file`` field, honoring byte skip (incl. the raw-only -1 tail)."""
+    from lungmask_tpu.io import loader
+
+    arr = rng.integers(-1024, 600, size=(3, 6, 5)).astype(np.int16)
+    nz, ny, nx = arr.shape
+    prefix = b"\x55" * byte_skip if byte_skip > 0 else b"\x55" * 3
+    (tmp_path / "vol.raw").write_bytes(
+        (prefix if byte_skip != 0 else b"") + arr.tobytes()
+    )
+    header = "\n".join(
+        [
+            "NRRD0004",
+            "type: int16",
+            "dimension: 3",
+            f"sizes: {nx} {ny} {nz}",
+            "encoding: raw",
+            "endian: little",
+            "data file: vol.raw",
+        ]
+        + ([f"byte skip: {byte_skip}"] if byte_skip else [])
+    )
+    p = str(tmp_path / "vol.nhdr")
+    # Detached headers routinely end without a blank line — no terminator.
+    (tmp_path / "vol.nhdr").write_bytes(header.encode() + b"\n")
+    back = loader.load_input_image(p)
+    np.testing.assert_array_equal(back.array, arr)
+
+
 @pytest.mark.parametrize("compressed", [False, True])
 def test_mhd_detached_roundtrip(tmp_path, compressed, rng):
     arr = rng.integers(-500, 500, size=(3, 6, 5)).astype(np.int16)
