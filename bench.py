@@ -260,6 +260,25 @@ def main():
         cohort_vph = round(cohort.volumes_per_hour, 1)
         cohort_errors = sum(1 for r in cohort.results if r.error)
 
+        # Fused dual-model path (BASELINE config 4 — LTRCLobes_R231): both
+        # nets in one dispatch over shared preprocessing, three postprocessing
+        # passes (reference: "up to several minutes" extra, README.md:9).
+        from lungmask_tpu.models import synthetic as _synth
+
+        w6 = os.path.join(td, "w6.npz")
+        convert.save_npz(w6, _synth.threshold_params(n_classes=6))
+        fused = LMInferer(
+            modelname="LTRCLobes",
+            modelpath=w6,
+            fillmodel="R231",
+            fillmodel_path=wpath,
+            tqdm_disable=True,
+        )
+        fused.apply(e2e_vol)  # warm/compile
+        t0 = time.perf_counter()
+        fused.apply(e2e_vol)
+        fused_e2e_s = time.perf_counter() - t0
+
     baseline = _TORCH_BASELINE_CONST
     if os.environ.get("BENCH_TORCH") == "1":
         baseline = measure_torch_baseline()
@@ -303,6 +322,7 @@ def main():
                     "cohort_volumes_per_hour": cohort_vph,
                     "cohort_size": len(cohort.results),
                     "cohort_errors": cohort_errors,
+                    "fused_e2e_sec_per_volume": round(fused_e2e_s, 3),
                     "baseline": "reference torch-cpu-1thread on this host",
                     "baseline_slices_per_sec": baseline,
                     # Roofline: the R231 U-Net costs ~96.2 GFLOP/slice at 256²

@@ -5,7 +5,11 @@ from lungmask_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
-from lungmask_tpu.parallel.sharded import ShardedUNetRunner, make_sharded_argmax
+from lungmask_tpu.parallel.sharded import (
+    ShardedUNetRunner,
+    make_sharded_argmax,
+    make_sharded_postprocess,
+)
 
 __all__ = [
     "batch_sharding",
@@ -15,4 +19,5 @@ __all__ = [
     "shard_batch",
     "ShardedUNetRunner",
     "make_sharded_argmax",
+    "make_sharded_postprocess",
 ]

@@ -86,6 +86,36 @@ def make_sharded_volume_argmax(mesh: Mesh, compute_dtype=jnp.float32, packed=Fal
     return volume_step
 
 
+def make_sharded_postprocess(mesh: Mesh, n_classes: int):
+    """Compiled (N, H, W) uint8 class map → cleaned map, sharded over the mesh.
+
+    The SURVEY §5 'long-context analogue': 3-D postprocessing (connected
+    components, largest-CC selection, hole filling) on a volume that STAYS
+    sharded — slices over 'data', slice height over 'space'. The CC pass is
+    iterative min-label propagation + pointer jumping
+    (ops/cc.py); under ``jit`` with sharded in/out XLA's SPMD partitioner
+    turns the neighbor min-propagations into halo exchanges over ICI and the
+    pointer-jumping gathers into collectives — no hand-written communication
+    layer (the reference's postprocessing is a host-only Python loop,
+    /root/reference/lungmask/utils.py:344-357, with no parallel counterpart).
+
+    Semantics are :func:`lungmask_tpu.transforms.postprocess_device.
+    postprocess_device` (per-label largest-CC + hole fill; the sequential
+    neighbor-merge stays host-side — see that module's accuracy contract).
+    Output matches the single-device program bit-for-bit
+    (tests/test_parallel.py::test_sharded_postprocess_matches_single_device).
+    """
+    from lungmask_tpu.transforms.postprocess_device import postprocess_device
+
+    vol_sh = NamedSharding(mesh, P("data", "space", None))
+
+    @functools.partial(jax.jit, in_shardings=(vol_sh,), out_shardings=vol_sh)
+    def step(pred):
+        return postprocess_device(pred, n_classes)
+
+    return step
+
+
 class ShardedUNetRunner:
     """Mesh-parallel drop-in for runtime.engine.UNetRunner."""
 

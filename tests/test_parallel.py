@@ -98,6 +98,29 @@ def test_inferer_with_mesh(tmp_path, tiny_params):
     np.testing.assert_array_equal(sharded, single)
 
 
+def test_sharded_postprocess_matches_single_device():
+    """Device postprocessing on a mesh-sharded volume (components crossing
+    shard boundaries, holes, satellites) is bit-identical to single-device."""
+    from lungmask_tpu.parallel import make_sharded_postprocess
+    from lungmask_tpu.transforms.postprocess_device import postprocess_device
+
+    vol = np.zeros((16, 32, 32), dtype=np.uint8)
+    vol[2:14, 4:16, 4:16] = 1      # spans every 'data' shard boundary
+    vol[6:10, 8:12, 8:12] = 0      # interior hole → must fill
+    vol[1, 28:31, 28:31] = 1       # satellite → must vanish
+    vol[3:13, 18:30, 18:30] = 2
+    vol[5:8, 22:26, 22:26] = 0     # hole in class 2
+    vol[15, 1:3, 1:3] = 2          # satellite
+
+    single = np.asarray(postprocess_device(jnp.asarray(vol), 3))
+    mesh = make_mesh(n_devices=8, space=2)
+    step = make_sharded_postprocess(mesh, 3)
+    sharded = np.asarray(step(jnp.asarray(vol)))
+    np.testing.assert_array_equal(sharded, single)
+    assert single[8, 10, 10] == 1  # hole filled
+    assert single[1, 29, 29] == 0  # satellite removed
+
+
 def test_stage_timer():
     import time
 
