@@ -108,8 +108,13 @@ class DicomError(Exception):
 
 
 def _decode_pixels(tags: Dict[str, str], raw: bytes) -> np.ndarray:
+    """Native pixel data → int16/int32 array; (rows, cols) for single-frame
+    files, (frames, rows, cols) for multi-frame (Enhanced CT stores the whole
+    volume in one file — the reference reads those through
+    ``sitk.ImageFileReader``, /root/reference/lungmask/utils.py:247-249)."""
     rows = int(tags.get("0028|0010", "0"))
     cols = int(tags.get("0028|0011", "0"))
+    n_frames = int(tags.get("0028|0008", "1") or 1)
     bits_alloc = int(tags.get("0028|0100", "16"))
     bits_stored = int(tags.get("0028|0101", str(bits_alloc)) or bits_alloc)
     high_bit = int(tags.get("0028|0102", str(bits_stored - 1)) or (bits_stored - 1))
@@ -131,8 +136,15 @@ def _decode_pixels(tags: Dict[str, str], raw: bytes) -> np.ndarray:
         dtype = np.int8 if pixel_rep == 1 else np.uint8
     else:
         raise DicomError(f"BitsAllocated={bits_alloc} not supported")
-    n = rows * cols
-    arr = np.frombuffer(raw[: n * (bits_alloc // 8)], dtype=dtype).reshape(rows, cols)
+    n = rows * cols * n_frames
+    arr = np.frombuffer(raw[: n * (bits_alloc // 8)], dtype=dtype)
+    if arr.size < n:
+        raise DicomError(
+            f"pixel data truncated: {arr.size} samples for "
+            f"{n_frames}x{rows}x{cols}"
+        )
+    shape = (n_frames, rows, cols) if n_frames > 1 else (rows, cols)
+    arr = arr.reshape(shape)
     if bits_stored < bits_alloc:
         # Packed representation: the value occupies bits
         # [high_bit-bits_stored+1, high_bit]; align to the top of the cell and
@@ -293,8 +305,10 @@ def read_file(
                         f"{path}: undefined-length pixel data in an "
                         "uncompressed transfer syntax"
                     )
-                fragments, pos = _read_fragments(buf, voff)
-                pixels = _decode_encapsulated(tags, fragments, transfer_syntax, path)
+                fragments, frag_offsets, bot, pos = _read_fragments(buf, voff)
+                pixels = _decode_encapsulated(
+                    tags, fragments, frag_offsets, bot, transfer_syntax, path
+                )
                 continue
             pixels = _decode_pixels(tags, bytes(buf[voff : voff + vlen]))
             pos = voff + vlen
@@ -312,62 +326,107 @@ def read_file(
 
 
 def _read_fragments(buf: memoryview, pos: int):
-    """Parse encapsulated pixel-data items: Basic Offset Table (skipped) then
-    one or more fragments, ending at the sequence delimiter. Returns
-    (fragments, position after the delimiter)."""
+    """Parse encapsulated pixel-data items: Basic Offset Table then one or
+    more fragments, ending at the sequence delimiter. Returns
+    (fragments, fragment_offsets, bot, position after the delimiter) where
+    ``fragment_offsets`` are each fragment's item-header byte offset measured
+    from the end of the BOT item — the coordinate system the BOT's per-frame
+    offsets use (needed to group fragments into frames for multi-frame files)."""
     fragments: List[bytes] = []
+    frag_offsets: List[int] = []
+    bot: List[int] = []
     first = True
+    base = None
     while pos + 8 <= len(buf):
         group, elem = struct.unpack_from("<HH", buf, pos)
         (length,) = struct.unpack_from("<I", buf, pos + 4)
         pos += 8
         if (group, elem) == _TAG_SEQ_DELIM:
-            return fragments, pos
+            return fragments, frag_offsets, bot, pos
         if (group, elem) != _TAG_ITEM:
             raise DicomError("malformed encapsulated pixel data")
         if first:
-            first = False  # Basic Offset Table — unused (single-frame files)
+            first = False
+            if length and length % 4 == 0:
+                bot = list(struct.unpack_from(f"<{length // 4}I", buf, pos))
+            base = pos + length
         else:
+            frag_offsets.append(pos - 8 - base)
             fragments.append(bytes(buf[pos : pos + length]))
         pos += length
     raise DicomError("unterminated encapsulated pixel data")
 
 
+def _group_frames(
+    fragments: List[bytes],
+    frag_offsets: List[int],
+    bot: List[int],
+    n_frames: int,
+    path: str,
+) -> List[bytes]:
+    """Group pixel-data fragments into per-frame byte strings (PS3.5 A.4):
+    single frame → all fragments; otherwise one fragment per frame (the
+    common layout), or the Basic Offset Table maps frame starts."""
+    if n_frames == 1:
+        return [b"".join(fragments)]
+    if len(fragments) == n_frames:
+        return fragments
+    if bot and len(bot) == n_frames:
+        try:
+            starts = [frag_offsets.index(off) for off in bot]
+        except ValueError:
+            raise DicomError(
+                f"{path}: Basic Offset Table offsets do not align with "
+                "fragment boundaries"
+            )
+        ends = starts[1:] + [len(fragments)]
+        return [b"".join(fragments[s:e]) for s, e in zip(starts, ends)]
+    raise DicomError(
+        f"{path}: cannot split {len(fragments)} fragments into {n_frames} "
+        "frames (no usable Basic Offset Table)"
+    )
+
+
 def _decode_encapsulated(
-    tags: Dict[str, str], fragments: List[bytes], transfer_syntax: str, path: str
+    tags: Dict[str, str],
+    fragments: List[bytes],
+    frag_offsets: List[int],
+    bot: List[int],
+    transfer_syntax: str,
+    path: str,
 ) -> np.ndarray:
     from lungmask_tpu.io import codecs
 
     n_frames = int(tags.get("0028|0008", "1") or 1)
-    if n_frames != 1:
-        raise DicomError(
-            f"{path}: multi-frame encapsulated pixel data not supported "
-            "(CT series store one frame per file)"
-        )
     rows = int(tags.get("0028|0010", "0"))
     cols = int(tags.get("0028|0011", "0"))
     bits_alloc = int(tags.get("0028|0100", "16"))
-    data = b"".join(fragments)
-    if transfer_syntax == RLE_LOSSLESS:
-        samples = codecs.rle_decode_frame(data, rows * cols, bits_alloc // 8)
-    elif transfer_syntax in (JPEG_LS_LOSSLESS, JPEG_LS_NEAR_LOSSLESS):
-        decoded = codecs.jpegls_decode(data)
-        if decoded.shape != (rows, cols):
-            raise DicomError(
-                f"{path}: JPEG-LS frame is {decoded.shape}, header says "
-                f"({rows}, {cols})"
-            )
-        samples = decoded if bits_alloc == 16 else decoded.astype(np.uint8)
-    else:  # JPEG Lossless (process 14 / SV1)
-        decoded = codecs.jpegll_decode(data)
-        if decoded.shape != (rows, cols):
-            raise DicomError(
-                f"{path}: JPEG frame is {decoded.shape}, header says "
-                f"({rows}, {cols})"
-            )
-        samples = decoded if bits_alloc == 16 else decoded.astype(np.uint8)
-    # Route through the uncompressed path for photometric/sign/rescale rules.
-    return _decode_pixels(tags, np.ascontiguousarray(samples).tobytes())
+    frames = _group_frames(fragments, frag_offsets, bot, n_frames, path)
+
+    decoded_frames = []
+    for data in frames:
+        if transfer_syntax == RLE_LOSSLESS:
+            samples = codecs.rle_decode_frame(data, rows * cols, bits_alloc // 8)
+        elif transfer_syntax in (JPEG_LS_LOSSLESS, JPEG_LS_NEAR_LOSSLESS):
+            decoded = codecs.jpegls_decode(data)
+            if decoded.shape != (rows, cols):
+                raise DicomError(
+                    f"{path}: JPEG-LS frame is {decoded.shape}, header says "
+                    f"({rows}, {cols})"
+                )
+            samples = decoded if bits_alloc == 16 else decoded.astype(np.uint8)
+        else:  # JPEG Lossless (process 14 / SV1)
+            decoded = codecs.jpegll_decode(data)
+            if decoded.shape != (rows, cols):
+                raise DicomError(
+                    f"{path}: JPEG frame is {decoded.shape}, header says "
+                    f"({rows}, {cols})"
+                )
+            samples = decoded if bits_alloc == 16 else decoded.astype(np.uint8)
+        decoded_frames.append(np.ascontiguousarray(np.asarray(samples)))
+    # Route through the uncompressed path for photometric/sign/rescale rules
+    # (it reshapes to (frames, rows, cols) when NumberOfFrames > 1).
+    return _decode_pixels(tags, b"".join(f.tobytes() for f in decoded_frames))
 
 
 # ---------------------------------------------------------------------------
@@ -381,10 +440,11 @@ _VR_FOR_TAG = {
     (0x0008, 0x103E): b"LO",
     (0x0010, 0x0010): b"PN", (0x0010, 0x0020): b"LO", (0x0010, 0x0030): b"DA",
     (0x0010, 0x0040): b"CS",
-    (0x0018, 0x0050): b"DS", (0x0018, 0x5100): b"CS",
+    (0x0018, 0x0050): b"DS", (0x0018, 0x0088): b"DS", (0x0018, 0x5100): b"CS",
     (0x0020, 0x000D): b"UI", (0x0020, 0x000E): b"UI", (0x0020, 0x0010): b"SH",
     (0x0020, 0x0013): b"IS", (0x0020, 0x0032): b"DS", (0x0020, 0x0037): b"DS",
-    (0x0028, 0x0002): b"US", (0x0028, 0x0004): b"CS", (0x0028, 0x0010): b"US",
+    (0x0028, 0x0002): b"US", (0x0028, 0x0004): b"CS", (0x0028, 0x0008): b"IS",
+    (0x0028, 0x0010): b"US",
     (0x0028, 0x0011): b"US", (0x0028, 0x0030): b"DS", (0x0028, 0x0100): b"US",
     (0x0028, 0x0101): b"US", (0x0028, 0x0102): b"US", (0x0028, 0x0103): b"US",
     (0x0028, 0x1050): b"DS", (0x0028, 0x1051): b"DS", (0x0028, 0x1052): b"DS",
@@ -429,11 +489,19 @@ def write_slice(
     rescale: Tuple[float, float] = (1.0, 0.0),
     transfer_syntax: str = EXPLICIT_VR_LE,
 ) -> None:
-    """Write one int16 CT slice. ``transfer_syntax`` may be Explicit VR LE
+    """Write one int16 CT slice — or, for a 3-D ``pixels`` array, a
+    multi-frame (Enhanced-CT-style) file with NumberOfFrames and
+    SpacingBetweenSlices. ``transfer_syntax`` may be Explicit VR LE
     (default), RLE Lossless, or JPEG Lossless SV1 — the compressed forms are
     used to synthesize encapsulated test fixtures."""
     pixels = np.ascontiguousarray(pixels.astype(np.int16))
-    rows, cols = pixels.shape
+    if pixels.ndim == 3:
+        n_frames, rows, cols = pixels.shape
+        frames_arr = pixels
+    else:
+        n_frames = 1
+        rows, cols = pixels.shape
+        frames_arr = pixels[None]
     sop_uid = sop_uid or generate_uid()
     series_uid = series_uid or generate_uid()
     study_uid = study_uid or generate_uid()
@@ -478,6 +546,9 @@ def write_slice(
         (0x0028, 0x1052): f"{intercept}".encode(),
         (0x0028, 0x1053): f"{slope}".encode(),
     }
+    if n_frames > 1:
+        body_tags[(0x0028, 0x0008)] = str(n_frames).encode()
+        body_tags[(0x0018, 0x0088)] = f"{slice_thickness}".encode()
     for (g, e), v in (tags or {}).items():
         body_tags[(g, e)] = v
 
@@ -493,19 +564,33 @@ def write_slice(
     else:
         from lungmask_tpu.io import codecs
 
-        if transfer_syntax == RLE_LOSSLESS:
-            frame = codecs.rle_encode_frame(pixels.view(np.uint16))
-        elif transfer_syntax == JPEG_LS_LOSSLESS:
-            frame = codecs.jpegls_encode(pixels.view(np.uint16), precision=16)
-        else:
-            frame = codecs.jpegll_encode(pixels.view(np.uint16), precision=16)
-        if len(frame) % 2:
-            frame += b"\x00"
-        # OB, undefined length: empty Basic Offset Table item + one fragment.
+        encoded = []
+        for fr in frames_arr:
+            if transfer_syntax == RLE_LOSSLESS:
+                frame = codecs.rle_encode_frame(fr.view(np.uint16))
+            elif transfer_syntax == JPEG_LS_LOSSLESS:
+                frame = codecs.jpegls_encode(fr.view(np.uint16), precision=16)
+            else:
+                frame = codecs.jpegll_encode(fr.view(np.uint16), precision=16)
+            if len(frame) % 2:
+                frame += b"\x00"
+            encoded.append(frame)
+        # OB, undefined length: Basic Offset Table item (populated for
+        # multi-frame: per-frame offsets from the end of the BOT item,
+        # PS3.5 A.4) + one fragment per frame.
         body += struct.pack("<HH", 0x7FE0, 0x0010) + b"OB\x00\x00"
         body += struct.pack("<I", 0xFFFFFFFF)
-        body += struct.pack("<HHI", *_TAG_ITEM, 0)
-        body += struct.pack("<HHI", *_TAG_ITEM, len(frame)) + frame
+        if n_frames > 1:
+            offsets, off = [], 0
+            for frame in encoded:
+                offsets.append(off)
+                off += 8 + len(frame)
+            bot_payload = struct.pack(f"<{n_frames}I", *offsets)
+            body += struct.pack("<HHI", *_TAG_ITEM, len(bot_payload)) + bot_payload
+        else:
+            body += struct.pack("<HHI", *_TAG_ITEM, 0)
+        for frame in encoded:
+            body += struct.pack("<HHI", *_TAG_ITEM, len(frame)) + frame
         body += struct.pack("<HHI", *_TAG_SEQ_DELIM, 0)
 
     with open(path, "wb") as f:

@@ -46,14 +46,25 @@ def get_DICOM_tags_to_keep():
 def _volume_from_series(
     slices: List[dicom.DicomFile], read_metadata: bool = False
 ) -> MedicalImage:
-    """Assemble a z-sorted DICOM slice list into a MedicalImage."""
+    """Assemble a z-sorted DICOM slice list into a MedicalImage.
+
+    A single multi-frame file (Enhanced-CT-style, NumberOfFrames > 1) IS the
+    volume; mixing multi-frame and per-slice files in one series is refused."""
     arrays = []
     for hdr in slices:
         full = dicom.read_file(hdr.path)
         if full.pixels is None:
             raise dicom.DicomError(f"{hdr.path}: no pixel data")
         arrays.append(full.pixels)
-    vol = np.stack(arrays, axis=0)
+    if any(a.ndim == 3 for a in arrays):
+        if len(arrays) != 1:
+            raise dicom.DicomError(
+                f"{slices[0].path}: series mixes multi-frame and per-slice "
+                "files — not supported"
+            )
+        vol = arrays[0]
+    else:
+        vol = np.stack(arrays, axis=0)
 
     first = slices[0]
     ps = first.get("0028|0030", "1\\1").split("\\")
@@ -64,7 +75,9 @@ def _volume_from_series(
         sz = float(np.linalg.norm(dz_vec))
         zdir = dz_vec / sz if sz > 0 else np.array([0.0, 0.0, 1.0])
     else:
-        sz = float(first.get("0018|0050", "1") or 1)
+        # Multi-frame / single-slice: SpacingBetweenSlices wins over
+        # SliceThickness (frames are spaced, not necessarily contiguous).
+        sz = float(first.get("0018|0088", "") or first.get("0018|0050", "1") or 1)
         zdir = None
 
     iop = first.get("0020|0037", "1\\0\\0\\0\\1\\0").split("\\")

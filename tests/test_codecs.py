@@ -210,3 +210,65 @@ def test_stop_before_pixels_skips_decode(tmp_path, ct_slice):
     hdr = dicom.read_file(p, stop_before_pixels=True)
     assert hdr.pixels is None
     assert hdr.get("0028|0010") == str(ct_slice.shape[0])
+
+
+# ---------------------------------------------------------------------------
+# Multi-frame (Enhanced-CT-style: whole volume in one file — the reference
+# reads these via sitk.ImageFileReader, /root/reference/lungmask/utils.py:247)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ct_frames(ct_slice):
+    return np.stack([ct_slice + i for i in range(5)], axis=0)
+
+
+def test_multiframe_native_roundtrip(tmp_path, ct_frames):
+    p = str(tmp_path / "mf.dcm")
+    dicom.write_slice(p, ct_frames, slice_thickness=2.5)
+    parsed = dicom.read_file(p)
+    assert parsed.pixels.shape == ct_frames.shape
+    np.testing.assert_array_equal(parsed.pixels, ct_frames)
+    assert parsed.get("0028|0008") == "5"
+
+
+@pytest.mark.parametrize(
+    "syntax", [dicom.RLE_LOSSLESS, dicom.JPEG_LOSSLESS_SV1]
+)
+def test_multiframe_encapsulated_roundtrip(tmp_path, ct_frames, syntax):
+    """One fragment per frame + populated Basic Offset Table."""
+    if syntax != dicom.RLE_LOSSLESS and codecs.get_lib() is None:
+        pytest.skip("native codec core unavailable")
+    p = str(tmp_path / "mfc.dcm")
+    dicom.write_slice(p, ct_frames, transfer_syntax=syntax)
+    parsed = dicom.read_file(p)
+    np.testing.assert_array_equal(parsed.pixels, ct_frames)
+
+
+def test_multiframe_loader_single_file(tmp_path, ct_frames):
+    """load_input_image on a multi-frame file yields the whole volume with
+    SpacingBetweenSlices as the z spacing."""
+    from lungmask_tpu.io import loader
+
+    p = str(tmp_path / "mf.dcm")
+    dicom.write_slice(p, ct_frames, slice_thickness=2.5, spacing=(0.7, 0.8))
+    img = loader.load_input_image(p)
+    assert img.array.shape == ct_frames.shape
+    np.testing.assert_array_equal(img.array, ct_frames)
+    assert img.spacing[2] == pytest.approx(2.5)
+
+
+def test_multiframe_mixed_series_refused(tmp_path, ct_frames, ct_slice):
+    from lungmask_tpu.io import loader
+
+    suid, stuid = dicom.generate_uid(), dicom.generate_uid()
+    dicom.write_slice(
+        str(tmp_path / "a.dcm"), ct_frames, series_uid=suid, study_uid=stuid,
+        position=(0.0, 0.0, 0.0),
+    )
+    dicom.write_slice(
+        str(tmp_path / "b.dcm"), ct_slice, series_uid=suid, study_uid=stuid,
+        position=(0.0, 0.0, 50.0),
+    )
+    with pytest.raises(dicom.DicomError, match="multi-frame"):
+        loader.read_dicoms(str(tmp_path), disable_tqdm=True)
