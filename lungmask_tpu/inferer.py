@@ -99,6 +99,7 @@ class LMInferer:
         assert preprocessing in ("hybrid", "device", "host")
         assert postprocessing_mode in ("exact", "device")
         self.postprocessing_mode = postprocessing_mode
+        self._sharded_post = {}  # n_classes -> compiled mesh-sharded program
         enable_compile_cache()
 
         if modelpath is not None:
@@ -263,12 +264,8 @@ class LMInferer:
     ) -> np.ndarray:
         """Host finishing stages: postprocess (per mode) + paste-back."""
         if self.volume_postprocessing and self.postprocessing_mode == "device":
-            from lungmask_tpu.transforms.postprocess_device import postprocess_device
-
             with self.timings.stage("postprocess"):
-                outmask = np.asarray(
-                    postprocess_device(jnp.asarray(pred_np), n_classes)
-                )
+                outmask = self._device_postprocess(pred_np, n_classes)
         elif self.volume_postprocessing:
             with self.timings.stage("postprocess"):
                 outmask = postprocess.postprocessing(
@@ -285,6 +282,41 @@ class LMInferer:
         if bar is not None:
             bar.update(1)
         return out
+
+    def _device_postprocess(self, pred, n_classes: int) -> np.ndarray:
+        """Device-mode postprocessing; with a mesh the volume STAYS sharded
+        (slices over 'data', height over 'space') through the CC/hole-fill
+        program (parallel.make_sharded_postprocess) instead of gathering to
+        one device. Zero-slice padding to the data-axis multiple is
+        semantics-free: appended background extends the volume border, so
+        component structure and border-reachability (hole filling) of the
+        original slices are unchanged."""
+        from lungmask_tpu.transforms.postprocess_device import postprocess_device
+
+        if self.mesh is None:
+            return np.asarray(postprocess_device(jnp.asarray(pred), n_classes))
+        from lungmask_tpu.parallel import make_sharded_postprocess
+
+        step = self._sharded_post.get(n_classes)
+        if step is None:
+            step = make_sharded_postprocess(self.mesh, n_classes)
+            self._sharded_post[n_classes] = step
+        pred = jnp.asarray(pred)
+        n = pred.shape[0]
+        pad = -n % int(self.mesh.shape["data"])
+        if pad:
+            pred = jnp.concatenate(
+                [pred, jnp.zeros((pad,) + pred.shape[1:], pred.dtype)]
+            )
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        # The sliced U-Net output arrives committed with whatever sharding the
+        # slice left it in; reshard explicitly onto the program's layout.
+        pred = jax.device_put(
+            pred, NamedSharding(self.mesh, P("data", "space", None))
+        )
+        return np.asarray(step(pred))[:n]
 
     def _dual_forward(self, n, normalized):
         """Both models over the shared preprocessed stack — ONE device

@@ -121,6 +121,33 @@ def test_sharded_postprocess_matches_single_device():
     assert single[1, 29, 29] == 0  # satellite removed
 
 
+def test_inferer_mesh_device_postprocess(tmp_path):
+    """LMInferer(mesh=..., postprocessing_mode='device') — the fully sharded
+    pipeline (preprocess, U-Net, postprocess all on the mesh) — matches the
+    single-device device-mode output exactly."""
+    from lungmask_tpu import LMInferer
+    from lungmask_tpu.models import convert
+
+    params = unet.init_params(jax.random.PRNGKey(5), n_classes=3)
+    wpath = str(tmp_path / "w.npz")
+    convert.save_npz(wpath, params)
+
+    vol = np.full((3, 64, 64), -1000, dtype=np.int16)  # pads 3 -> 4 on 'data'
+    yy, xx = np.mgrid[0:64, 0:64]
+    vol[:, ((yy - 32) / 22.0) ** 2 + ((xx - 32) / 19.0) ** 2 < 1] = 40
+
+    mesh = make_mesh(n_devices=8, space=2)
+    sharded = LMInferer(
+        modelpath=wpath, tqdm_disable=True, batch_size=8, mesh=mesh,
+        postprocessing_mode="device",
+    ).apply(vol)
+    single = LMInferer(
+        modelpath=wpath, tqdm_disable=True, batch_size=8,
+        postprocessing_mode="device",
+    ).apply(vol)
+    np.testing.assert_array_equal(sharded, single)
+
+
 def test_stage_timer():
     import time
 
