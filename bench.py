@@ -327,7 +327,10 @@ def main():
                     "baseline_slices_per_sec": baseline,
                     # Roofline: the R231 U-Net costs ~96.2 GFLOP/slice at 256²
                     # (2·HW·Cin·Cout·K² summed over all convs); v5e bf16 peak
-                    # is ~197 TFLOP/s.
+                    # is ~197 TFLOP/s. Per-op device trace (FUTURE.md #2):
+                    # conv fusions are 50.6% of device time and run at ~100%
+                    # of the conv roofline; the rest is inherent VPU work
+                    # (resize/pool/argmax 39.5%, copies 8%).
                     "unet_gflops_per_slice": 96.2,
                     "mfu_vs_v5e_bf16_peak": round(
                         slices_per_sec * 96.2e9 / 197e12, 3
