@@ -163,3 +163,70 @@ def test_progress_bar_dicom_scan(tmp_path, capsys):
     assert "DICOM scan" in capsys.readouterr().err
     loader.read_dicoms(str(tmp_path), disable_tqdm=True)
     assert "DICOM scan" not in capsys.readouterr().err
+
+
+def _tilted_series(tmp_path, vol, row, col, step):
+    """Write a DICOM series with the given (possibly oblique) direction
+    cosines and per-slice position step."""
+    from lungmask_tpu.io import dicom
+
+    suid, stuid = dicom.generate_uid(), dicom.generate_uid()
+    for i, sl in enumerate(vol):
+        dicom.write_slice(
+            str(tmp_path / f"{i}.dcm"),
+            sl,
+            series_uid=suid,
+            study_uid=stuid,
+            position=tuple(np.asarray(step, np.float64) * i),
+            orientation=tuple(row) + tuple(col),
+            spacing=(0.8, 0.8),
+            slice_thickness=2.0,
+        )
+
+
+def test_oblique_gantry_tilt_series(tmp_path, weights3, testvol):
+    """Gantry-tilted acquisition (FUTURE r1 #7): column cosines tilted 5° off
+    axis while the table steps along patient z — a sheared, non-orthogonal
+    direction matrix. Dominant orientation is still LPS, so inference must
+    bypass reorientation and match numpy-mode output voxel-for-voxel
+    (reference: DICOMOrient no-ops when the closest code is already LPS,
+    /root/reference/lungmask/mask.py:156-164)."""
+    from lungmask_tpu.io import loader
+
+    c, s = np.cos(np.deg2rad(5)), np.sin(np.deg2rad(5))
+    _tilted_series(
+        tmp_path, testvol, row=(1, 0, 0), col=(0, c, s), step=(0, 0, 2.0)
+    )
+    img = loader.load_input_image(str(tmp_path))
+    np.testing.assert_allclose(
+        np.asarray(img.direction),
+        np.array([[1, 0, 0], [0, c, 0], [0, s, 1]]),
+        atol=1e-6,
+    )
+    assert img.orientation() == "LPS"
+    np.testing.assert_array_equal(img.array, testvol)
+
+    inferer = LMInferer(modelpath=weights3, tqdm_disable=True, batch_size=2)
+    np.testing.assert_array_equal(inferer.apply(img), inferer.apply(testvol))
+
+
+def test_oblique_non_lps_series_reorients(tmp_path, weights3, testvol):
+    """Oblique AND dominant-axis-flipped series: the loader keeps the true
+    (tilted) cosines, orientation_code picks the dominant code (non-LPS), and
+    apply() reorients to LPS for inference then restores the input axis
+    order."""
+    from lungmask_tpu.io import loader
+
+    c, s = np.cos(np.deg2rad(5)), np.sin(np.deg2rad(5))
+    _tilted_series(
+        tmp_path, testvol, row=(-1, 0, 0), col=(0, c, s), step=(0, 0, 2.0)
+    )
+    img = loader.load_input_image(str(tmp_path))
+    assert img.orientation() == "RPS"
+
+    inferer = LMInferer(modelpath=weights3, tqdm_disable=True, batch_size=2)
+    res = inferer.apply(img)
+    assert res.shape == testvol.shape
+    # LPS-space inference of the x-flipped volume, flipped back = res.
+    lps = inferer.apply(testvol[:, :, ::-1])
+    np.testing.assert_array_equal(res, lps[:, :, ::-1])
