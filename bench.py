@@ -275,9 +275,14 @@ def main():
             tqdm_disable=True,
         )
         fused.apply(e2e_vol)  # warm/compile
-        t0 = time.perf_counter()
-        fused.apply(e2e_vol)
-        fused_e2e_s = time.perf_counter() - t0
+        # Host postprocess stages wobble up to 10x on this shared box
+        # (measured: same input 1.7-27 s); best-of-2 like the other stages.
+        fused_times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fused.apply(e2e_vol)
+            fused_times.append(time.perf_counter() - t0)
+        fused_e2e_s = min(fused_times)
 
     baseline = _TORCH_BASELINE_CONST
     if os.environ.get("BENCH_TORCH") == "1":
