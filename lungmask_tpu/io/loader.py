@@ -130,6 +130,36 @@ def _write_analyze(image: MedicalImage, path: str) -> None:
     analyze.write(image, path)
 
 
+def _read_raster(path: str) -> MedicalImage:
+    """Raster images (png/jpg/bmp/tiff) as single-slice volumes — the
+    reference reads these through ``sitk.ImageFileReader`` like any other ITK
+    format (/root/reference/lungmask/utils.py:247-249), yielding raw stored
+    pixel values (no HU mapping; the ``--noHU`` path owns the 8-bit →
+    pseudo-HU window, io/nohu.py)."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        if im.mode in ("I", "I;16", "I;16B", "I;16L"):
+            arr = np.asarray(im, dtype=np.int32)
+        else:
+            arr = np.asarray(im.convert("L")).astype(np.int32)
+    dtype = np.int16 if arr.min() >= -(2**15) and arr.max() < 2**15 else np.int32
+    return MedicalImage(arr[None].astype(dtype))
+
+
+def _write_raster(image: MedicalImage, path: str) -> None:
+    from PIL import Image
+
+    arr = np.asarray(image.array)
+    if arr.ndim == 3:
+        if arr.shape[0] != 1:
+            raise ValueError(
+                f"{path}: raster formats hold one slice; got {arr.shape[0]}"
+            )
+        arr = arr[0]
+    Image.fromarray(arr.astype(np.uint8), mode="L").save(path)
+
+
 _READERS = {
     ".nii": nifti.read,
     ".nii.gz": nifti.read,
@@ -140,6 +170,12 @@ _READERS = {
     ".hdr": _read_hdr_img,
     ".img": _read_hdr_img,
     ".img.gz": _read_hdr_img,
+    ".png": _read_raster,
+    ".jpg": _read_raster,
+    ".jpeg": _read_raster,
+    ".bmp": _read_raster,
+    ".tif": _read_raster,
+    ".tiff": _read_raster,
 }
 _WRITERS = {
     ".nii": nifti.write,
@@ -149,12 +185,19 @@ _WRITERS = {
     ".nrrd": nrrd.write,
     ".hdr": _write_analyze,
     ".img": _write_analyze,
+    ".png": _write_raster,
+    ".bmp": _write_raster,
+    ".tif": _write_raster,
+    ".tiff": _write_raster,
 }
 
 
 def _format_of(path: str) -> Optional[str]:
     lower = path.lower()
-    for ext in (".nii.gz", ".nii", ".mha", ".mhd", ".nrrd", ".nhdr", ".img.gz", ".hdr", ".img"):
+    for ext in (
+        ".nii.gz", ".nii", ".mha", ".mhd", ".nrrd", ".nhdr", ".img.gz",
+        ".hdr", ".img", ".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff",
+    ):
         if lower.endswith(ext):
             return ext
     return None
@@ -245,7 +288,7 @@ def write_image(image: MedicalImage, path: str) -> None:
     ext = _format_of(path)
     if ext is None or ext not in _WRITERS:
         raise ValueError(
-            f"{path}: unsupported output format "
-            "(supported: .nii, .nii.gz, .mha, .mhd, .nrrd, .dcm)"
+            f"{path}: unsupported output format (supported: .nii, .nii.gz, "
+            ".mha, .mhd, .nrrd, .hdr/.img, .png/.bmp/.tif, .dcm)"
         )
     _WRITERS[ext](image, path)

@@ -559,3 +559,37 @@ def test_nifti_detached_pair(tmp_path, rng):
     (tmp_path / "v.img").write_bytes(bytes(data[352:]))
     back = loader.load_input_image(str(tmp_path / "v.hdr"))
     np.testing.assert_array_equal(back.array, arr)
+
+
+def test_raster_image_input(tmp_path):
+    """PNG/JPEG/BMP inputs load as single-slice volumes with raw stored
+    values (reference reads them via sitk.ImageFileReader,
+    /root/reference/lungmask/utils.py:247-249); 16-bit PNG keeps depth."""
+    from PIL import Image
+
+    from lungmask_tpu.io import loader
+
+    arr8 = (np.arange(64 * 48).reshape(48, 64) % 251).astype(np.uint8)
+    p8 = str(tmp_path / "s.png")
+    Image.fromarray(arr8, mode="L").save(p8)
+    img = loader.load_input_image(p8)
+    assert img.array.shape == (1, 48, 64)
+    np.testing.assert_array_equal(img.array[0], arr8)
+
+    arr16 = (np.arange(32 * 32).reshape(32, 32) * 40).astype(np.uint16)
+    p16 = str(tmp_path / "s16.png")
+    Image.fromarray(arr16).save(p16)
+    img16 = loader.load_input_image(p16)
+    np.testing.assert_array_equal(img16.array[0], arr16.astype(img16.array.dtype))
+
+    # round-trip a mask through the raster writer
+    from lungmask_tpu.io.image import MedicalImage
+
+    mask = (arr8 > 128).astype(np.uint8)[None]
+    out = str(tmp_path / "m.png")
+    loader.write_image(MedicalImage(mask), out)
+    back = loader.load_input_image(out)
+    np.testing.assert_array_equal(back.array, mask)
+
+    with pytest.raises(ValueError, match="one slice"):
+        loader.write_image(MedicalImage(np.zeros((2, 8, 8), np.uint8)), out)
