@@ -16,7 +16,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from lungmask_tpu.io import dicom, mha, nifti, nrrd
+from lungmask_tpu.io import dicom, gipl, mha, nifti, nrrd, vtk
 from lungmask_tpu.io.image import MedicalImage
 from lungmask_tpu.logger import logger
 
@@ -170,6 +170,8 @@ _READERS = {
     ".hdr": _read_hdr_img,
     ".img": _read_hdr_img,
     ".img.gz": _read_hdr_img,
+    ".vtk": vtk.read,
+    ".gipl": gipl.read,
     ".png": _read_raster,
     ".jpg": _read_raster,
     ".jpeg": _read_raster,
@@ -185,6 +187,8 @@ _WRITERS = {
     ".nrrd": nrrd.write,
     ".hdr": _write_analyze,
     ".img": _write_analyze,
+    ".vtk": vtk.write,
+    ".gipl": gipl.write,
     ".png": _write_raster,
     ".bmp": _write_raster,
     ".tif": _write_raster,
@@ -196,7 +200,8 @@ def _format_of(path: str) -> Optional[str]:
     lower = path.lower()
     for ext in (
         ".nii.gz", ".nii", ".mha", ".mhd", ".nrrd", ".nhdr", ".img.gz",
-        ".hdr", ".img", ".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff",
+        ".hdr", ".img", ".vtk", ".gipl", ".png", ".jpg", ".jpeg", ".bmp",
+        ".tif", ".tiff",
     ):
         if lower.endswith(ext):
             return ext

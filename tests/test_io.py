@@ -593,3 +593,44 @@ def test_raster_image_input(tmp_path):
 
     with pytest.raises(ValueError, match="one slice"):
         loader.write_image(MedicalImage(np.zeros((2, 8, 8), np.uint8)), out)
+
+
+@pytest.mark.parametrize("ext", ["vtk", "gipl"])
+def test_vtk_gipl_roundtrip(tmp_path, rng, ext):
+    """Legacy VTK structured points and GIPL (both ITK-supported formats)
+    round-trip voxels, spacing and origin; neither carries a direction."""
+    from lungmask_tpu.io import loader
+    from lungmask_tpu.io.image import MedicalImage
+
+    arr = rng.integers(-1024, 600, size=(4, 6, 5)).astype(np.int16)
+    img = MedicalImage(arr, spacing=(0.7, 0.8, 2.5), origin=(1.0, -2.0, 3.0))
+    p = str(tmp_path / f"v.{ext}")
+    loader.write_image(img, p)
+    back = loader.load_input_image(p)
+    np.testing.assert_array_equal(back.array, arr)
+    np.testing.assert_allclose(back.spacing, img.spacing, rtol=1e-6)
+    np.testing.assert_allclose(back.origin, img.origin, rtol=1e-6)
+
+    with pytest.raises(ValueError, match="direction"):
+        loader.write_image(
+            MedicalImage(arr, direction=np.diag([-1.0, 1.0, 1.0])), p
+        )
+
+
+def test_vtk_ascii_payload(tmp_path):
+    from lungmask_tpu.io import loader
+
+    arr = np.arange(2 * 3 * 4).reshape(2, 3, 4).astype(np.int16)
+    body = " ".join(str(v) for v in arr.ravel())
+    text = (
+        "# vtk DataFile Version 3.0\ntitle\nASCII\n"
+        "DATASET STRUCTURED_POINTS\nDIMENSIONS 4 3 2\nSPACING 1 1 2\n"
+        "ORIGIN 0 0 0\nPOINT_DATA 24\nSCALARS scalars short 1\n"
+        "LOOKUP_TABLE default\n" + body + "\n"
+    )
+    p = str(tmp_path / "a.vtk")
+    with open(p, "w") as f:
+        f.write(text)
+    back = loader.load_input_image(p)
+    np.testing.assert_array_equal(back.array, arr)
+    assert back.spacing == (1.0, 1.0, 2.0)
