@@ -10,13 +10,13 @@ Format (Guys Image Processing Lab, as implemented by itkGiplImageIO): a fixed
     8       2     image_type        (ushort; 8=uchar, 15=short, 16=ushort,
                                      31=uint, 32=int, 64=float, 65=double)
     10      16    pixdim[4]         (float ×4)
-    26      80    patient info      (ASCII, zero-padded)
-    106     12    matrix[3]? (float ×3, unused here)
-    118     1     flag1, 119 1 flag2
-    120     24    min/max           (double ×2)
-    144     24    origin[3]         (double ×3)
-    168     ...   pixval_offset/cal (floats), user_def
-    252     4     magic = 719555000 (0x2AE389B8) or the byte-swapped variant
+    26      80    line1             (ASCII patient info, zero-padded)
+    106     80    matrix[20]        (float ×20)
+    186     2     flag1, flag2
+    188     16    min, max          (double ×2)
+    204     32    origin[4]         (double ×4)
+    236     16    pixval_offset/cal, user_def1/2 (float ×4)
+    252     4     magic = 719555000 (0x2AE389B8)
 
 Payload: voxels in x-fastest order, BIG-endian. GIPL carries no direction
 matrix — identity on read; writing a non-identity direction is refused.
@@ -55,7 +55,7 @@ def read(path: str) -> MedicalImage:
     dims = struct.unpack_from(">4H", data, 0)
     (image_type,) = struct.unpack_from(">H", data, 8)
     pixdim = struct.unpack_from(">4f", data, 10)
-    origin = struct.unpack_from(">3d", data, 144)
+    origin = struct.unpack_from(">3d", data, 204)
     dtype = _GIPL_TYPES.get(image_type)
     if dtype is None:
         raise ValueError(f"{path}: unsupported GIPL image type {image_type}")
@@ -86,9 +86,9 @@ def write(image: MedicalImage, path: str) -> None:
     struct.pack_into(">H", header, 8, _GIPL_CODES[arr.dtype])
     struct.pack_into(">4f", header, 10, *image.spacing, 1.0)
     struct.pack_into(
-        ">2d", header, 120, float(arr.min()), float(arr.max())
+        ">2d", header, 188, float(arr.min()), float(arr.max())
     )
-    struct.pack_into(">3d", header, 144, *image.origin)
+    struct.pack_into(">4d", header, 204, *image.origin, 0.0)
     struct.pack_into(">I", header, 252, MAGIC)
     with open(path, "wb") as f:
         f.write(bytes(header))
