@@ -13,12 +13,10 @@ from __future__ import annotations
 import ctypes
 import os
 import struct
-import subprocess
 from typing import List, Optional
 
 import numpy as np
 
-from lungmask_tpu.logger import logger
 
 RLE_LOSSLESS = "1.2.840.10008.1.2.5"
 JPEG_LOSSLESS_P14 = "1.2.840.10008.1.2.4.57"
@@ -38,29 +36,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    path = _OUT
-    src = os.path.abspath(_SRC)
-    stale = os.path.exists(path) and os.path.exists(src) and (
-        os.path.getmtime(src) > os.path.getmtime(path)
-    )
-    if not os.path.exists(path) or stale:
-        if not os.path.exists(src):
-            return None
-        os.makedirs(_OUT_DIR, exist_ok=True)
-        try:
-            subprocess.run(
-                ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", src, "-o", _OUT],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
-        except Exception as e:
-            logger.info(f"dicom codec build skipped ({e}); python fallbacks only")
-            return None
-    try:
-        lib = ctypes.CDLL(path)
-    except OSError as e:
-        logger.info(f"dicom codec load failed ({e}); python fallbacks only")
+    from lungmask_tpu.ops.native import build_or_load_library
+
+    lib = build_or_load_library([os.path.abspath(_SRC)], _OUT)
+    if lib is None:
         return None
     u8p = ctypes.POINTER(ctypes.c_uint8)
     u16p = ctypes.POINTER(ctypes.c_uint16)
@@ -234,6 +213,8 @@ def _peek_sof3_dims(data: bytes):
             continue
         seg = (data[p + 2] << 8) | data[p + 3]
         if m == 0xC3:
+            if p + 9 > len(data):
+                raise ValueError("truncated JPEG codestream (SOF3 cut short)")
             rows = (data[p + 5] << 8) | data[p + 6]
             cols = (data[p + 7] << 8) | data[p + 8]
             return rows, cols
@@ -294,6 +275,8 @@ def _peek_jpegls_dims(data: bytes):
             continue
         seg = (data[p + 2] << 8) | data[p + 3]
         if m == 0xF7:  # SOF55
+            if p + 9 > len(data):
+                raise ValueError("truncated JPEG-LS codestream (SOF55 cut short)")
             rows = (data[p + 5] << 8) | data[p + 6]
             cols = (data[p + 7] << 8) | data[p + 8]
             return rows, cols

@@ -34,11 +34,14 @@ from lungmask_tpu.logger import logger
 
 IMPLICIT_VR_LE = "1.2.840.10008.1.2"
 EXPLICIT_VR_LE = "1.2.840.10008.1.2.1"
-RLE_LOSSLESS = "1.2.840.10008.1.2.5"
-JPEG_LOSSLESS_P14 = "1.2.840.10008.1.2.4.57"
-JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"
-JPEG_LS_LOSSLESS = "1.2.840.10008.1.2.4.80"
-JPEG_LS_NEAR_LOSSLESS = "1.2.840.10008.1.2.4.81"
+# Compressed transfer syntaxes — single source of truth in io/codecs.py.
+from lungmask_tpu.io.codecs import (  # noqa: E402
+    JPEG_LOSSLESS_P14,
+    JPEG_LOSSLESS_SV1,
+    JPEG_LS_LOSSLESS,
+    JPEG_LS_NEAR_LOSSLESS,
+    RLE_LOSSLESS,
+)
 _ENCAPSULATED = {
     RLE_LOSSLESS,
     JPEG_LOSSLESS_P14,
@@ -115,14 +118,28 @@ def _decode_pixels(tags: Dict[str, str], raw: bytes) -> np.ndarray:
     rows = int(tags.get("0028|0010", "0"))
     cols = int(tags.get("0028|0011", "0"))
     n_frames = int(tags.get("0028|0008", "1") or 1)
+    return _pixel_rules(tags, raw, None, rows, cols, n_frames)
+
+
+def _pixel_rules(
+    tags: Dict[str, str],
+    raw: Optional[bytes],
+    samples: Optional[np.ndarray],
+    rows: int,
+    cols: int,
+    n_frames: int,
+) -> np.ndarray:
+    """Photometric/sign/packed-bit/rescale rules shared by the native path
+    (``raw`` bytes) and the compressed path (already-decoded ``samples`` cells,
+    reinterpreted zero-copy instead of round-tripping through bytes)."""
     bits_alloc = int(tags.get("0028|0100", "16"))
     bits_stored = int(tags.get("0028|0101", str(bits_alloc)) or bits_alloc)
     high_bit = int(tags.get("0028|0102", str(bits_stored - 1)) or (bits_stored - 1))
     pixel_rep = int(tags.get("0028|0103", "0") or 0)
-    samples = int(tags.get("0028|0002", "1") or 1)
+    spp = int(tags.get("0028|0002", "1") or 1)
     photometric = tags.get("0028|0004", "MONOCHROME2").strip().upper()
-    if samples != 1:
-        raise DicomError(f"SamplesPerPixel={samples} not supported")
+    if spp != 1:
+        raise DicomError(f"SamplesPerPixel={spp} not supported")
     if photometric not in ("", "MONOCHROME2"):
         # MONOCHROME1 (inverted grayscale) and color spaces would silently
         # corrupt HU values if decoded as-is; refuse loudly instead.
@@ -137,7 +154,15 @@ def _decode_pixels(tags: Dict[str, str], raw: bytes) -> np.ndarray:
     else:
         raise DicomError(f"BitsAllocated={bits_alloc} not supported")
     n = rows * cols * n_frames
-    arr = np.frombuffer(raw[: n * (bits_alloc // 8)], dtype=dtype)
+    if samples is not None:
+        if samples.dtype.itemsize != bits_alloc // 8:
+            raise DicomError(
+                f"decoded sample width {samples.dtype.itemsize} does not "
+                f"match BitsAllocated={bits_alloc}"
+            )
+        arr = samples.reshape(-1).view(dtype)
+    else:
+        arr = np.frombuffer(raw[: n * (bits_alloc // 8)], dtype=dtype)
     if arr.size < n:
         raise DicomError(
             f"pixel data truncated: {arr.size} samples for "
@@ -310,6 +335,15 @@ def read_file(
                     tags, fragments, frag_offsets, bot, transfer_syntax, path
                 )
                 continue
+            if transfer_syntax in _ENCAPSULATED:
+                # A defined-length (7FE0,0010) in a compressed syntax is
+                # non-conformant; decoding the codestream as raw samples
+                # would yield silently wrong HU values — refuse loudly
+                # (mirror of the undefined-length-in-uncompressed guard).
+                raise DicomError(
+                    f"{path}: defined-length pixel data in compressed "
+                    f"transfer syntax {transfer_syntax}"
+                )
             pixels = _decode_pixels(tags, bytes(buf[voff : voff + vlen]))
             pos = voff + vlen
             continue
@@ -424,9 +458,11 @@ def _decode_encapsulated(
                 )
             samples = decoded if bits_alloc == 16 else decoded.astype(np.uint8)
         decoded_frames.append(np.ascontiguousarray(np.asarray(samples)))
-    # Route through the uncompressed path for photometric/sign/rescale rules
-    # (it reshapes to (frames, rows, cols) when NumberOfFrames > 1).
-    return _decode_pixels(tags, b"".join(f.tobytes() for f in decoded_frames))
+    stacked = (
+        np.stack(decoded_frames) if len(decoded_frames) > 1 else decoded_frames[0]
+    )
+    # Shared photometric/sign/packed-bit/rescale rules, zero-copy reinterpret.
+    return _pixel_rules(tags, None, stacked, rows, cols, n_frames)
 
 
 # ---------------------------------------------------------------------------

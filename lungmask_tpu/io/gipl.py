@@ -62,9 +62,12 @@ def read(path: str) -> MedicalImage:
     nx, ny, nz = dims[0], dims[1], max(dims[2], 1)
     n = nx * ny * nz
     be = np.dtype(dtype).newbyteorder(">")
+    if len(data) - 256 < n * be.itemsize:
+        raise ValueError(
+            f"{path}: GIPL payload truncated "
+            f"({len(data) - 256} bytes < {n * be.itemsize})"
+        )
     arr = np.frombuffer(data[256:], dtype=be, count=n).astype(dtype)
-    if arr.size < n:
-        raise ValueError(f"{path}: GIPL payload truncated ({arr.size} < {n})")
     return MedicalImage(
         array=np.ascontiguousarray(arr.reshape(nz, ny, nx)),
         spacing=tuple(float(p) or 1.0 for p in pixdim[:3]),

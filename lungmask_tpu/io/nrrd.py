@@ -91,9 +91,9 @@ def read(path: str) -> MedicalImage:
 
         with open(os.path.join(os.path.dirname(path) or ".", datafile), "rb") as df:
             payload = df.read()
-        skip = int(fields.get("byte skip", fields.get("byteskip", "0")) or 0)
-        if skip > 0:
-            payload = payload[skip:]
+        byte_skip = int(fields.get("byte skip", fields.get("byteskip", "0")) or 0)
+        if byte_skip > 0:
+            payload = payload[byte_skip:]
         # byte skip: -1 (raw only) means "take the payload from the tail";
         # handled after the dtype/size fields are known, below.
 
@@ -113,7 +113,7 @@ def read(path: str) -> MedicalImage:
 
     nx, ny, nz = sizes
     need = nx * ny * nz * np.dtype(dtype).itemsize
-    if datafile and encoding == "raw" and fields.get("byte skip", "") == "-1":
+    if datafile and encoding == "raw" and byte_skip == -1:
         payload = payload[-need:]
     if len(payload) < need:
         raise ValueError(f"{path}: NRRD payload truncated ({len(payload)} < {need})")

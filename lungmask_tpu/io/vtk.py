@@ -39,17 +39,31 @@ def read(path: str) -> MedicalImage:
 
     lines = []
     pos = 0
-    # Header is ASCII lines until (and including) LOOKUP_TABLE / the line
-    # after SCALARS; scan line-by-line so binary payload bytes stay untouched.
+    # Header is ASCII lines up to SCALARS plus an optional LOOKUP_TABLE line
+    # (optional per the legacy-format spec); scan line-by-line so binary
+    # payload bytes stay untouched.
+    saw_scalars = False
     while pos < len(data):
         nl = data.find(b"\n", pos)
+        if saw_scalars:
+            # Peek one line: consume it only if it is the optional
+            # LOOKUP_TABLE; anything else (including newline-free binary
+            # payload) starts the data section at ``pos``.
+            end = nl if nl != -1 else len(data)
+            line = data[pos:end].rstrip(b"\r").decode("ascii", "replace").strip()
+            if nl != -1 and line.upper().startswith("LOOKUP_TABLE"):
+                lines.append(line)
+                pos = nl + 1
+            break
         if nl == -1:
             raise ValueError(f"{path}: truncated VTK header")
         line = data[pos:nl].rstrip(b"\r").decode("ascii", "replace").strip()
         pos = nl + 1
         lines.append(line)
-        if line.upper().startswith("LOOKUP_TABLE"):
-            break
+        if line.upper().startswith("SCALARS"):
+            saw_scalars = True
+    if not saw_scalars:
+        raise ValueError(f"{path}: no SCALARS declaration found")
 
     if not lines or not lines[0].startswith("# vtk DataFile"):
         raise ValueError(f"{path}: not a legacy VTK file")
@@ -90,11 +104,19 @@ def read(path: str) -> MedicalImage:
     n = nx * ny * nz
     if fmt == "BINARY":
         be = np.dtype(dtype).newbyteorder(">")
+        if len(data) - pos < n * be.itemsize:
+            raise ValueError(
+                f"{path}: VTK payload truncated "
+                f"({len(data) - pos} bytes < {n * be.itemsize})"
+            )
         arr = np.frombuffer(data[pos:], dtype=be, count=n).astype(dtype)
     else:
-        arr = np.array(data[pos:].split()[:n], dtype=dtype)
-    if arr.size < n:
-        raise ValueError(f"{path}: VTK payload truncated ({arr.size} < {n})")
+        tokens = data[pos:].split()
+        if len(tokens) < n:
+            raise ValueError(
+                f"{path}: VTK payload truncated ({len(tokens)} values < {n})"
+            )
+        arr = np.array(tokens[:n], dtype=dtype)
     return MedicalImage(
         array=np.ascontiguousarray(arr.reshape(nz, ny, nx)),
         spacing=spacing,

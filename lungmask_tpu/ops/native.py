@@ -30,28 +30,43 @@ _OUT_DIR = os.path.join(os.path.dirname(__file__), "_native")
 _OUT = os.path.join(_OUT_DIR, "libpostproc.so")
 
 
-def _build() -> Optional[str]:
-    srcs = [s for s in _SRCS if os.path.exists(s)]
-    if not srcs:
-        return None
-    os.makedirs(_OUT_DIR, exist_ok=True)
-    cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", *srcs, "-o", _OUT]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return _OUT
-    except Exception as e:
-        logger.info(f"native postproc build skipped ({e}); using numpy fallback")
-        return None
+def build_or_load_library(srcs, out_path: str) -> Optional[ctypes.CDLL]:
+    """Shared native-core scaffolding: rebuild ``out_path`` from ``srcs`` when
+    missing or stale, then ctypes-load it.
 
-
-def _cached_fresh() -> bool:
-    """A cached .so is reused only if newer than every source file."""
-    if not os.path.exists(_OUT):
-        return False
-    so_mtime = os.path.getmtime(_OUT)
-    return all(
-        os.path.getmtime(s) <= so_mtime for s in _SRCS if os.path.exists(s)
+    A failed REbuild (e.g. no compiler on this host, but the .so was built
+    elsewhere or earlier) falls back to loading the existing library instead
+    of discarding it — mtime churn from a checkout/rsync must not disable a
+    working codec. Returns None only when nothing loadable exists.
+    """
+    srcs = [s for s in srcs if os.path.exists(s)]
+    exists = os.path.exists(out_path)
+    fresh = (
+        exists
+        and srcs
+        and all(os.path.getmtime(s) <= os.path.getmtime(out_path) for s in srcs)
     )
+    if not fresh and srcs:
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", *srcs, "-o", out_path]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        except Exception as e:
+            if exists:
+                logger.info(
+                    f"native rebuild failed ({e}); reusing existing "
+                    f"{os.path.basename(out_path)}"
+                )
+            else:
+                logger.info(f"native build skipped ({e}); using fallbacks")
+                return None
+    if not os.path.exists(out_path):
+        return None
+    try:
+        return ctypes.CDLL(out_path)
+    except OSError as e:
+        logger.info(f"native load failed ({e}); using fallbacks")
+        return None
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -59,13 +74,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    path = _OUT if _cached_fresh() else _build()
-    if path is None:
-        return None
-    try:
-        lib = ctypes.CDLL(path)
-    except OSError as e:
-        logger.info(f"native postproc load failed ({e}); using numpy fallback")
+    lib = build_or_load_library(_SRCS, _OUT)
+    if lib is None:
         return None
     i32p = ctypes.POINTER(ctypes.c_int32)
     i64p = ctypes.POINTER(ctypes.c_int64)

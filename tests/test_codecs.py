@@ -272,3 +272,30 @@ def test_multiframe_mixed_series_refused(tmp_path, ct_frames, ct_slice):
     )
     with pytest.raises(dicom.DicomError, match="multi-frame"):
         loader.read_dicoms(str(tmp_path), disable_tqdm=True)
+
+
+def test_defined_length_encapsulated_rejected(tmp_path, ct_slice):
+    """A defined-length (7FE0,0010) inside a compressed transfer syntax must
+    raise instead of decoding the codestream as raw HU samples."""
+    p = str(tmp_path / "bad.dcm")
+    dicom.write_slice(p, ct_slice, transfer_syntax=dicom.RLE_LOSSLESS)
+    data = bytearray(open(p, "rb").read())
+    # Find the pixel-data element (explicit OB, undefined length) and rewrite
+    # it as a defined-length element spanning the encapsulated items.
+    import struct as _s
+
+    tag = _s.pack("<HH", 0x7FE0, 0x0010)
+    ix = data.find(tag)
+    assert ix != -1 and data[ix + 4 : ix + 6] == b"OB"
+    payload_len = len(data) - (ix + 12)
+    data[ix + 8 : ix + 12] = _s.pack("<I", payload_len)
+    open(p, "wb").write(bytes(data))
+    with pytest.raises(dicom.DicomError, match="defined-length"):
+        dicom.read_file(p)
+
+
+def test_truncated_jpeg_peek_raises_valueerror():
+    with pytest.raises(ValueError, match="truncated|no SOF"):
+        codecs._peek_sof3_dims(bytes.fromhex("ffd8ffc3000810"))
+    with pytest.raises(ValueError, match="truncated|no SOF"):
+        codecs._peek_jpegls_dims(bytes.fromhex("ffd8fff7000810"))

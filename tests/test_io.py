@@ -634,3 +634,52 @@ def test_vtk_ascii_payload(tmp_path):
     back = loader.load_input_image(p)
     np.testing.assert_array_equal(back.array, arr)
     assert back.spacing == (1.0, 1.0, 2.0)
+
+
+def test_nrrd_byteskip_alt_spelling(tmp_path, rng):
+    """'byteskip' (no space) is as valid as 'byte skip' — both spellings must
+    honor the prefix skip and the raw-only -1 tail form."""
+    from lungmask_tpu.io import loader
+
+    arr = rng.integers(-1024, 600, size=(2, 4, 3)).astype(np.int16)
+    (tmp_path / "vol.raw").write_bytes(b"\x55" * 9 + arr.tobytes())
+    for spelling, value in [("byteskip", "9"), ("byteskip", "-1")]:
+        header = (
+            "NRRD0004\ntype: int16\ndimension: 3\nsizes: 3 4 2\n"
+            f"encoding: raw\nendian: little\ndata file: vol.raw\n{spelling}: {value}\n"
+        )
+        (tmp_path / "vol.nhdr").write_bytes(header.encode())
+        back = loader.load_input_image(str(tmp_path / "vol.nhdr"))
+        np.testing.assert_array_equal(back.array, arr)
+
+
+def test_vtk_missing_lookup_table(tmp_path):
+    """LOOKUP_TABLE is optional in the legacy VTK spec; binary payloads with
+    no newline after SCALARS must still load."""
+    from lungmask_tpu.io import loader
+
+    arr = np.arange(2 * 3 * 4).reshape(2, 3, 4).astype(np.int16)
+    header = (
+        "# vtk DataFile Version 3.0\nt\nBINARY\nDATASET STRUCTURED_POINTS\n"
+        "DIMENSIONS 4 3 2\nSPACING 1 1 1\nORIGIN 0 0 0\nPOINT_DATA 24\n"
+        "SCALARS scalars short 1\n"
+    )
+    p = str(tmp_path / "nolut.vtk")
+    with open(p, "wb") as f:
+        f.write(header.encode())
+        f.write(arr.astype(">i2").tobytes())
+    back = loader.load_input_image(p)
+    np.testing.assert_array_equal(back.array, arr)
+
+
+def test_vtk_gipl_truncated_payload_message(tmp_path):
+    from lungmask_tpu.io import gipl, loader
+    from lungmask_tpu.io.image import MedicalImage
+
+    arr = np.ones((2, 3, 4), np.int16)
+    p = str(tmp_path / "t.gipl")
+    gipl.write(MedicalImage(arr), p)
+    data = open(p, "rb").read()
+    open(p, "wb").write(data[:-10])
+    with pytest.raises(ValueError, match="truncated"):
+        loader.load_input_image(p)
