@@ -284,6 +284,37 @@ def main():
             fused_times.append(time.perf_counter() - t0)
         fused_e2e_s = min(fused_times)
 
+        # noHU path (BASELINE config 2): 8-bit stack → pseudo-HU → inference.
+        # Same shapes as e2e_vol, so the compiled programs are reused.
+        from lungmask_tpu.io import nohu
+
+        stack8 = np.clip((e2e_vol + 1024) / 1624 * 255, 0, 255).astype(np.uint8)
+        nohu_vol = nohu.to_pseudo_hu(stack8)
+        t0 = time.perf_counter()
+        inferer.apply(nohu_vol)
+        nohu_e2e_s = time.perf_counter() - t0
+
+        # DICOM series decode (BASELINE config 3's input mode): write the
+        # volume as a series, time the scan→filter→z-sort→decode→assemble.
+        from lungmask_tpu.io import dicom as dicom_io
+        from lungmask_tpu.io import loader as loader_io
+
+        series_dir = os.path.join(td, "series")
+        os.makedirs(series_dir)
+        suid, stuid = dicom_io.generate_uid(), dicom_io.generate_uid()
+        for i in range(e2e_vol.shape[0]):
+            dicom_io.write_slice(
+                os.path.join(series_dir, f"{i:04d}.dcm"),
+                e2e_vol[i],
+                series_uid=suid,
+                study_uid=stuid,
+                position=(0.0, 0.0, float(i)),
+            )
+        t0 = time.perf_counter()
+        decoded = loader_io.load_input_image(series_dir, disable_tqdm=True)
+        dicom_decode_s = time.perf_counter() - t0
+        assert decoded.array.shape == e2e_vol.shape
+
     baseline = _TORCH_BASELINE_CONST
     if os.environ.get("BENCH_TORCH") == "1":
         baseline = measure_torch_baseline()
@@ -328,6 +359,8 @@ def main():
                     "cohort_size": len(cohort.results),
                     "cohort_errors": cohort_errors,
                     "fused_e2e_sec_per_volume": round(fused_e2e_s, 3),
+                    "nohu_e2e_sec_per_volume": round(nohu_e2e_s, 3),
+                    "dicom_series_decode_sec": round(dicom_decode_s, 3),
                     "baseline": "reference torch-cpu-1thread on this host",
                     "baseline_slices_per_sec": baseline,
                     # Roofline: the R231 U-Net costs ~96.2 GFLOP/slice at 256²

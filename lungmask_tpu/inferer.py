@@ -48,7 +48,7 @@ class LMInferer:
         batch_size: Optional[int] = None,
         volume_postprocessing: bool = True,
         tqdm_disable: bool = False,
-        preprocessing: str = "hybrid",
+        preprocessing: Optional[str] = None,
         precision: str = "bfloat16",
         mesh=None,
         postprocessing_mode: str = "exact",
@@ -70,13 +70,16 @@ class LMInferer:
                 20 at 256² on v5e).
             volume_postprocessing: connected-component cleanup toggle.
             tqdm_disable: disable progress output.
-            preprocessing: 'hybrid' (default — device bodymask/boxes from a
-                packed-bits upload, float64 host-oracle resample, minimal
-                transfers; bit-exact with 'host'), 'device' (fully
-                device-resident volume, float32 gather weights), or 'host'
-                (float64 scipy path, bit-exact with the reference's CPU
-                preprocessing — see ops/resample.py and
-                transforms/preprocess.py notes).
+            preprocessing: None (default) resolves to 'sharded' when a mesh
+                is given, else 'hybrid'. 'hybrid' — device bodymask/boxes from
+                a packed-bits upload, float64 host-oracle resample, minimal
+                transfers; bit-exact with 'host'. 'device' — fully
+                device-resident volume, float32 gather weights. 'host' —
+                float64 scipy path, bit-exact with the reference's CPU
+                preprocessing (see ops/resample.py and
+                transforms/preprocess.py notes). 'sharded' — mesh-parallel
+                device preprocessing (requires mesh=). An explicit value is
+                honored as-is; a mesh never silently overrides it.
             precision: 'bfloat16' (default — MXU-native compute with float32
                 accumulation) or 'float32' (HIGHEST precision convs, for
                 strict numerical parity with the reference's float32 torch).
@@ -96,7 +99,14 @@ class LMInferer:
             assert (
                 fillmodel in MODEL_URLS
             ), "Modelname not found. Please choose from: {}".format(MODEL_URLS.keys())
-        assert preprocessing in ("hybrid", "device", "host")
+        assert preprocessing in (None, "hybrid", "device", "host", "sharded")
+        if preprocessing is None:
+            # Default resolution only — an EXPLICIT choice is always honored
+            # (e.g. preprocessing='hybrid' with a mesh keeps the documented
+            # bit-exact-with-host resample; only the U-Net shards then).
+            preprocessing = "sharded" if mesh is not None else "hybrid"
+        if preprocessing == "sharded" and mesh is None:
+            raise ValueError("preprocessing='sharded' requires mesh=")
         assert postprocessing_mode in ("exact", "device")
         self.postprocessing_mode = postprocessing_mode
         self._sharded_post = {}  # n_classes -> compiled mesh-sharded program
@@ -177,7 +187,7 @@ class LMInferer:
             slices, boxes = host_pipeline.preprocess(volume, resolution=(256, 256))
             normalized = host_pipeline.normalize_hu(slices).astype(np.float32)
             return jnp.asarray(normalized), np.asarray(boxes)
-        if self.mesh is not None:
+        if self.preprocessing == "sharded":
             return preprocess.preprocess_sharded(
                 volume, self.mesh, resolution=(256, 256)
             )
@@ -210,38 +220,29 @@ class LMInferer:
         )
         return reorient(out_img, curr_orient).array.astype(np.uint8)
 
-    def _infer_volume(
-        self,
-        inimg_raw: np.ndarray,
-        model: UNetRunner,
-        normalized=None,
-        boxes=None,
-    ) -> np.ndarray:
-        """LPS-space volume → mask (preprocess → U-Net → postprocess → paste).
+    def _forward_model(self, model: UNetRunner, normalized, n: int):
+        """U-Net forward over the preprocessed stack. In device-postprocessing
+        mode the prediction STAYS device-resident (postprocess_device /
+        the sharded program consume it in place); otherwise it is fetched with
+        downloads overlapped (run_numpy)."""
+        if self.volume_postprocessing and self.postprocessing_mode == "device":
+            return model.run(normalized)[:n]
+        if hasattr(model, "run_numpy"):
+            return model.run_numpy(normalized)[:n]
+        return np.asarray(model.run(normalized)[:n])
 
-        ``normalized``/``boxes`` may be passed in to share one preprocessing
-        pass across models (the fused path)."""
+    def _infer_volume(self, inimg_raw: np.ndarray, model: UNetRunner) -> np.ndarray:
+        """LPS-space volume → mask (preprocess → U-Net → postprocess → paste)."""
         n = inimg_raw.shape[0]
         with trace("inference"), self._stage_bar() as bar:
-            if normalized is None:
-                with self.timings.stage("preprocess"):
-                    normalized, boxes = self._preprocess(inimg_raw)
+            with self.timings.stage("preprocess"):
+                normalized, boxes = self._preprocess(inimg_raw)
             bar.update(1)
-            if self.volume_postprocessing and self.postprocessing_mode == "device":
-                with self.timings.stage("unet"):
-                    pred = model.run(normalized)[:n]  # stays on device
-                bar.update(1)
-                return self._finish_volume(
-                    pred, boxes, inimg_raw.shape[1:], model.n_classes, bar=bar
-                )
             with self.timings.stage("unet"):
-                if hasattr(model, "run_numpy"):
-                    pred_np = model.run_numpy(normalized)[:n]
-                else:
-                    pred_np = np.asarray(model.run(normalized)[:n])
+                pred = self._forward_model(model, normalized, n)
             bar.update(1)
             return self._finish_volume(
-                pred_np, boxes, inimg_raw.shape[1:], model.n_classes, bar=bar
+                pred, boxes, inimg_raw.shape[1:], model.n_classes, bar=bar
             )
 
     def _stage_bar(self):
@@ -376,52 +377,60 @@ class LMInferer:
             "boxes": boxes,
         }
 
-    def apply_preprocessed(self, pre: dict) -> np.ndarray:
-        """Phase 2 of :meth:`apply` on a :meth:`preprocess_image` result."""
+    def forward_preprocessed(self, pre: dict):
+        """Phase 2a: U-Net forward(s) only — the device-bound half of
+        :meth:`apply_preprocessed`. The returned prediction(s) feed
+        :meth:`finish_forward`; splitting lets the cohort runtime run the
+        host-bound finishing of volume i in a finisher thread while volume
+        i+1's forward dispatches (runtime/cohort.py)."""
+        with self._device_scope():
+            n = pre["inimg_raw"].shape[0]
+            if self.fillmodel is None:
+                with self.timings.stage("unet"):
+                    return self._forward_model(self.model, pre["normalized"], n)
+            return self._dual_forward(n, pre["normalized"])
+
+    def finish_forward(self, pre: dict, pred) -> np.ndarray:
+        """Phase 2b: postprocess + paste-back + reorientation (host-bound,
+        except device-mode postprocessing) on a :meth:`forward_preprocessed`
+        result."""
         with self._device_scope():
             inimg_raw = pre["inimg_raw"]
             if self.fillmodel is None:
-                n = inimg_raw.shape[0]
-                if self.volume_postprocessing and self.postprocessing_mode == "device":
-                    with self.timings.stage("unet"):
-                        pred = self.model.run(pre["normalized"])[:n]
-                else:
-                    with self.timings.stage("unet"):
-                        pred = self.model.run_numpy(pre["normalized"])[:n] if hasattr(
-                            self.model, "run_numpy"
-                        ) else np.asarray(self.model.run(pre["normalized"])[:n])
                 outmask = self._finish_volume(
                     pred, pre["boxes"], inimg_raw.shape[1:], self.model.n_classes
                 )
                 return self._from_lps(outmask, pre["curr_orient"], pre["lps_image"])
-            return self._apply_fused_preprocessed(pre)
-
-    def _apply_fused_preprocessed(self, pre: dict) -> np.ndarray:
-        inimg_raw = pre["inimg_raw"]
-        preds = self._dual_forward(inimg_raw.shape[0], pre["normalized"])
-        results = []
-        for name, pred_np, runner in zip(
-            (self.modelname, self.fillmodel), preds, (self.model, self.fillmodelm)
-        ):
-            logger.info(f"Apply: {name}")
-            results.append(
-                self._from_lps(
-                    self._finish_volume(
-                        pred_np, pre["boxes"], inimg_raw.shape[1:], runner.n_classes
-                    ),
-                    pre["curr_orient"],
-                    pre["lps_image"],
+            results = []
+            for name, pred_np, runner in zip(
+                (self.modelname, self.fillmodel), pred, (self.model, self.fillmodelm)
+            ):
+                logger.info(f"Apply: {name}")
+                results.append(
+                    self._from_lps(
+                        self._finish_volume(
+                            pred_np,
+                            pre["boxes"],
+                            inimg_raw.shape[1:],
+                            runner.n_classes,
+                        ),
+                        pre["curr_orient"],
+                        pre["lps_image"],
+                    )
                 )
-            )
-        res_l, res_r = results
-        spare_value = res_l.max() + 1
-        res_l[np.logical_and(res_l == 0, res_r > 0)] = spare_value
-        res_l[res_r == 0] = 0
-        logger.info("Fusing results... this may take up to several minutes!")
-        with self.timings.stage("fusion_postprocess"):
-            return postprocess.postprocessing(
-                res_l, spare=[spare_value], disable_tqdm=self.tqdm_disable
-            )
+            res_l, res_r = results
+            spare_value = res_l.max() + 1
+            res_l[np.logical_and(res_l == 0, res_r > 0)] = spare_value
+            res_l[res_r == 0] = 0
+            logger.info("Fusing results... this may take up to several minutes!")
+            with self.timings.stage("fusion_postprocess"):
+                return postprocess.postprocessing(
+                    res_l, spare=[spare_value], disable_tqdm=self.tqdm_disable
+                )
+
+    def apply_preprocessed(self, pre: dict) -> np.ndarray:
+        """Phase 2 of :meth:`apply` on a :meth:`preprocess_image` result."""
+        return self.finish_forward(pre, self.forward_preprocessed(pre))
 
     def apply(self, image: ImageLike) -> np.ndarray:
         """Apply the model (or fused model pair) to a volumetric image.
@@ -442,7 +451,7 @@ class LMInferer:
     def _apply_impl(self, image: ImageLike) -> np.ndarray:
         if self.fillmodel is None:
             return self._inference(image, self.model)
-        return self._apply_fused_preprocessed(self.preprocess_image(image))
+        return self.apply_preprocessed(self.preprocess_image(image))
 
     def _device_scope(self):
         """Pin work to the forced device for the duration of a call (scoped —

@@ -26,7 +26,11 @@ def initialize_multihost(
     """Initialize the JAX distributed runtime when running multi-host.
 
     No-ops (returns False) when single-host: safe to call unconditionally.
-    Arguments default to the standard JAX env vars / TPU metadata discovery.
+    Arguments default to the standard JAX env vars; on a TPU backend with no
+    coordinator env vars, ``jax.distributed.initialize()`` is still attempted
+    so pod slices auto-discover peers via TPU metadata (a single-chip TPU
+    initializes with process_count == 1, which shard_cohort handles as the
+    whole-cohort case).
     """
     already = getattr(jax.distributed, "global_state", None)
     if already is not None and getattr(already, "client", None) is not None:
@@ -37,7 +41,20 @@ def initialize_multihost(
         or os.environ.get("COORDINATOR_ADDRESS")
     )
     if not env_says_multihost and num_processes in (None, 1):
-        return False
+        # TPU pods carry their own peer discovery — attempt the argument-free
+        # bring-up there; anything else (CPU/GPU dev boxes) stays single-host.
+        if jax.default_backend() != "tpu":
+            return False
+        try:
+            jax.distributed.initialize()
+            logger.info(
+                "multihost initialized via TPU metadata: process "
+                f"{jax.process_index()}/{jax.process_count()}"
+            )
+            return True
+        except Exception as e:
+            logger.info(f"single-host TPU run ({e})")
+            return False
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

@@ -138,6 +138,14 @@ class ShardedUNetRunner:
         # batch must divide evenly over the data axis (None = mesh default 64)
         batch_size = 64 if batch_size is None else int(batch_size)
         self.batch_size = ((batch_size + ndata - 1) // ndata) * ndata
+        if self.batch_size != batch_size:
+            from lungmask_tpu.logger import logger
+
+            logger.warning(
+                f"batch_size={batch_size} rounded up to {self.batch_size} to "
+                f"divide evenly over the mesh's {ndata}-way data axis "
+                "(per-device activation memory is batch_size/ndata slices)"
+            )
         self._volume_step = make_sharded_volume_argmax(self.mesh, compute_dtype)
         self._volume_step_packed = make_sharded_volume_argmax(
             self.mesh, compute_dtype, packed=True

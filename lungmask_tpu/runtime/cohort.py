@@ -5,13 +5,16 @@ no counterpart in the reference, which processes volumes strictly serially
 (CLI handles one volume per invocation). This runtime pipelines a cohort
 through three overlapping stages:
 
-  [loader thread]   file/DICOM decode + HU clip            (host I/O)
-  [main thread]     preprocess + U-Net                     (device)
-  [finisher thread] postprocessing + paste + output write  (host + device)
+  [loader thread]   file/DICOM decode + preprocessing/upload  (host I/O + device)
+  [main thread]     U-Net forward dispatch                    (device)
+  [finisher thread] postprocessing + paste + output write     (host)
 
 so host decode of volume i+1 and host postprocessing of volume i-1 overlap
-device compute of volume i. Queues are bounded (``prefetch``) so memory stays
-flat regardless of cohort size.
+device compute of volume i. The finisher-side postprocessing requires the
+inferer's split forward/finish API (``forward_preprocessed`` /
+``finish_forward``); with only ``apply`` the whole volume runs in the main
+thread and the finisher just writes. Queues are bounded (``prefetch``) so
+memory stays flat regardless of cohort size.
 """
 
 from __future__ import annotations
@@ -73,7 +76,12 @@ def run_cohort(
         sources: paths (files or DICOM dirs), arrays, or MedicalImages.
         inferer: an ``LMInferer``.
         output_dir: when set, masks are written as ``<name>_mask.nii.gz``.
+            Names derive from the source basename, de-duplicated with an
+            index suffix when two sources share one (common with per-patient
+            directories all named e.g. ``DICOM``).
         prefetch: bounded decode look-ahead.
+        on_result: per-volume callback; an exception it raises is recorded on
+            that volume's result and does not stop the cohort.
         keep_masks: retain masks in the returned stats (memory!).
     """
     t_start = time.perf_counter()
@@ -81,22 +89,40 @@ def run_cohort(
     in_q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
     out_q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
 
+    used_names = set()
+
     def name_of(i, src):
         if isinstance(src, str):
             base = os.path.basename(os.path.normpath(src))
-            return os.path.splitext(os.path.splitext(base)[0])[0]
-        return f"volume{i:04d}"
+            name = os.path.splitext(os.path.splitext(base)[0])[0]
+        else:
+            name = f"volume{i:04d}"
+        if name in used_names:
+            name = f"{name}_{i:04d}"
+        used_names.add(name)
+        return name
 
-    # When the inferer supports the split-phase API, run decode AND device
-    # preprocessing (incl. the volume upload) in the loader thread so volume
-    # i+1's upload overlaps volume i's U-Net/postprocessing.
+    # Split-phase API: decode AND device preprocessing (incl. the volume
+    # upload) run in the loader thread; the U-Net dispatch runs in the main
+    # thread; host postprocessing/paste run in the finisher thread. Each
+    # volume's stages then overlap its neighbors'.
     split_phase = hasattr(inferer, "preprocess_image") and hasattr(
         inferer, "apply_preprocessed"
     )
+    split_finish = split_phase and hasattr(inferer, "forward_preprocessed")
 
     def loader_thread():
+        it = enumerate(sources)
         try:
-            for i, src in enumerate(sources):
+            while True:
+                try:
+                    i, src = next(it)
+                except StopIteration:
+                    break
+                except Exception as e:  # the iterable itself failed
+                    in_q.put((f"cohort-source-{len(used_names)}", None, None,
+                              f"source iteration failed: {e}"))
+                    break
                 try:
                     img = _load(src)
                     pre = inferer.preprocess_image(img) if split_phase else None
@@ -113,22 +139,36 @@ def run_cohort(
             item = out_q.get()
             if item is None:
                 break
-            name, img, mask, t0, err = item
-            if err is None and output_dir is not None:
+            name, img, pre, payload, t0, err = item
+            mask = None
+            if err is None:
                 try:
-                    out = img.with_array(mask)
-                    loader.write_image(out, os.path.join(output_dir, f"{name}_mask.nii.gz"))
+                    mask = (
+                        inferer.finish_forward(pre, payload)
+                        if split_finish
+                        else payload
+                    )
+                    if output_dir is not None:
+                        out = img.with_array(mask)
+                        loader.write_image(
+                            out, os.path.join(output_dir, f"{name}_mask.nii.gz")
+                        )
                 except Exception as e:
-                    err = f"write failed: {e}"
+                    logger.error(f"cohort: finishing failed for {name}: {e}")
+                    err, mask = str(e), None
             res = CohortResult(
                 name=name,
                 mask=mask if keep_masks else None,
                 seconds=time.perf_counter() - t0,
                 error=err,
             )
-            stats.results.append(res)
             if on_result is not None:
-                on_result(res)
+                try:
+                    on_result(res)
+                except Exception as e:
+                    logger.error(f"cohort: on_result callback failed for {name}: {e}")
+                    res.error = res.error or f"on_result failed: {e}"
+            stats.results.append(res)
 
     lt = threading.Thread(target=loader_thread, daemon=True)
     ft = threading.Thread(target=finisher_thread, daemon=True)
@@ -143,18 +183,19 @@ def run_cohort(
         t0 = time.perf_counter()
         if err is not None:
             logger.warning(f"cohort: skipping {name}: {err}")
-            out_q.put((name, None, None, t0, err))
+            out_q.put((name, None, None, None, t0, err))
             continue
         try:
-            mask = (
-                inferer.apply_preprocessed(pre)
-                if split_phase
-                else inferer.apply(img)
-            )
-            out_q.put((name, img, mask, t0, None))
+            if split_finish:
+                payload = inferer.forward_preprocessed(pre)
+            elif split_phase:
+                payload = inferer.apply_preprocessed(pre)
+            else:
+                payload = inferer.apply(img)
+            out_q.put((name, img, pre, payload, t0, None))
         except Exception as e:
             logger.error(f"cohort: inference failed for {name}: {e}")
-            out_q.put((name, img, None, t0, str(e)))
+            out_q.put((name, img, None, None, t0, str(e)))
 
     out_q.put(None)
     lt.join()
