@@ -89,3 +89,55 @@ def test_cohort_skips_bad_volume(inferer, tmp_path):
     assert len(stats.results) == 2
     errs = [r for r in stats.results if r.error is not None]
     assert len(errs) == 1 and "missing" in errs[0].name
+
+
+def test_cohort_on_result_exception_does_not_hang(inferer):
+    """A raising on_result callback must not kill the finisher thread (which
+    would deadlock the bounded queue); the error lands on that result."""
+    calls = []
+
+    def bad_cb(res):
+        calls.append(res.name)
+        raise RuntimeError("observer crashed")
+
+    stats = run_cohort(
+        [_vol(i) for i in range(5)], inferer, on_result=bad_cb, keep_masks=True
+    )
+    assert len(stats.results) == 5
+    assert len(calls) == 5
+    assert all("on_result failed" in (r.error or "") for r in stats.results)
+    assert all(r.mask is not None for r in stats.results)  # masks still produced
+
+
+def test_cohort_duplicate_names_not_overwritten(tmp_path, inferer):
+    """Two sources with the same basename must not clobber each other's
+    output mask."""
+    a = tmp_path / "patientA"
+    b = tmp_path / "patientB"
+    a.mkdir()
+    b.mkdir()
+    for d, seed in ((a, 1), (b, 2)):
+        nifti.write(MedicalImage(_vol(seed)), str(d / "CT.nii.gz"))
+    out = tmp_path / "out"
+    out.mkdir()
+    stats = run_cohort(
+        [str(a / "CT.nii.gz"), str(b / "CT.nii.gz")], inferer, output_dir=str(out)
+    )
+    assert all(r.error is None for r in stats.results)
+    written = sorted(os.listdir(out))
+    assert len(written) == 2, written
+
+
+def test_cohort_failing_source_iterator(inferer):
+    """An exception from the sources iterable itself is recorded instead of
+    silently truncating the cohort."""
+
+    def gen():
+        yield _vol(0)
+        yield _vol(1)
+        raise OSError("listing failed")
+
+    stats = run_cohort(gen(), inferer)
+    errors = [r for r in stats.results if r.error]
+    assert len(stats.results) == 3
+    assert len(errors) == 1 and "source iteration failed" in errors[0].error
