@@ -56,6 +56,7 @@ int lm_rle_decode(const uint8_t* src, int64_t n, uint8_t* out,
   uint32_t n_seg;
   std::memcpy(&n_seg, src, 4);
   if (n_seg == 0 || n_seg > 15 || (int32_t)n_seg != bytes_per_sample) return -3;
+  std::vector<uint8_t> plane;
   for (uint32_t s = 0; s < n_seg; ++s) {
     uint32_t off, next;
     std::memcpy(&off, src + 4 + 4 * s, 4);
@@ -65,16 +66,12 @@ int lm_rle_decode(const uint8_t* src, int64_t n, uint8_t* out,
       next = (uint32_t)n;
     if (off < 64 || next > n || off > next) return -4;
     // Plane s holds byte (n_seg-1-s) of each little-endian sample.
-    uint8_t* plane = new uint8_t[n_pixels];
-    int rc = packbits_decode(src + off, next - off, plane, n_pixels);
-    if (rc != 0) {
-      delete[] plane;
-      return -5;
-    }
+    if (plane.size() < (size_t)n_pixels) plane.resize(n_pixels);
+    int rc = packbits_decode(src + off, next - off, plane.data(), n_pixels);
+    if (rc != 0) return -5;
     int64_t byte_ix = (int64_t)n_seg - 1 - s;  // little-endian byte index
     for (int64_t p = 0; p < n_pixels; ++p)
       out[p * bytes_per_sample + byte_ix] = plane[p];
-    delete[] plane;
   }
   return 0;
 }
@@ -136,7 +133,8 @@ struct Huff {
   uint8_t vals[256];
   bool ok = false;
 
-  void build(const uint8_t* counts /*16*/, const uint8_t* values, int nvals) {
+  bool build(const uint8_t* counts /*16*/, const uint8_t* values, int nvals) {
+    if (nvals > 256) return false;  // canonical tables hold at most 256 symbols
     int code = 0, k = 0;
     for (int l = 1; l <= 16; ++l) {
       valptr[l] = k;
@@ -147,8 +145,9 @@ struct Huff {
       k += counts[l - 1];
       code <<= 1;
     }
-    for (int i = 0; i < nvals && i < 256; ++i) vals[i] = values[i];
+    for (int i = 0; i < nvals; ++i) vals[i] = values[i];
     ok = true;
+    return true;
   }
 
   int decode(BitReader& br) const {  // returns symbol or -1
@@ -196,7 +195,9 @@ int lm_jpegll_decode(const uint8_t* src, int64_t n, uint16_t* out,
       continue;
     }
     int seg = (src[p + 2] << 8) | src[p + 3];
+    if (seg < 2 || p + 2 + seg > n) return -2;  // segment must fit the buffer
     if (m == 0xC3) {  // SOF3
+      if (seg < 8) return -3;
       prec = src[p + 4];
       rows = (src[p + 5] << 8) | src[p + 6];
       cols = (src[p + 7] << 8) | src[p + 8];
@@ -206,17 +207,22 @@ int lm_jpegll_decode(const uint8_t* src, int64_t n, uint16_t* out,
       int64_t q = p + 4, end = p + 2 + seg;
       while (q + 17 <= end) {
         int tc_th = src[q];
+        int tc = (tc_th >> 4) & 0x0F;  // table class: 0=DC (lossless scans)
         int id = tc_th & 0x0F;
         const uint8_t* counts = src + q + 1;
         int nv = 0;
         for (int i = 0; i < 16; ++i) nv += counts[i];
         if (q + 17 + nv > end || id > 3) return -4;
-        tables[id].build(counts, src + q + 17, nv);
+        // AC-class tables are irrelevant to lossless scans; skip them so an
+        // unused AC table with the same id cannot clobber the DC table.
+        if (tc == 0 && !tables[id].build(counts, src + q + 17, nv)) return -4;
         q += 17 + nv;
       }
     } else if (m == 0xDD) {  // DRI
+      if (seg < 4) return -2;
       restart_interval = (src[p + 4] << 8) | src[p + 5];
     } else if (m == 0xDA) {  // SOS
+      if (seg < 8) return -5;  // 2 len + ns + 2*1 comp + Ss/Se/AhAl
       int ns = src[p + 4];
       if (ns != 1) return -5;
       scan_table = (src[p + 6] >> 4) & 0x0F;  // DC table selector
@@ -268,7 +274,7 @@ int lm_jpegll_decode(const uint8_t* src, int64_t n, uint16_t* out,
         }
       }
       int ssss = h.decode(br);
-      if (ssss < 0) return -11;
+      if (ssss < 0 || ssss > 16) return -11;
       int diffbits = (ssss == 16) ? 0 : ssss;
       int v = br.get(diffbits);
       if (v < 0) return -11;
@@ -380,9 +386,8 @@ struct Decoder {
     // Default thresholds (T.87 C.2.4.1.1.1), overridable via LSE.
     int32_t d1, d2, d3;
     if (maxval >= 128) {
-      int32_t factor = (maxval < 4095 ? maxval : 4095) / 256 + 1;
-      // NOTE: spec formula uses FACTOR = floor((min(MAXVAL,4095)+128)/256)
-      factor = ((maxval < 4095 ? maxval : 4095) + 128) >> 8;
+      // T.87: FACTOR = floor((min(MAXVAL,4095)+128)/256)
+      const int32_t factor = ((maxval < 4095 ? maxval : 4095) + 128) >> 8;
       d1 = clamp3(factor * (3 - 2) + 2 + 3 * near, near + 1, maxval);
       d2 = clamp3(factor * (7 - 3) + 3 + 5 * near, d1, maxval);
       d3 = clamp3(factor * (21 - 4) + 4 + 7 * near, d2, maxval);
@@ -554,15 +559,18 @@ int32_t lm_jpegls_decode(const uint8_t* src, int64_t n, uint16_t* out,
     if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7)) { p += 2; continue; }
     if (m == 0xD9) break;
     const int32_t seg = (src[p + 2] << 8) | src[p + 3];
-    if (p + 2 + seg > n) return -3;
+    if (seg < 2 || p + 2 + seg > n) return -3;
     const uint8_t* s = src + p + 4;
     if (m == 0xF7) {  // SOF55
+      if (seg < 8) return -3;  // 2 len + prec + h(2) + w(2) + ncomp
       precision = s[0];
       h = (s[1] << 8) | s[2];
       w = (s[3] << 8) | s[4];
       ncomp = s[5];
     } else if (m == 0xF8) {  // LSE
+      if (seg < 3) return -3;
       if (s[0] == 1) {
+        if (seg < 13) return -3;  // 2 len + id + 5 parameters x 2 bytes
         maxval = (s[1] << 8) | s[2];
         t1 = (s[3] << 8) | s[4];
         t2 = (s[5] << 8) | s[6];
@@ -574,6 +582,7 @@ int32_t lm_jpegls_decode(const uint8_t* src, int64_t n, uint16_t* out,
     } else if (m == 0xDA) {  // SOS
       const int32_t ns = s[0];
       if (ns != 1 || ncomp != 1) return -5;  // single component only
+      if (seg < 2 + 1 + 2 * ns + 3) return -5;
       near = s[1 + 2 * ns];
       const int32_t ilv = s[1 + 2 * ns + 1];
       if (ilv != 0) return -6;

@@ -65,18 +65,15 @@ def _sha256_prefix_of_name(filename: str) -> Optional[str]:
     return None
 
 
-def _verify_sha(path: str, expected_prefix: Optional[str]) -> None:
-    if not expected_prefix:
-        return
-    h = hashlib.sha256()
-    with open(path, "rb") as f:
-        for chunk in iter(lambda: f.read(1 << 20), b""):
-            h.update(chunk)
-    digest = h.hexdigest()
-    if not digest.startswith(expected_prefix):
+def _verify_sha(path: str, expected_prefix: Optional[str]) -> str:
+    """Full-file sha256, checked against the registry prefix when given.
+    Returns the digest so callers reuse it (one pass over the checkpoint)."""
+    digest = _sha256_full(path)
+    if expected_prefix and not digest.startswith(expected_prefix):
         raise RuntimeError(
             f"Checksum mismatch for {path}: sha256={digest}, expected prefix {expected_prefix}"
         )
+    return digest
 
 
 def _download(url: str, dest: str) -> None:
@@ -137,7 +134,7 @@ def get_model(
                 ) from e
         # Verify whether freshly downloaded or pre-placed in the cache — a
         # truncated manual copy must not be converted silently.
-        _verify_sha(pth_path, expected_sha)
+        source_sha = _verify_sha(pth_path, expected_sha)
         params, n_classes = convert.convert_pth(pth_path)
         convert.save_npz(
             npz_path,
@@ -145,7 +142,7 @@ def get_model(
             meta={
                 "source": os.path.basename(url),
                 "model": modelname,
-                "source_sha256": _sha256_full(pth_path),
+                "source_sha256": source_sha,
             },
         )
         logger.info(f"Converted {pth_path} -> {npz_path}")

@@ -108,7 +108,9 @@ def largest_component_mask(labels: jnp.ndarray) -> jnp.ndarray:
     Empty input → all-False."""
     areas = areas_by_root(labels).at[0].set(0)
     best_root = jnp.argmax(areas)  # argmax returns the smallest index on ties
-    return labels == best_root
+    # All-background input: every area is 0 and argmax lands on root 0, which
+    # would select the whole background — mask it to the documented all-False.
+    return (labels == best_root) & (best_root > 0)
 
 
 def largest_component_mask_last_tie(labels: jnp.ndarray) -> jnp.ndarray:

@@ -299,3 +299,36 @@ def test_truncated_jpeg_peek_raises_valueerror():
         codecs._peek_sof3_dims(bytes.fromhex("ffd8ffc3000810"))
     with pytest.raises(ValueError, match="truncated|no SOF"):
         codecs._peek_jpegls_dims(bytes.fromhex("ffd8fff7000810"))
+
+
+def test_malformed_jpeg_streams_error_cleanly():
+    """Truncated/malformed codestreams must return clean errors (no OOB reads
+    in the native core, no uncaught low-level exceptions)."""
+    if codecs.get_lib() is None:
+        pytest.skip("native codec core unavailable")
+    bad = [
+        bytes.fromhex("ffd8ffc40004ffff"),          # DHT segment past buffer
+        bytes.fromhex("ffd8ffc3000401"),            # SOF3 too short
+        bytes.fromhex("ffd8ffc3000b08001000100100ffda0003"),  # SOS too short
+        # DHT whose counts sum to >256 (filled with 255s)
+        bytes.fromhex("ffd8ffc40115" + "00" + "ff" * 16 + "00" * 0x100),
+        b"\xff\xd8" + b"\xff\xc4" + b"\x00\x13" + b"\x00" + b"\x01" * 16 + b"\x00",
+    ]
+    for data in bad:
+        with pytest.raises(ValueError):
+            codecs.jpegll_decode(data)
+
+
+def test_ac_class_dht_does_not_clobber_dc_table(tmp_path, ct_slice):
+    """An AC-class (Tc=1) Huffman table with the same id must not overwrite
+    the DC table a lossless scan uses."""
+    if codecs.get_lib() is None:
+        pytest.skip("native codec core unavailable")
+    stream = codecs.jpegll_encode(ct_slice.view(np.uint16), precision=16)
+    assert stream[:2] == b"\xff\xd8"
+    # Inject a garbage AC-class DHT (Tc=1, Th=0) right after SOI.
+    counts = bytes([1] + [0] * 15)
+    ac_dht = b"\xff\xc4" + (3 + 16 + 1).to_bytes(2, "big") + b"\x10" + counts + b"\x05"
+    patched = stream[:2] + ac_dht + stream[2:]
+    out = codecs.jpegll_decode(patched)
+    np.testing.assert_array_equal(out.view(np.int16), ct_slice)
