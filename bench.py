@@ -237,8 +237,11 @@ def main():
         # Host CPU on this shared machine is noisy (same postprocess measured
         # 1.1-4.1 s across runs at identical inputs); best-of-N is the
         # low-noise latency estimate, the mean is reported alongside.
+        # This VM has ONE CPU core; any concurrent process (incl. the driver
+        # harness itself) steals the host postprocess stage's core, which
+        # measured 0.7-10 s for identical inputs. Best-of-5 rides out bursts.
         e2e_times, e2e_stages = [], []
-        for _ in range(2 if small else 3):
+        for _ in range(2 if small else 5):
             inferer.timings.reset()
             t0 = time.perf_counter()
             inferer.apply(e2e_vol)

@@ -98,6 +98,7 @@ def postprocessing(
             champion_area[v] = r.area
             class_of_comp[r.label] = v
 
+    merged_any = False
     for r in tqdm(regions, disable=disable_tqdm, desc="component merge"):
         v = int(r.max_intensity)
         if (r.area < champion_area[v] or v in spare) and r.area >= skip_below:
@@ -125,6 +126,7 @@ def postprocessing(
                     merge_target = n
                     moved_area = r.area
             if merge_target != r.label:
+                merged_any = True
                 sub[rmask] = merge_target  # writes through into comp_map
                 box_lo[merge_target] = np.minimum(box_lo[merge_target], box_lo[r.label])
                 box_hi[merge_target] = np.maximum(box_hi[merge_target], box_hi[r.label])
@@ -157,8 +159,26 @@ def postprocessing(
     # component's bbox its binary mask is empty, so every window-border
     # background voxel connects to the volume border through the empty
     # exterior and window holes coincide with volume holes.
-    comp_final = cc_host.label(class_volume)
-    finals = cc_host.regionprops(comp_final, class_volume)
+    if not merged_any and not spare:
+        # No merge wrote into comp_map and no spare value was zeroed out, so
+        # ``class_volume`` is exactly comp_map restricted to the per-class
+        # champions: two same-class champions cannot touch (they would have
+        # been one component), and zeroing non-champions only grows the
+        # background. The partition is therefore unchanged — reuse the first
+        # labeling instead of re-labeling the volume (the relabel is the
+        # dominant final-sweep cost). ``finals`` holds exactly the components
+        # present in class_volume (every region ever marked as its class's
+        # running champion — interim champions survive the LUT too) in
+        # ascending label order (the reference's tie-break is last-max in
+        # that order).
+        comp_final = comp_map
+        finals = sorted(
+            (r for r in regions if class_of_comp[r.label]),
+            key=lambda r: r.label,
+        )
+    else:
+        comp_final = cc_host.label(class_volume)
+        finals = cc_host.regionprops(comp_final, class_volume)
     champion = {}  # class -> Region; ascending-label scan keeps the LAST max
     for r in finals:
         v = int(r.max_intensity)

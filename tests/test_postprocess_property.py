@@ -85,3 +85,20 @@ def test_single_slice_volume_path():
     want = _literal_reference(vol.copy())
     np.testing.assert_array_equal(got, want)
     assert got[0, 8, 8] == 1
+
+
+def test_no_merge_fast_path_equals_literal():
+    """Clean volumes (champions + sub-skip_below specks only, no merges, no
+    spare) take the label-reuse fast path; output must still equal the
+    literal reference algorithm exactly — including interim-champion removal
+    and hole filling."""
+    vol = np.zeros((8, 32, 32), dtype=np.uint8)
+    vol[1:7, 2:14, 2:14] = 1          # class-1 champion
+    vol[2:5, 4:9, 4:9] = 0            # hole in it (must fill)
+    vol[1:3, 20:24, 20:24] = 1        # smaller class-1 component (interim
+    vol[5, 28, 28] = 1                # champion ordering exercised) + speck
+    vol[3:6, 16:28, 2:10] = 2         # class-2 champion
+    vol[7, 1, 1] = 2                  # speck below skip_below
+    got = postprocessing(vol, disable_tqdm=True)
+    want = _literal_reference(vol)
+    np.testing.assert_array_equal(got, want)
