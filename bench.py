@@ -263,6 +263,18 @@ def main():
         cohort_vph = round(cohort.volumes_per_hour, 1)
         cohort_errors = sum(1 for r in cohort.results if r.error)
 
+        # Cohort again with device-side postprocessing: the host has ONE core
+        # shared by decode/preprocess/postprocess/paste, so moving the
+        # postprocess stage onto the TPU raises the host-bound pipeline
+        # ceiling (documented accuracy contract in
+        # transforms/postprocess_device.py).
+        dev_inferer = LMInferer(
+            modelpath=wpath, tqdm_disable=True, postprocessing_mode="device"
+        )
+        dev_inferer.apply(e2e_vol)  # warm/compile
+        cohort_dev = run_cohort([e2e_vol] * (2 if small else 6), dev_inferer)
+        cohort_dev_vph = round(cohort_dev.volumes_per_hour, 1)
+
         # Fused dual-model path (BASELINE config 4 — LTRCLobes_R231): both
         # nets in one dispatch over shared preprocessing, three postprocessing
         # passes (reference: "up to several minutes" extra, README.md:9).
@@ -362,6 +374,7 @@ def main():
                     "e2e_volume_shape": list(e2e_vol.shape),
                     "e2e_preprocessing": inferer.preprocessing,
                     "cohort_volumes_per_hour": cohort_vph,
+                    "cohort_volumes_per_hour_device_postproc": cohort_dev_vph,
                     "cohort_size": len(cohort.results),
                     "cohort_errors": cohort_errors,
                     "fused_e2e_sec_per_volume": round(fused_e2e_s, 3),

@@ -292,10 +292,22 @@ class LMInferer:
         semantics-free: appended background extends the volume border, so
         component structure and border-reachability (hole filling) of the
         original slices are unchanged."""
-        from lungmask_tpu.transforms.postprocess_device import postprocess_device
+        from lungmask_tpu.transforms.postprocess_device import (
+            postprocess_device,
+            postprocess_device_packed2,
+        )
 
         if self.mesh is None:
-            return np.asarray(postprocess_device(jnp.asarray(pred), n_classes))
+            pred = jnp.asarray(pred)
+            if n_classes <= 4 and pred.shape[2] % 4 == 0:
+                # Crumb-packed download (2 bits/pixel): the cleaned mask costs
+                # a quarter of the dense transfer — on tunnel-attached TPUs
+                # the download otherwise dominates this mode.
+                from lungmask_tpu.runtime.engine import unpack_crumbs
+
+                packed = np.asarray(postprocess_device_packed2(pred, n_classes))
+                return unpack_crumbs(packed)
+            return np.asarray(postprocess_device(pred, n_classes))
         from lungmask_tpu.parallel import make_sharded_postprocess
 
         step = self._sharded_post.get(n_classes)

@@ -53,6 +53,23 @@ def _largest_cc(mask: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("n_classes",))
+def postprocess_device_packed2(pred: jnp.ndarray, n_classes: int) -> jnp.ndarray:
+    """:func:`postprocess_device` with the cleaned map crumb-packed on device
+    (four 2-bit pixels per byte, W/4 out) — quarter-size host download, the
+    same packing the inference engine uses (runtime/engine.unpack_crumbs).
+    Valid for ≤4-class models with W % 4 == 0."""
+    dense = postprocess_device(pred, n_classes)
+    m, h, w = dense.shape
+    quads = dense.reshape(m, h, w // 4, 4)
+    return (
+        quads[..., 0]
+        | (quads[..., 1] << 2)
+        | (quads[..., 2] << 4)
+        | (quads[..., 3] << 6)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_classes",))
 def postprocess_device(pred: jnp.ndarray, n_classes: int) -> jnp.ndarray:
     """(N, H, W) uint8 class map → cleaned uint8 map, entirely on device.
 
