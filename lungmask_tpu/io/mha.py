@@ -46,8 +46,13 @@ def read(path: str) -> MedicalImage:
         # .mhd detached header: data lives in a sibling file.
         data_path = os.path.join(os.path.dirname(path), datafile)
         with open(data_path, "rb") as f:
-            detached = f.read()
-        data = data[:pos] + detached
+            raw = f.read()
+    else:
+        raw = data[pos:]
+    header_size = int(header.get("HeaderSize", "0") or 0)
+    if header_size > 0:
+        raw = raw[header_size:]
+    # HeaderSize = -1 (data at the tail) resolves after the size is known.
     if int(header.get("NDims", "3")) != 3:
         raise ValueError(f"{path}: only 3-D MetaImages supported")
     dims = [int(v) for v in header["DimSize"].split()]
@@ -59,11 +64,21 @@ def read(path: str) -> MedicalImage:
     # our convention keeps them as columns.
     direction = np.asarray(tm, dtype=np.float64).reshape(3, 3).T
 
-    raw = data[pos:]
     if header.get("CompressedData", "False").lower() == "true":
         raw = zlib.decompress(raw)
     nx, ny, nz = dims
+    need = nx * ny * nz * np.dtype(dtype).itemsize
+    if header_size == -1:
+        raw = raw[-need:]
+    if len(raw) < need:
+        raise ValueError(
+            f"{path}: MetaImage payload truncated ({len(raw)} < {need})"
+        )
     arr = np.frombuffer(raw, dtype=dtype, count=nx * ny * nz).reshape(nz, ny, nx)
+    if header.get("BinaryDataByteOrderMSB", "False").lower() == "true" or (
+        header.get("ElementByteOrderMSB", "False").lower() == "true"
+    ):
+        arr = arr.byteswap().view(arr.dtype)
     return MedicalImage(
         array=np.ascontiguousarray(arr),
         spacing=tuple(spacing),

@@ -88,12 +88,21 @@ def read(path: str) -> MedicalImage:
             img_path += ".gz"
         with _open(img_path, "rb") as f:
             data = f.read()
-        vox_offset = 0.0
+        # For 'ni1' pairs, vox_offset is the byte offset INTO the .img file
+        # (NIfTI-1 spec) — keep it, unlike the 'n+1' case where it offsets
+        # into this same buffer past the header.
     arr = np.frombuffer(
         data, dtype=dtype, count=count, offset=int(vox_offset)
     ).reshape(nz, ny, nx)
-    if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
-        arr = arr.astype(np.float32) * (scl_slope or 1.0) + scl_inter
+    # NIfTI-1: scl_slope == 0 means "no scaling" (intercept ignored too);
+    # NaN slope/intercept likewise disable scaling (nibabel semantics).
+    if (
+        np.isfinite(scl_slope)
+        and np.isfinite(scl_inter)
+        and scl_slope != 0.0
+        and (scl_slope != 1.0 or scl_inter != 0.0)
+    ):
+        arr = arr.astype(np.float32) * scl_slope + scl_inter
 
     if sform_code > 0:
         affine = srow

@@ -16,7 +16,8 @@ per-slice masks in the input pixel grid.
 from __future__ import annotations
 
 import os
-from typing import Sequence
+import re
+from typing import List, Sequence
 
 import numpy as np
 
@@ -31,16 +32,27 @@ def to_pseudo_hu(stack: np.ndarray) -> np.ndarray:
     return (np.round(x / 255.0 * 1624.0) - 1024.0).astype(np.int16)
 
 
-def _read_gray(path: str) -> np.ndarray:
-    from PIL import Image
+def _read_gray_frames(path: str) -> List[np.ndarray]:
+    """All grayscale frames of an image file — multi-page TIFF stacks yield
+    every page (a single-file '8-bit image stack' per the --noHU contract)."""
+    from PIL import Image, ImageSequence
 
     with Image.open(path) as im:
-        return np.asarray(im.convert("L"))
+        return [np.asarray(fr.convert("L")) for fr in ImageSequence.Iterator(im)]
+
+
+def _natural_key(name: str):
+    """slice2 < slice10: numeric runs compare as integers, not strings."""
+    return [
+        int(tok) if tok.isdigit() else tok.lower()
+        for tok in re.split(r"(\d+)", name)
+    ]
 
 
 def load_image_stack(paths: Sequence[str]) -> MedicalImage:
-    """Load an explicit list of 8-bit image files as a pseudo-HU volume."""
-    slices = [_read_gray(p) for p in paths]
+    """Load a list of 8-bit image files (each possibly multi-frame) as a
+    pseudo-HU volume."""
+    slices = [fr for p in paths for fr in _read_gray_frames(p)]
     shapes = {s.shape for s in slices}
     if len(shapes) != 1:
         raise ValueError(f"inconsistent slice shapes: {sorted(shapes)}")
@@ -48,12 +60,13 @@ def load_image_stack(paths: Sequence[str]) -> MedicalImage:
 
 
 def load_image_directory(path: str) -> MedicalImage:
-    """Load all images under ``path`` (filename order) as a pseudo-HU volume."""
-    files = sorted(
+    """Load all images under ``path`` (natural filename order, so
+    ``slice2 < slice10``) as a pseudo-HU volume."""
+    files = [
         os.path.join(path, f)
-        for f in os.listdir(path)
+        for f in sorted(os.listdir(path), key=_natural_key)
         if f.lower().endswith(IMAGE_EXTS)
-    )
+    ]
     if not files:
         raise ValueError(f"no image files found in {path}")
     return load_image_stack(files)

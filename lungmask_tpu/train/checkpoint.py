@@ -21,7 +21,14 @@ import jax.numpy as jnp
 from lungmask_tpu.train.trainer import TrainState
 
 
+def _normalize(path: str) -> str:
+    """np.savez appends '.npz' to extensionless paths; normalize on both the
+    save and load side so the same string round-trips."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_train_state(path: str, state: TrainState, meta: Dict[str, Any] | None = None) -> None:
+    path = _normalize(path)
     flat = {
         f"leaf{i:05d}": np.asarray(x)
         for i, x in enumerate(jax.tree_util.tree_leaves(state))
@@ -38,6 +45,7 @@ def load_train_state(path: str, template: TrainState) -> Tuple[TrainState, Dict[
     ``template`` supplies the pytree structure (build it with
     ``init_train_state`` using the same model/optimizer configuration).
     """
+    path = _normalize(path)
     with np.load(path) as data:
         meta = (
             json.loads(bytes(data["__meta__"]).decode("utf-8"))

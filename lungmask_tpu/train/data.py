@@ -59,6 +59,12 @@ class SliceDataset:
         """Yields (images (B,256,256,1) f32, labels (B,256,256) i32)."""
         rng = np.random.default_rng(seed)
         n = len(self)
+        if drop_last and n < batch_size:
+            raise ValueError(
+                f"batch_size={batch_size} exceeds the dataset ({n} slices); "
+                "every epoch would yield zero batches — lower batch_size or "
+                "pass drop_last=False"
+            )
         for _ in range(epochs):
             order = rng.permutation(n)
             stop = n - (n % batch_size) if drop_last else n

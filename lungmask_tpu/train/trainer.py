@@ -17,7 +17,6 @@ on their own annotated CT data, TPU-natively:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
@@ -73,14 +72,13 @@ def make_train_step(
     (state, loss)``; sharded over the mesh when one is given."""
 
     def loss_fn(params, images, labels):
-        fwd = unet.unet_logits
         if remat:
             fwd = jax.checkpoint(
                 lambda p, x: unet.unet_logits(p, x, compute_dtype=compute_dtype)
             )
             logits = fwd(params, images)
         else:
-            logits = fwd(params, images, compute_dtype=compute_dtype)
+            logits = unet.unet_logits(params, images, compute_dtype=compute_dtype)
         ce = cross_entropy_loss(logits, labels)
         dc = dice_loss(logits, labels)
         return (1.0 - dice_weight) * ce + dice_weight * dc

@@ -683,3 +683,63 @@ def test_vtk_gipl_truncated_payload_message(tmp_path):
     open(p, "wb").write(data[:-10])
     with pytest.raises(ValueError, match="truncated"):
         loader.load_input_image(p)
+
+
+def test_mha_big_endian_and_headersize(tmp_path, rng):
+    """BinaryDataByteOrderMSB=True byteswaps; HeaderSize skips a data-file
+    prefix (MetaIO spec fields ITK honors)."""
+    from lungmask_tpu.io import loader
+
+    arr = rng.integers(-1024, 600, size=(2, 4, 3)).astype(np.int16)
+    raw = tmp_path / "v.raw"
+    raw.write_bytes(b"\x42" * 16 + arr.astype(">i2").tobytes())
+    (tmp_path / "v.mhd").write_text(
+        "ObjectType = Image\nNDims = 3\nDimSize = 3 4 2\n"
+        "ElementType = MET_SHORT\nBinaryDataByteOrderMSB = True\n"
+        "HeaderSize = 16\nElementDataFile = v.raw\n"
+    )
+    back = loader.load_input_image(str(tmp_path / "v.mhd"))
+    np.testing.assert_array_equal(back.array, arr)
+
+
+def test_nifti_scl_slope_zero_ignored(tmp_path, rng):
+    """NIfTI-1: scl_slope == 0 disables scaling entirely (intercept too)."""
+    from lungmask_tpu.io import loader, nifti
+    from lungmask_tpu.io.image import MedicalImage
+
+    arr = rng.integers(-1024, 600, size=(2, 4, 3)).astype(np.int16)
+    p = str(tmp_path / "v.nii")
+    nifti.write(MedicalImage(arr), p)
+    data = bytearray(open(p, "rb").read())
+    import struct as _s
+
+    _s.pack_into("<2f", data, 112, 0.0, -1024.0)  # slope=0, inter=-1024
+    open(p, "wb").write(bytes(data))
+    back = loader.load_input_image(p)
+    np.testing.assert_array_equal(back.array, arr)  # NOT shifted by -1024
+
+
+def test_nohu_multipage_tiff_and_natural_sort(tmp_path):
+    from PIL import Image
+
+    from lungmask_tpu.io import nohu
+
+    frames = [
+        Image.fromarray(np.full((8, 8), v, np.uint8), mode="L")
+        for v in (10, 20, 30)
+    ]
+    p = str(tmp_path / "stack.tif")
+    frames[0].save(p, save_all=True, append_images=frames[1:])
+    img = nohu.load_image_stack([p])
+    assert img.array.shape == (3, 8, 8)
+
+    d = tmp_path / "slices"
+    d.mkdir()
+    for i, v in [(1, 1), (2, 2), (10, 10), (11, 11)]:
+        Image.fromarray(np.full((4, 4), v, np.uint8), mode="L").save(
+            str(d / f"slice{i}.png")
+        )
+    vol = nohu.load_image_directory(str(d))
+    # natural order 1, 2, 10, 11 — lexicographic would give 1, 10, 11, 2
+    order = [int(v) for v in np.round((vol.array[:, 0, 0] + 1024) / 1624 * 255)]
+    assert order == [1, 2, 10, 11]

@@ -114,3 +114,29 @@ def test_finetune_loop_improves_loss():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert np.mean(losses[-3:]) < np.mean(losses[:3])
+
+
+def test_checkpoint_extensionless_path_roundtrip(tmp_path):
+    import optax
+
+    from lungmask_tpu.models import unet
+    from lungmask_tpu.train import init_train_state
+    from lungmask_tpu.train.checkpoint import load_train_state, save_train_state
+
+    params = unet.init_params(jax.random.PRNGKey(0), n_classes=3, wf=2)
+    state = init_train_state(params, optax.sgd(1e-3))
+    p = str(tmp_path / "ckpt-step100")  # no .npz extension
+    save_train_state(p, state, meta={"step": 100})
+    restored, meta = load_train_state(p, state)
+    assert meta["step"] == 100
+
+
+def test_batches_rejects_oversized_batch():
+    from lungmask_tpu.train.data import SliceDataset
+
+    vol = np.zeros((4, 64, 64), np.int16)
+    mask = np.zeros((4, 64, 64), np.uint8)
+    ds = SliceDataset([(vol, mask)])
+    with pytest.raises(ValueError, match="zero batches"):
+        next(ds.batches(batch_size=32))
+    assert len(list(ds.batches(batch_size=32, drop_last=False))) == 1
