@@ -10,7 +10,15 @@ reference: ``LMInferer`` (+ deprecated ``apply``/``apply_fused``) and the
 
 __version__ = "0.1.0"
 
+from lungmask_tpu import metrics
 from lungmask_tpu.inferer import LMInferer, apply, apply_fused
 from lungmask_tpu.io.image import MedicalImage
 
-__all__ = ["LMInferer", "MedicalImage", "apply", "apply_fused", "__version__"]
+__all__ = [
+    "LMInferer",
+    "MedicalImage",
+    "apply",
+    "apply_fused",
+    "metrics",
+    "__version__",
+]
