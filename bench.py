@@ -271,9 +271,16 @@ def main():
         dev_inferer = LMInferer(
             modelpath=wpath, tqdm_disable=True, postprocessing_mode="device"
         )
-        dev_inferer.apply(e2e_vol)  # warm/compile
+        dev_mask = dev_inferer.apply(e2e_vol)  # warm/compile
         cohort_dev = run_cohort([e2e_vol] * (2 if small else 6), dev_inferer)
         cohort_dev_vph = round(cohort_dev.volumes_per_hour, 1)
+
+        # Accuracy contract, measured per run: device-mode postprocessing vs
+        # the exact path on the same prediction (lungmask_tpu.metrics).
+        from lungmask_tpu import metrics as lm_metrics
+
+        exact_mask = inferer.apply(e2e_vol)
+        postproc_cmp = lm_metrics.compare_masks(dev_mask, exact_mask)
 
         # Fused dual-model path (BASELINE config 4 — LTRCLobes_R231): both
         # nets in one dispatch over shared preprocessing, three postprocessing
@@ -375,6 +382,12 @@ def main():
                     "e2e_preprocessing": inferer.preprocessing,
                     "cohort_volumes_per_hour": cohort_vph,
                     "cohort_volumes_per_hour_device_postproc": cohort_dev_vph,
+                    "device_vs_exact_postproc_macro_dice": round(
+                        postproc_cmp.macro_dice, 5
+                    ),
+                    "device_vs_exact_postproc_voxel_agreement": round(
+                        postproc_cmp.voxel_accuracy, 6
+                    ),
                     "cohort_size": len(cohort.results),
                     "cohort_errors": cohort_errors,
                     "fused_e2e_sec_per_volume": round(fused_e2e_s, 3),
