@@ -277,6 +277,12 @@ def main():
 
         # Accuracy contract, measured per run: device-mode postprocessing vs
         # the exact path on the same prediction (lungmask_tpu.metrics).
+        # CAVEAT with synthetic threshold weights: their classes are intensity
+        # bands, not laterality, so the exact path's neighbor-merge relabels a
+        # whole lung between classes on this phantom — expect low agreement.
+        # With real R231 weights (laterality predicted directly) this measures
+        # the production contract (~0.05% divergence on merge-heavy masks,
+        # tests/test_postprocess_device.py).
         from lungmask_tpu import metrics as lm_metrics
 
         exact_mask = inferer.apply(e2e_vol)
@@ -387,6 +393,14 @@ def main():
                     ),
                     "device_vs_exact_postproc_voxel_agreement": round(
                         postproc_cmp.voxel_accuracy, 6
+                    ),
+                    "device_vs_exact_note": (
+                        "synthetic threshold weights: exact-path neighbor-merge"
+                        " relabels a whole lung between intensity-band classes"
+                        " on this phantom — low agreement expected; with real"
+                        " weights this measures the production contract"
+                        if weights.startswith("synthetic")
+                        else "production contract"
                     ),
                     "cohort_size": len(cohort.results),
                     "cohort_errors": cohort_errors,
