@@ -18,11 +18,17 @@ test_device_divergence_contract): device output differs from the exact path
 only on voxels of non-champion components with area ≥ skip_below — the exact
 path remaps them into the adjacent label with the widest shared border, this
 path removes them (plus, transitively, any holes such a merge would have
-sealed, and the rare champion-shift where a merge grows a smaller component
-past its label's previous largest). On a merge-heavy 5-lobe phantom the
-divergence is exactly the satellite set, ~0.05% of the volume; on clean
-single-model predictions the two paths are bit-identical. Bit-parity
-workloads should keep the default ``postprocessing_mode="exact"``.
+sealed, and champion shifts where a merge grows a smaller component past its
+label's previous largest). On a merge-heavy 5-lobe phantom the divergence is
+exactly the satellite set, ~0.05% of the volume; on clean single-model
+predictions the two paths are bit-identical. **The champion-shift case can be
+arbitrarily large when class assignments depend on the merge phase**: with
+intensity-threshold (synthetic) weights, whose classes are HU bands rather
+than laterality, the exact path's merge relabels an entire lung between
+classes — measured in bench.py's ``device_vs_exact_*`` extras. Real R231/
+LTRCLobes predictions assign laterality/lobes directly, so their merges move
+only small satellites. Bit-parity workloads should keep the default
+``postprocessing_mode="exact"``.
 
 All stages are lax.while_loop label propagation / flood fill over the volume
 — no host round-trips, shardable over a mesh.
