@@ -104,7 +104,14 @@ def regionprops(
 
     from lungmask_tpu.ops import native
 
-    res = native.regionprops_arrays(label_image, intensity_image, nmax)
+    # The native core computes integer max-intensity; float intensity images
+    # (a valid input per the signature, unused by in-repo callers) would be
+    # silently truncated — keep them on the exact scipy path.
+    res = None
+    if intensity_image is None or np.issubdtype(
+        np.asarray(intensity_image).dtype, np.integer
+    ):
+        res = native.regionprops_arrays(label_image, intensity_image, nmax)
     if res is not None:
         nareas, nmaxint, nbbox = res
         nd = label_image.ndim

@@ -106,11 +106,19 @@ def _box_from_mask(shape, mask128: jnp.ndarray) -> jnp.ndarray:
     The reference nearest-upzooms the bodymask to slice resolution, relabels
     at full resolution (8-conn) and takes the first region's bbox
     (utils.py:82,98-106). For upzooms, nearest resampling with monotone index
-    maps preserves 8-connectivity components *bijectively* (output-adjacent
-    pixels come from source pixels differing by ≤1 per axis, and every source
-    row/col appears), and scan order is preserved — so the first full-res
-    component is the image of the first 128² component and its bbox is the
-    exact preimage-range of the source bbox. That makes the full-resolution
+    maps preserves 8-connectivity components (output-adjacent pixels come
+    from source pixels differing by ≤1 per axis) and scan order, so the first
+    full-res component is the image of the first 128² component and its bbox
+    is the exact preimage-range of the source bbox. One caveat: for a few
+    target heights in 129..254, scipy's zoom plan maps NO output row to
+    source row/col 127 (the sample lands out of bounds and zero-fills), so a
+    component whose connectivity runs ONLY through that last row/col would
+    split at full resolution where the mapped bbox cannot. The bodymask
+    pipeline can never produce such a mask — erosion ×2 clears a 2-pixel
+    border band and dilation ×2 re-grows it only from interior support, so no
+    connectivity is carried exclusively by row/col 127 (pinned by the
+    real-CT and randomized parity tests). Do not reuse this mapping for
+    masks that lack that border guarantee. That makes the full-resolution
     connected-components pass (the most expensive device op in preprocessing)
     unnecessary: label at 128² and map the bbox through the static zoom index
     tables. Slices smaller than 128² (a downzoom, where components can merge
@@ -179,22 +187,29 @@ def pad_slices(n: int, bucket: int = SLICE_BUCKET) -> int:
     return ((n + bucket - 1) // bucket) * bucket
 
 
-def compute_boxes(volume: np.ndarray) -> np.ndarray:
-    """Crop boxes for every slice of a volume (host entry point).
-
-    Pads the slice count to a bucket multiple to bound jit recompilation.
-    Returns (N, 4) int32 boxes.
-    """
+def _padded_boxes(volume: np.ndarray):
+    """Pad the slice count to a bucket multiple (bounding jit recompiles) and
+    compute per-slice crop boxes. Returns (raw_dev padded, padded boxes)."""
     n, h, w = volume.shape
     n_pad = pad_slices(n)
     raw = volume
     if n_pad != n:
         pad = np.full((n_pad - n, h, w), HU_LO, dtype=raw.dtype)
         raw = np.concatenate([raw, pad], axis=0)
+    raw_dev = jnp.asarray(raw)
     boxes = np.asarray(
-        _boxes_for_volume(jnp.asarray(raw), use_pallas=default_use_pallas())
+        _boxes_for_volume(raw_dev, use_pallas=default_use_pallas())
     )
-    return boxes[:n]
+    return raw_dev, boxes
+
+
+def compute_boxes(volume: np.ndarray) -> np.ndarray:
+    """Crop boxes for every slice of a volume (host entry point).
+
+    Returns (N, 4) int32 boxes.
+    """
+    _, boxes = _padded_boxes(volume)
+    return boxes[: volume.shape[0]]
 
 
 def preprocess(
@@ -207,17 +222,9 @@ def preprocess(
             the U-Net (padded slices are the normalized −1024 background).
         boxes: (N, 4) int32 numpy crop boxes (for the paste-back plan).
     """
-    n, h, w = volume.shape
-    n_pad = pad_slices(n)
+    n = volume.shape[0]
     integer_input = np.issubdtype(volume.dtype, np.integer)
-    raw = volume
-    if n_pad != n:
-        pad = np.full((n_pad - n, h, w), HU_LO, dtype=raw.dtype)
-        raw = np.concatenate([raw, pad], axis=0)
-    raw_dev = jnp.asarray(raw)
-    boxes = np.asarray(
-        _boxes_for_volume(raw_dev, use_pallas=default_use_pallas())
-    )
+    raw_dev, boxes = _padded_boxes(volume)
     plan = resample.crop_resize_plan(boxes, resolution, order=1)
     normalized = _crop_normalize(raw_dev, plan, integer_input=integer_input)
     return normalized, boxes[:n]
@@ -259,7 +266,9 @@ def pack_bodymask_bits(volume: np.ndarray) -> np.ndarray:
     n, h, w = volume.shape
     ridx, roob = resample._axis_plan_np(h, 128, 0)
     cidx, coob = resample._axis_plan_np(w, 128, 0)
-    mask = volume[:, ridx][:, :, cidx] > BODY_THRESHOLD
+    # Single fused gather straight to (N, 128, 128): chained fancy indexing
+    # would materialize an (N, 128, W) intermediate copy on this hot path.
+    mask = volume[:, ridx[:, None], cidx[None, :]] > BODY_THRESHOLD
     if roob.any():
         mask[:, roob, :] = True
     if coob.any():
@@ -333,10 +342,16 @@ def preprocess_hybrid(
     """
     n, h, w = volume.shape
     if h < 128 or w < 128:
-        # The upzoom bbox mapping needs ≥128² slices; tiny slices take the
-        # resident-volume device path (the upload is small anyway).
-        normalized, boxes = preprocess(volume, resolution)
-        return normalized[:n], boxes
+        # The 128-grid bodymask needs ≥128² slices; keep the documented
+        # bit-for-bit-with-host contract by running the strict host pipeline
+        # (tiny slices cost little there) instead of the float32 device path.
+        from lungmask_tpu.transforms import host_pipeline
+
+        slices, hboxes = host_pipeline.preprocess(volume, resolution=resolution)
+        normalized = host_pipeline.normalize_hu(slices).astype(np.float32)
+        if compute_dtype is not None and jnp.dtype(compute_dtype) != jnp.float32:
+            normalized = normalized.astype(compute_dtype)
+        return jnp.asarray(normalized), np.asarray(hboxes)
     n_pad = pad_slices(n)
     packed = pack_bodymask_bits(volume)
     if n_pad != n:

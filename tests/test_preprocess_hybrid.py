@@ -144,3 +144,26 @@ def test_pack_bodymask_bits_matches_device_threshold(rng):
             resample.resize(jnp.asarray(clipped[i]), (128, 128), order=0)
         )
         assert np.array_equal(bits[i], small > preprocess.BODY_THRESHOLD)
+
+
+def test_hybrid_small_slices_bit_exact_with_host():
+    """Sub-128² slices must STILL honor hybrid's bit-for-bit-with-host
+    contract (they route to the strict host pipeline)."""
+    import jax.numpy as jnp
+
+    from lungmask_tpu.transforms import host_pipeline, preprocess
+
+    rng = np.random.default_rng(3)
+    vol = np.full((2, 100, 90), -1000, dtype=np.int16)
+    yy, xx = np.mgrid[0:100, 0:90]
+    body = ((yy - 50) / 35.0) ** 2 + ((xx - 45) / 30.0) ** 2 < 1
+    vol[:, body] = 40 + rng.integers(-60, 60, size=int(body.sum()))
+
+    hn, hb = preprocess.preprocess_hybrid(vol, compute_dtype=jnp.bfloat16)
+    slices, boxes = host_pipeline.preprocess(vol, resolution=(256, 256))
+    want = host_pipeline.normalize_hu(slices).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(hb), np.asarray(boxes))
+    assert hn.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(hn), want.astype(jnp.bfloat16)
+    )
