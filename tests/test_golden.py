@@ -186,3 +186,23 @@ def test_synthetic_golden_default_config_agreement(refvol, synthetic_w3):
     counts = np.array([int((res == v).sum()) for v in range(3)])
     delta = np.abs(counts - np.array(SYNTHETIC_GOLDEN)).sum()
     assert delta / res.size < 0.002, (counts.tolist(), SYNTHETIC_GOLDEN)
+
+
+@needs_refdata
+def test_synthetic_hybrid_host_masks_identical(refvol, synthetic_w3):
+    """Stronger than equal counts: the hybrid and host preprocessing configs
+    must produce voxel-identical masks on the reference's real CT series
+    (metrics.dice == 1.0 per label)."""
+    from lungmask_tpu import metrics
+
+    masks = {}
+    for pre in ("host", "hybrid"):
+        masks[pre] = LMInferer(
+            modelpath=synthetic_w3,
+            tqdm_disable=True,
+            preprocessing=pre,
+            precision="float32",
+        ).apply(refvol)
+    cmp = metrics.compare_masks(masks["hybrid"], masks["host"])
+    assert cmp.voxel_accuracy == 1.0
+    assert all(m.dice == 1.0 for m in cmp.per_label.values())
