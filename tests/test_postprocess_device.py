@@ -123,3 +123,24 @@ def test_device_divergence_contract():
     assert np.all(exact[satellites] != 0)
     # Everywhere else: bit-identical.
     np.testing.assert_array_equal(dev[~satellites], exact[~satellites])
+
+
+def test_packed_device_postprocess_matches_dense():
+    """postprocess_device_packed2 + crumb unpack == dense postprocess_device
+    (the packed form is the production download for ≤4-class models)."""
+    import jax.numpy as jnp
+
+    from lungmask_tpu.runtime.engine import unpack_crumbs
+    from lungmask_tpu.transforms.postprocess_device import (
+        postprocess_device,
+        postprocess_device_packed2,
+    )
+
+    vol = np.zeros((6, 16, 32), dtype=np.uint8)
+    vol[1:5, 2:10, 2:20] = 1
+    vol[2:4, 4:7, 5:12] = 0   # hole
+    vol[0, 14, 28] = 1        # satellite
+    vol[3:5, 11:15, 22:30] = 2
+    dense = np.asarray(postprocess_device(jnp.asarray(vol), 3))
+    packed = np.asarray(postprocess_device_packed2(jnp.asarray(vol), 3))
+    np.testing.assert_array_equal(unpack_crumbs(packed), dense)
