@@ -285,21 +285,26 @@ void lm_fill_holes(uint8_t* mask, int64_t nz, int64_t ny, int64_t nx) {
 //   first). Returns 0 on success, -1 on unsupported bits.
 int32_t lm_unpack_bits(const uint8_t* packed, int64_t n_bytes, int32_t bits,
                        uint8_t* out) {
+  // LUTs are built byte-wise so pixel order within each packed byte is
+  // host-endianness-independent (a word-built LUT would reverse it on a
+  // big-endian host).
   if (bits == 2) {
-    uint32_t lut[256];
+    uint8_t lut[256][4];
     for (uint32_t v = 0; v < 256; ++v)
-      lut[v] = (v & 3u) | ((v >> 2 & 3u) << 8) | ((v >> 4 & 3u) << 16) |
-               ((v >> 6 & 3u) << 24);
+      for (uint32_t p = 0; p < 4; ++p)
+        lut[v][p] = (uint8_t)((v >> (2 * p)) & 3u);
     for (int64_t i = 0; i < n_bytes; ++i)
-      std::memcpy(out + 4 * i, &lut[packed[i]], 4);
+      std::memcpy(out + 4 * i, lut[packed[i]], 4);
     return 0;
   }
   if (bits == 4) {
-    uint16_t lut[256];
-    for (uint32_t v = 0; v < 256; ++v)
-      lut[v] = (uint16_t)((v & 15u) | ((v >> 4) << 8));
+    uint8_t lut[256][2];
+    for (uint32_t v = 0; v < 256; ++v) {
+      lut[v][0] = (uint8_t)(v & 15u);
+      lut[v][1] = (uint8_t)(v >> 4);
+    }
     for (int64_t i = 0; i < n_bytes; ++i)
-      std::memcpy(out + 2 * i, &lut[packed[i]], 2);
+      std::memcpy(out + 2 * i, lut[packed[i]], 2);
     return 0;
   }
   return -1;

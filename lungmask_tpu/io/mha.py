@@ -42,16 +42,19 @@ def read(path: str) -> MedicalImage:
         if key == "ElementDataFile":
             break
     datafile = header.get("ElementDataFile")
+    # ITK honors HeaderSize only for detached data files; a LOCAL .mha payload
+    # starts right after the header regardless of a HeaderSize field.
+    header_size = 0
     if datafile != "LOCAL":
         # .mhd detached header: data lives in a sibling file.
         data_path = os.path.join(os.path.dirname(path), datafile)
         with open(data_path, "rb") as f:
             raw = f.read()
+        header_size = int(header.get("HeaderSize", "0") or 0)
+        if header_size > 0:
+            raw = raw[header_size:]
     else:
         raw = data[pos:]
-    header_size = int(header.get("HeaderSize", "0") or 0)
-    if header_size > 0:
-        raw = raw[header_size:]
     # HeaderSize = -1 (data at the tail) resolves after the size is known.
     if int(header.get("NDims", "3")) != 3:
         raise ValueError(f"{path}: only 3-D MetaImages supported")

@@ -93,8 +93,16 @@ def compare_masks(
     """
     if pred.shape != ref.shape:
         raise ValueError(f"shape mismatch: pred {pred.shape} vs ref {ref.shape}")
+    observed = int(max(int(np.max(pred)), int(np.max(ref)))) if pred.size else 0
     if n_classes is None:
-        n_classes = int(max(int(np.max(pred)), int(np.max(ref)))) + 1
+        n_classes = observed + 1
+    elif observed >= n_classes:
+        # JAX drops out-of-bounds scatter updates silently, which would skew
+        # voxel_accuracy/total_voxels with no error — fail loudly instead.
+        raise ValueError(
+            f"n_classes={n_classes} but labels up to {observed} are present; "
+            f"pass n_classes >= {observed + 1} (or None to infer)"
+        )
     cm = np.asarray(
         confusion_counts(jnp.asarray(pred), jnp.asarray(ref), n_classes)
     ).astype(np.int64)

@@ -158,9 +158,9 @@ def bucket_chunks(n_chunks: int) -> int:
 
     Each distinct ``lax.map`` length is a separate XLA program (compiles cost
     tens of seconds on remote-attached TPUs), so slice counts pad up to a
-    small shape family. The 5-smooth family keeps the worst-case padding at
-    ~25% (the previous power-of-two family wasted up to 78% — e.g. a
-    192-slice volume at chunk 20 padded to 320).
+    small shape family. The {1,2,3,5}·2^k family keeps the worst-case padding
+    at ~33% (the gaps 3→4 and 6→8; the previous power-of-two family wasted up
+    to 78% — e.g. a 192-slice volume at chunk 20 padded to 320).
     """
     n = max(1, int(n_chunks))
     best = None

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import contextlib
 import os
+import threading
 import time
 from collections import defaultdict
 from typing import Dict, Iterator
@@ -23,6 +24,10 @@ class StageTimer:
     def __init__(self):
         self.totals: Dict[str, float] = defaultdict(float)
         self.counts: Dict[str, int] = defaultdict(int)
+        # The cohort runtime updates stages from its loader/finisher threads
+        # concurrently with the main thread; '+=' on the defaultdicts is not
+        # atomic, so serialize the read-modify-write.
+        self._lock = threading.Lock()
 
     @contextlib.contextmanager
     def stage(self, name: str) -> Iterator[None]:
@@ -30,15 +35,19 @@ class StageTimer:
         try:
             yield
         finally:
-            self.totals[name] += time.perf_counter() - t0
-            self.counts[name] += 1
+            dt = time.perf_counter() - t0
+            with self._lock:
+                self.totals[name] += dt
+                self.counts[name] += 1
 
     def summary(self) -> Dict[str, float]:
-        return dict(sorted(self.totals.items(), key=lambda kv: -kv[1]))
+        with self._lock:
+            return dict(sorted(self.totals.items(), key=lambda kv: -kv[1]))
 
     def reset(self) -> None:
-        self.totals.clear()
-        self.counts.clear()
+        with self._lock:
+            self.totals.clear()
+            self.counts.clear()
 
     def report(self) -> str:
         total = sum(self.totals.values()) or 1.0
