@@ -70,6 +70,7 @@ def _folded_bn(sd: Mapping[str, Any], prefix: str) -> Dict[str, np.ndarray]:
 
 
 def _conv_block(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
+    """Non-residual, batch_norm=True block (the production layout)."""
     return {
         "conv1": _conv(sd, prefix + ".block.0"),
         "bn1": _folded_bn(sd, prefix + ".block.2"),
@@ -78,16 +79,103 @@ def _conv_block(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
     }
 
 
-def convert_state_dict(state_dict: Mapping[str, Any], depth: int = DEPTH) -> Params:
-    """Torch state dict (production U-Net config) → JAX parameter pytree."""
-    down = [_conv_block(state_dict, f"down_path.{i}") for i in range(depth)]
-    up = [
-        {
-            "proj": _conv(state_dict, f"up_path.{i}.up.1"),
-            "conv_block": _conv_block(state_dict, f"up_path.{i}.conv_block"),
+def _res_path(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
+    """The residual 1×1-conv + BN skip path (resunet.py:81-82,107-114) — used
+    (not dead) when residual=True, since in/out widths differ at every level."""
+    return {
+        "conv": _conv(sd, prefix + ".residual_input_conv"),
+        "bn": _folded_bn(sd, prefix + ".residual_batchnorm"),
+    }
+
+
+def _res_conv_block(sd: Mapping[str, Any], prefix: str, first: bool) -> Dict[str, Any]:
+    """Residual, batch_norm=True block. Pre-activation nn.Sequential layout
+    (resunet.py:86-106): first block [Conv,ReLU,BN,Conv] → indices 0/2/3;
+    later blocks [ReLU,BN,Conv,ReLU,BN,Conv] → indices 1/2/4/5."""
+    if first:
+        block = {
+            "conv1": _conv(sd, prefix + ".block.0"),
+            "bn1": _folded_bn(sd, prefix + ".block.2"),
+            "conv2": _conv(sd, prefix + ".block.3"),
         }
-        for i in range(depth - 1)
-    ]
+    else:
+        block = {
+            "bn_pre": _folded_bn(sd, prefix + ".block.1"),
+            "conv1": _conv(sd, prefix + ".block.2"),
+            "bn1": _folded_bn(sd, prefix + ".block.4"),
+            "conv2": _conv(sd, prefix + ".block.5"),
+        }
+    block["res"] = _res_path(sd, prefix)
+    return block
+
+
+def detect_config(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """Infer (depth, residual, up_mode) from a reference-layout state dict.
+
+    * depth: number of ``down_path.{i}`` modules.
+    * residual: in the residual layout the non-first down blocks start with
+      ReLU (no parameters at ``block.0``), so ``down_path.1.block.0.weight``
+      exists iff residual=False (resunet.py:86-106).
+    * up_mode: 'upconv' stores the transposed conv directly at
+      ``up_path.0.up.weight``; 'upsample' wraps Upsample+Conv2d in a
+      Sequential → ``up_path.0.up.1.weight`` (resunet.py:128-133).
+
+    Only batch_norm=True checkpoints are supported (all shipped checkpoints
+    are); a BN-less layout raises with a clear message.
+    """
+    depth = 1 + max(
+        int(k.split(".")[1]) for k in state_dict if k.startswith("down_path.")
+    )
+    if depth < 2:
+        raise ValueError("state dict has fewer than 2 encoder levels")
+    residual = "down_path.1.block.0.weight" not in state_dict
+    up_mode = "upconv" if "up_path.0.up.weight" in state_dict else "upsample"
+    bn_probe = "down_path.1.block.4.running_mean" if residual else (
+        "down_path.1.block.2.running_mean"
+    )
+    if bn_probe not in state_dict:
+        raise NotImplementedError(
+            "batch_norm=False checkpoints are not supported (all reference "
+            "checkpoints use batch_norm=True)"
+        )
+    return {"depth": depth, "residual": residual, "up_mode": up_mode}
+
+
+def convert_state_dict(state_dict: Mapping[str, Any], depth: int | None = None) -> Params:
+    """Torch state dict (any reference U-Net config with batch_norm=True) →
+    JAX parameter pytree. The variant (residual / up_mode) is auto-detected
+    and encoded *structurally* in the pytree (``res`` / ``bn_pre`` /
+    ``upconv`` keys), so the forward pass needs no side-channel config."""
+    cfg = detect_config(state_dict)
+    if depth is not None and depth != cfg["depth"]:
+        raise ValueError(f"depth mismatch: requested {depth}, found {cfg['depth']}")
+    depth = cfg["depth"]
+
+    if cfg["residual"]:
+        down = [
+            _res_conv_block(state_dict, f"down_path.{i}", first=(i == 0))
+            for i in range(depth)
+        ]
+    else:
+        down = [_conv_block(state_dict, f"down_path.{i}") for i in range(depth)]
+
+    up = []
+    for i in range(depth - 1):
+        if cfg["up_mode"] == "upconv":
+            # ConvTranspose2d weight is (in, out, kh, kw) → (kh, kw, in, out).
+            w = _to_numpy(state_dict[f"up_path.{i}.up.weight"]).astype(np.float32)
+            b = _to_numpy(state_dict[f"up_path.{i}.up.bias"]).astype(np.float32)
+            block = {"upconv": {"w": np.transpose(w, (2, 3, 0, 1)), "b": b}}
+        else:
+            block = {"proj": _conv(state_dict, f"up_path.{i}.up.1")}
+        # In residual mode the up block's inner conv block is the standard
+        # non-residual one (resunet.py:134 passes residual=False implicitly);
+        # the residual path wraps the whole block instead (resunet.py:149-153).
+        block["conv_block"] = _conv_block(state_dict, f"up_path.{i}.conv_block")
+        if cfg["residual"]:
+            block["res"] = _res_path(state_dict, f"up_path.{i}")
+        up.append(block)
+
     last = _conv(state_dict, "last")
     return {"down": down, "up": up, "last": last}
 
@@ -147,36 +235,26 @@ def flatten_params(params: Params) -> Dict[str, np.ndarray]:
 
 
 def unflatten_params(flat: Mapping[str, np.ndarray]) -> Params:
-    depth_down = 1 + max(
-        int(k.split(".")[1]) for k in flat if k.startswith("down.")
-    )
-    depth_up = 1 + max(int(k.split(".")[1]) for k in flat if k.startswith("up."))
+    """Inverse of :func:`flatten_params` for any pytree of dicts/lists —
+    fully generic so variant pytrees (``res`` / ``bn_pre`` / ``upconv`` keys)
+    round-trip unchanged. Dot-separated path components that are all-digit
+    become list indices."""
+    nested: Dict[str, Any] = {}
+    for key, value in flat.items():
+        parts = key.split(".")
+        node = nested
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = np.asarray(value)
 
-    def conv(prefix):
-        return {"w": np.asarray(flat[prefix + ".w"]), "b": np.asarray(flat[prefix + ".b"])}
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        if node and all(k.isdigit() for k in node):
+            return [listify(node[str(i)]) for i in range(len(node))]
+        return {k: listify(v) for k, v in node.items()}
 
-    def affine(prefix):
-        return {
-            "scale": np.asarray(flat[prefix + ".scale"]),
-            "bias": np.asarray(flat[prefix + ".bias"]),
-        }
-
-    def conv_block(prefix):
-        return {
-            "conv1": conv(prefix + ".conv1"),
-            "bn1": affine(prefix + ".bn1"),
-            "conv2": conv(prefix + ".conv2"),
-            "bn2": affine(prefix + ".bn2"),
-        }
-
-    return {
-        "down": [conv_block(f"down.{i}") for i in range(depth_down)],
-        "up": [
-            {"proj": conv(f"up.{i}.proj"), "conv_block": conv_block(f"up.{i}.conv_block")}
-            for i in range(depth_up)
-        ],
-        "last": conv("last"),
-    }
+    return listify(nested)
 
 
 def save_npz(path: str, params: Params, meta: Dict[str, Any] | None = None) -> None:

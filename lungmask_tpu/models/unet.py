@@ -75,11 +75,29 @@ def _affine(x: jnp.ndarray, p: Params) -> jnp.ndarray:
 
 
 def _conv_block(p: Params, x: jnp.ndarray, *, precision, compute_dtype) -> jnp.ndarray:
-    """conv3x3 → ReLU → BN → conv3x3 → ReLU → BN.
+    """The reference's UNetConvBlock, dispatched structurally on the pytree.
 
-    Non-residual ordering per /root/reference/lungmask/resunet.py:93-105 (BN sits
-    *after* the ReLU, so it folds to an affine rather than into the conv).
+    Non-residual (production): conv3x3 → ReLU → BN → conv3x3 → ReLU → BN
+    (/root/reference/lungmask/resunet.py:93-105; BN sits *after* the ReLU, so
+    it folds to an affine rather than into the conv).
+
+    Residual (``"res"`` key present, resunet.py:88-91,107-114): pre-activation
+    ordering — [ReLU → BN(in) when not the first block] → conv3x3 → ReLU →
+    BN → conv3x3, then ``+`` the skip path (1×1 conv + BN when channel counts
+    differ — always the case at these widths — carried as ``p["res"]``).
     """
+    if "res" in p:
+        inp = x
+        if "bn_pre" in p:
+            x = jnp.maximum(x, 0.0)
+            x = _affine(x, p["bn_pre"]).astype(compute_dtype)
+        x = _conv(x, p["conv1"]["w"], p["conv1"]["b"], precision=precision)
+        x = jnp.maximum(x, 0.0)
+        x = _affine(x, p["bn1"]).astype(compute_dtype)
+        x = _conv(x, p["conv2"]["w"], p["conv2"]["b"], precision=precision)
+        r = _conv(inp, p["res"]["conv"]["w"], p["res"]["conv"]["b"], precision=precision)
+        r = _affine(r, p["res"]["bn"])
+        return (x + r).astype(compute_dtype)
     x = _conv(x, p["conv1"]["w"], p["conv1"]["b"], precision=precision)
     x = jnp.maximum(x, 0.0)
     x = _affine(x, p["bn1"]).astype(compute_dtype)
@@ -110,6 +128,38 @@ def _bilinear_up2(x: jnp.ndarray) -> jnp.ndarray:
     return jax.image.resize(x, (n, 2 * h, 2 * w, c), method="bilinear")
 
 
+def _upconv2(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, *, precision) -> jnp.ndarray:
+    """Transposed conv, kernel 2 stride 2 (the reference's ``up_mode='upconv'``,
+    /root/reference/lungmask/resunet.py:128-130). With kernel == stride the
+    output blocks don't overlap, so the transposed conv is exactly one matmul
+    per pixel: ``out[2i+dy, 2j+dx, o] = Σ_c x[i,j,c]·W[dy,dx,c,o] + b[o]`` —
+    a pure MXU op with a reshape, no scatter. ``w`` is (2, 2, cin, cout)."""
+    n, h, wd, cin = x.shape
+    cout = w.shape[-1]
+    y = jnp.einsum(
+        "nhwc,co->nhwo",
+        x,
+        w.astype(x.dtype).reshape(-1, cin, cout).transpose(1, 0, 2).reshape(cin, 4 * cout),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    # y[..., (dy*2+dx)*cout + o] → (n, h, 2, w, 2, cout) → (n, 2h, 2w, cout)
+    y = y.reshape(n, h, wd, 2, 2, cout).transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(n, 2 * h, 2 * wd, cout) + b.astype(jnp.float32)
+
+
+def _center_crop(skip: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """The reference's UNetUpBlock.center_crop (resunet.py:136-142): static
+    center crop of the skip tensor to the upsampled tensor's spatial size.
+    A no-op at power-of-two sizes with padding=True; load-bearing for odd
+    input sizes (floor-division pooling makes 2·pool(n) < n)."""
+    sh, sw = skip.shape[1], skip.shape[2]
+    if (sh, sw) == (h, w):
+        return skip
+    dy, dx = (sh - h) // 2, (sw - w) // 2
+    return skip[:, dy : dy + h, dx : dx + w, :]
+
+
 def _up_block(
     p: Params,
     x: jnp.ndarray,
@@ -118,19 +168,32 @@ def _up_block(
     precision,
     compute_dtype,
 ) -> jnp.ndarray:
-    """Bilinear ×2 → 1×1 conv → concat(skip) → conv block.
+    """Upsample (bilinear ×2 + 1×1 proj, or transposed conv) → center-crop the
+    skip → concat → conv block [→ + residual 1×1-conv/BN path of the concat].
 
-    Reference: UNetUpBlock.forward at /root/reference/lungmask/resunet.py:144-148.
-    The reference's ``center_crop`` is a no-op at power-of-two sizes with
-    padding=True (SURVEY §2 row 9), and this framework only ever runs the
-    production 256² input, so no crop is emitted.
+    Reference: UNetUpBlock.forward at /root/reference/lungmask/resunet.py:144-153.
+    Variant dispatch is structural: ``"upconv"`` vs ``"proj"`` selects the
+    up_mode, a ``"res"`` key adds the residual path around the conv block.
     """
-    up = _bilinear_up2(x)
-    up = _conv(up, p["proj"]["w"], p["proj"]["b"], precision=precision).astype(
-        compute_dtype
-    )
+    if "upconv" in p:
+        up = _upconv2(
+            x, p["upconv"]["w"], p["upconv"]["b"], precision=precision
+        ).astype(compute_dtype)
+    else:
+        up = _bilinear_up2(x)
+        up = _conv(up, p["proj"]["w"], p["proj"]["b"], precision=precision).astype(
+            compute_dtype
+        )
+    skip = _center_crop(skip, up.shape[1], up.shape[2])
     x = jnp.concatenate([up, skip], axis=-1)
-    return _conv_block(p["conv_block"], x, precision=precision, compute_dtype=compute_dtype)
+    out = _conv_block(
+        p["conv_block"], x, precision=precision, compute_dtype=compute_dtype
+    )
+    if "res" in p:
+        r = _conv(x, p["res"]["conv"]["w"], p["res"]["conv"]["b"], precision=precision)
+        r = _affine(r, p["res"]["bn"])
+        out = (out + r).astype(compute_dtype)
+    return out
 
 
 def unet_logits(
