@@ -15,6 +15,7 @@
 //
 // Exposed as a C ABI for ctypes (no pybind11 in this environment).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -275,6 +276,247 @@ void lm_fill_holes(uint8_t* mask, int64_t nz, int64_t ny, int64_t nx) {
 
   for (int64_t i = 0; i < n; ++i)
     if (!mask[i] && !reached[i]) mask[i] = 1;
+}
+
+// Full exact postprocessing in one native call (3-D volumes).
+//
+// Mirrors transforms/postprocess.py::postprocessing (the windowed
+// re-derivation of /root/reference/lungmask/utils.py:272-358) voxel-for-voxel
+// — that Python implementation remains the oracle and the differential tests
+// in tests/test_native.py pin this one against it. The merge loop is the
+// fused-path bottleneck in Python (per-region scipy dilation + np.unique over
+// thousands of regions); here it is a 7-point stencil sweep over each
+// region's current bounding window.
+//
+// Quirks reproduced exactly (see the Python docstring for the full list):
+// ascending-area processing with stable (label-order) ties; dilated-border
+// vote with ties by ascending component label; *component labels* compared
+// against `spare` values at the vote (utils.py:323); champion-area cache
+// mutation on merges (utils.py:330-339); sub-skip_below regions neither merge
+// nor update caches; final sweep over sorted-unique class values with the
+// FIRST value dropped (utils.py:355 `np.unique(mapped)[1:]`, even when 0 is
+// absent); last-maximal-region tie-break for per-class champions; hole
+// filling on the champion's own bounding window.
+//
+//   label_image: uint8 volume (z,y,x), the multi-class prediction
+//   spare/n_spare: spare label values (fusion path), may be empty
+//   skip_below: minimum region area to participate in merging
+//   out: uint8 postprocessed volume (caller-allocated, same shape)
+// Returns 0 on success, -1 on error (nz < 2: single-slice volumes use the
+// Python area_closing path).
+int32_t lm_postprocess(const uint8_t* label_image, int64_t nz, int64_t ny,
+                       int64_t nx, const int32_t* spare, int32_t n_spare,
+                       int32_t skip_below, uint8_t* out) {
+  if (nz < 2) return -1;
+  const int64_t sy = nx, sz = ny * nx, n = nz * sz;
+
+  auto in_spare = [&](int64_t v) {
+    for (int32_t s = 0; s < n_spare; ++s)
+      if (spare[s] == v) return true;
+    return false;
+  };
+
+  std::vector<int32_t> img(n);
+  for (int64_t i = 0; i < n; ++i) img[i] = label_image[i];
+  std::vector<int32_t> comp(n);
+  const int32_t n_comp = lm_label(img.data(), nz, ny, nx, /*full*/ 3, comp.data());
+
+  std::vector<int64_t> areas(n_comp);
+  std::vector<int32_t> maxint(n_comp);
+  std::vector<int32_t> bbox(static_cast<size_t>(n_comp) * 6);
+  lm_regionprops(comp.data(), img.data(), nz, ny, nx, n_comp, areas.data(),
+                 maxint.data(), bbox.data());
+
+  // Ascending initial area, ties in ascending-label (stable) order.
+  std::vector<int32_t> order(n_comp);
+  for (int32_t i = 0; i < n_comp; ++i) order[i] = i;
+  std::stable_sort(order.begin(), order.end(), [&](int32_t a, int32_t b) {
+    return areas[a] < areas[b];
+  });
+
+  // Initial per-class champion areas + the interim-champion class LUT
+  // (every region that strictly exceeded the running max keeps its mark —
+  // reference utils.py:294-308 semantics, scanned in ascending-area order).
+  int32_t max_class = 0;
+  for (int32_t i = 0; i < n_comp; ++i)
+    if (maxint[i] > max_class) max_class = maxint[i];
+  std::vector<int64_t> champion_area(max_class + 1, 0);
+  std::vector<uint8_t> class_of(n_comp + 1, 0);
+  for (int32_t oi = 0; oi < n_comp; ++oi) {
+    const int32_t r = order[oi];
+    const int32_t v = maxint[r];
+    if (areas[r] > champion_area[v]) {
+      champion_area[v] = areas[r];
+      class_of[r + 1] = static_cast<uint8_t>(v);
+    }
+  }
+
+  // ---- merge loop ----
+  bool merged_any = false;
+  std::vector<int64_t> cnt(n_comp + 1, 0);
+  std::vector<int32_t> touched;
+  for (int32_t oi = 0; oi < n_comp; ++oi) {
+    const int32_t r = order[oi];
+    const int32_t L = r + 1;
+    const int32_t v = maxint[r];
+    if (!((areas[r] < champion_area[v] || in_spare(v)) &&
+          areas[r] >= skip_below))
+      continue;
+    int32_t* b = bbox.data() + static_cast<size_t>(r) * 6;
+    const int64_t z0 = b[0] > 2 ? b[0] - 2 : 0, y0 = b[1] > 2 ? b[1] - 2 : 0,
+                  x0 = b[2] > 2 ? b[2] - 2 : 0;
+    const int64_t z1 = b[3] + 2 < nz ? b[3] + 2 : nz,
+                  y1 = b[4] + 2 < ny ? b[4] + 2 : ny,
+                  x1 = b[5] + 2 < nx ? b[5] + 2 : nx;
+    // Border vote: a voxel is under the dilated footprint iff it is L or has
+    // an L 6-neighbor *within the window* (scipy pads with 0 outside the
+    // window array — identical membership).
+    touched.clear();
+    for (int64_t z = z0; z < z1; ++z)
+      for (int64_t y = y0; y < y1; ++y) {
+        const int64_t row = z * sz + y * sy;
+        for (int64_t x = x0; x < x1; ++x) {
+          const int64_t p = row + x;
+          const int32_t c = comp[p];
+          if (c == 0 || c == L) continue;
+          const bool dil = (x > x0 && comp[p - 1] == L) ||
+                           (x + 1 < x1 && comp[p + 1] == L) ||
+                           (y > y0 && comp[p - sy] == L) ||
+                           (y + 1 < y1 && comp[p + sy] == L) ||
+                           (z > z0 && comp[p - sz] == L) ||
+                           (z + 1 < z1 && comp[p + sz] == L);
+          if (!dil) continue;
+          if (cnt[c]++ == 0) touched.push_back(c);
+        }
+      }
+    std::sort(touched.begin(), touched.end());
+    int32_t target = L;
+    int64_t best_border = 0, moved = 0;
+    for (const int32_t c : touched) {
+      if (cnt[c] > best_border && !in_spare(c)) {
+        best_border = cnt[c];
+        target = c;
+        moved = areas[r];
+      }
+      cnt[c] = 0;
+    }
+    if (target != L) {
+      merged_any = true;
+      for (int64_t z = z0; z < z1; ++z)
+        for (int64_t y = y0; y < y1; ++y) {
+          const int64_t row = z * sz + y * sy;
+          for (int64_t x = x0; x < x1; ++x)
+            if (comp[row + x] == L) comp[row + x] = target;
+        }
+      int32_t* tb = bbox.data() + static_cast<size_t>(target - 1) * 6;
+      for (int k = 0; k < 3; ++k) {
+        if (b[k] < tb[k]) tb[k] = b[k];
+        if (b[k + 3] > tb[k + 3]) tb[k + 3] = b[k + 3];
+      }
+    }
+    const int32_t t = target - 1;
+    if (areas[t] == champion_area[maxint[t]]) champion_area[maxint[t]] += moved;
+    areas[t] += moved;
+  }
+
+  // class volume (interim-champion LUT, spare classes zeroed — np.isin on
+  // *class values*, utils.py:342).
+  for (int32_t l = 1; l <= n_comp; ++l)
+    if (class_of[l] && in_spare(class_of[l])) class_of[l] = 0;
+
+  std::memset(out, 0, static_cast<size_t>(n));
+
+  // ---- final sweep: per-class champion + windowed hole fill ----
+  // finals: (label, class value, area, bbox*) in ascending label order.
+  std::vector<int32_t> fin_label;
+  std::vector<uint8_t> fin_value;
+  std::vector<int64_t> fin_area;
+  const int32_t* fin_bbox = nullptr;
+  std::vector<int64_t> areas2;
+  std::vector<int32_t> maxint2, bbox2;
+  std::vector<int32_t>* comp_final = &comp;
+
+  if (!merged_any && n_spare == 0) {
+    // No merge wrote into comp and no spare was zeroed: comp restricted to
+    // the marked champions IS the final labeling (equality argument in the
+    // Python source). Areas are the original (unmutated in this branch).
+    for (int32_t l = 1; l <= n_comp; ++l)
+      if (class_of[l]) {
+        fin_label.push_back(l);
+        fin_value.push_back(class_of[l]);
+        fin_area.push_back(areas[l - 1]);
+      }
+    fin_bbox = bbox.data();
+  } else {
+    for (int64_t i = 0; i < n; ++i) img[i] = class_of[comp[i]];
+    const int32_t n2 = lm_label(img.data(), nz, ny, nx, 3, comp.data());
+    areas2.resize(n2);
+    maxint2.resize(n2);
+    bbox2.resize(static_cast<size_t>(n2) * 6);
+    lm_regionprops(comp.data(), img.data(), nz, ny, nx, n2, areas2.data(),
+                   maxint2.data(), bbox2.data());
+    for (int32_t l = 1; l <= n2; ++l) {
+      fin_label.push_back(l);
+      fin_value.push_back(static_cast<uint8_t>(maxint2[l - 1]));
+      fin_area.push_back(areas2[l - 1]);
+    }
+    fin_bbox = bbox2.data();
+  }
+
+  // Classes present, ascending; drop the FIRST sorted-unique value verbatim
+  // (utils.py:355) — when 0 is absent this drops the smallest class.
+  std::vector<uint8_t> present(max_class + 2, 0);
+  if (!merged_any && n_spare == 0) {
+    present[0] = 1;  // comp==0 background voxels exist unless the volume is
+    // fully covered by champions; match np.unique on the painted volume:
+    bool any_zero = false;
+    for (int64_t i = 0; i < n && !any_zero; ++i)
+      if (class_of[comp[i]] == 0) any_zero = true;
+    present[0] = any_zero ? 1 : 0;
+    for (size_t f = 0; f < fin_label.size(); ++f) present[fin_value[f]] = 1;
+  } else {
+    for (int64_t i = 0; i < n; ++i) present[img[i]] = 1;
+  }
+  std::vector<int32_t> classes;
+  for (int32_t v = 0; v <= max_class + 1; ++v)
+    if (present[v]) classes.push_back(v);
+  if (!classes.empty()) classes.erase(classes.begin());
+
+  // Champion per class: ascending-label scan keeps the LAST maximal region.
+  std::vector<int32_t> champ(max_class + 2, -1);
+  for (size_t f = 0; f < fin_label.size(); ++f) {
+    const uint8_t v = fin_value[f];
+    if (!v) continue;
+    if (champ[v] < 0 || fin_area[f] >= fin_area[champ[v]]) champ[v] = (int32_t)f;
+  }
+
+  std::vector<uint8_t> win;
+  for (const int32_t v : classes) {
+    if (v == 0 || champ[v] < 0) continue;
+    const size_t f = champ[v];
+    const int32_t L = fin_label[f];
+    const int32_t* b = fin_bbox + static_cast<size_t>(L - 1) * 6;
+    const int64_t z0 = b[0], y0 = b[1], x0 = b[2], z1 = b[3], y1 = b[4],
+                  x1 = b[5];
+    const int64_t wz = z1 - z0, wy = y1 - y0, wx = x1 - x0;
+    win.assign(static_cast<size_t>(wz) * wy * wx, 0);
+    for (int64_t z = z0; z < z1; ++z)
+      for (int64_t y = y0; y < y1; ++y) {
+        const int64_t row = z * sz + y * sy;
+        uint8_t* w = win.data() + ((z - z0) * wy + (y - y0)) * wx;
+        for (int64_t x = x0; x < x1; ++x)
+          w[x - x0] = ((*comp_final)[row + x] == L) ? 1 : 0;
+      }
+    lm_fill_holes(win.data(), wz, wy, wx);
+    for (int64_t z = z0; z < z1; ++z)
+      for (int64_t y = y0; y < y1; ++y) {
+        const int64_t row = z * sz + y * sy;
+        const uint8_t* w = win.data() + ((z - z0) * wy + (y - y0)) * wx;
+        for (int64_t x = x0; x < x1; ++x)
+          if (w[x - x0]) out[row + x] = static_cast<uint8_t>(v);
+      }
+  }
+  return 0;
 }
 
 // Expand bit-packed class maps (runtime/engine.py packs masks to 2 or 4 bits

@@ -94,6 +94,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if hasattr(lib, "lm_unpack_bits"):
         lib.lm_unpack_bits.restype = ctypes.c_int32
         lib.lm_unpack_bits.argtypes = [u8p, ctypes.c_int64, ctypes.c_int32, u8p]
+    if hasattr(lib, "lm_postprocess"):
+        lib.lm_postprocess.restype = ctypes.c_int32
+        lib.lm_postprocess.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i32p, ctypes.c_int32, ctypes.c_int32, u8p,
+        ]
     if hasattr(lib, "lm_crop_resize_norm_i16"):
         i16p = ctypes.POINTER(ctypes.c_int16)
         f32p = ctypes.POINTER(ctypes.c_float)
@@ -201,6 +207,39 @@ def unpack_bits(packed: np.ndarray, bits: int) -> Optional[np.ndarray]:
     u8p = ctypes.POINTER(ctypes.c_uint8)
     rc = lib.lm_unpack_bits(
         p.ctypes.data_as(u8p), p.size, bits, out.ctypes.data_as(u8p)
+    )
+    return out if rc == 0 else None
+
+
+def postprocess(
+    label_image: np.ndarray, spare, skip_below: int
+) -> Optional[np.ndarray]:
+    """Full exact volume postprocessing in one native call (lm_postprocess,
+    voxel-identical to transforms.postprocess.postprocessing — differential
+    tests in tests/test_native.py). Returns None when unavailable or when the
+    input needs the Python path (single-slice volumes, non-uint8 values)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "lm_postprocess"):
+        return None
+    if label_image.ndim != 3 or label_image.shape[0] < 2:
+        return None
+    if label_image.dtype != np.uint8:
+        if np.issubdtype(label_image.dtype, np.integer) and (
+            label_image.size == 0 or (0 <= label_image.min() and label_image.max() <= 255)
+        ):
+            label_image = label_image.astype(np.uint8)
+        else:
+            return None
+    img = np.ascontiguousarray(label_image)
+    nz, ny, nx = img.shape
+    sp = np.ascontiguousarray(np.asarray(list(spare), dtype=np.int32))
+    out = np.empty_like(img)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    rc = lib.lm_postprocess(
+        img.ctypes.data_as(u8p), nz, ny, nx,
+        sp.ctypes.data_as(i32p), len(sp), int(skip_below),
+        out.ctypes.data_as(u8p),
     )
     return out if rc == 0 else None
 

@@ -60,6 +60,12 @@ def postprocessing(
     """Map small label patches to the neighbor sharing the largest border,
     keep only each label's largest connected component, fill holes.
 
+    Dispatches to the one-call native core (csrc/postproc.cpp lm_postprocess)
+    when built — voxel-identical by differential test (tests/test_native.py),
+    and the reason the fused path's three postprocessing passes fit the <5 s
+    budget on one host core. The Python implementation below is the oracle
+    and the fallback.
+
     Args:
         label_image: int label volume (z, y, x).
         spare: labels used for neighbor mapping but erased from the final
@@ -71,6 +77,27 @@ def postprocessing(
     """
     label_image = np.asarray(label_image)
     logger.info("Postprocessing")
+    spare = list(spare)
+
+    if label_image.ndim == 3:
+        from lungmask_tpu.ops import native
+
+        res = native.postprocess(label_image, spare, skip_below)
+        if res is not None:
+            return res
+    return _postprocessing_python(
+        label_image, spare, disable_tqdm=disable_tqdm, skip_below=skip_below
+    )
+
+
+def _postprocessing_python(
+    label_image: np.ndarray,
+    spare: Sequence[int] = (),
+    disable_tqdm: bool = False,
+    skip_below: int = 3,
+) -> np.ndarray:
+    """Pure numpy/scipy implementation — the exact-semantics oracle."""
+    label_image = np.asarray(label_image)
     spare = list(spare)
 
     comp_map = cc_host.label(label_image)

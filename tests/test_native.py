@@ -102,3 +102,52 @@ def test_postprocessing_golden_with_native(lib):
             [0, 4, 4, 4, 0, 0],
         ]
     )
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_lm_postprocess_matches_python(lib, seed):
+    """One-call native postprocessing vs the Python oracle, bit-exact, across
+    random blobby volumes incl. fusion-style spare labels and merge-heavy
+    settings (the fused path's workload)."""
+    if not hasattr(lib, "lm_postprocess"):
+        pytest.skip("lm_postprocess not in library")
+    from lungmask_tpu.transforms.postprocess import _postprocessing_python
+
+    rng = np.random.default_rng(100 + seed)
+    shape = (int(rng.integers(3, 7)), 28, 28)
+    n_labels = int(rng.integers(2, 6))
+    vol = np.zeros(shape, dtype=np.uint8)
+    for v in range(1, n_labels + 1):
+        noise = ndimage.gaussian_filter(rng.normal(size=shape), sigma=1.2)
+        vol[noise > np.quantile(noise, 0.75)] = v
+    # Fusion-style spare on odd seeds: a spare value painted where class 0 was
+    spare = []
+    if seed % 2:
+        spare_value = n_labels + 1
+        fill = ndimage.gaussian_filter(rng.normal(size=shape), sigma=1.0)
+        vol[(vol == 0) & (fill > np.quantile(fill, 0.9))] = spare_value
+        spare = [spare_value]
+    skip_below = [1, 3, 7][seed % 3]
+
+    got = native.postprocess(vol.copy(), spare, skip_below)
+    assert got is not None
+    want = _postprocessing_python(
+        vol.copy(), spare=spare, disable_tqdm=True, skip_below=skip_below
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_lm_postprocess_empty_and_full(lib):
+    if not hasattr(lib, "lm_postprocess"):
+        pytest.skip("lm_postprocess not in library")
+    from lungmask_tpu.transforms.postprocess import _postprocessing_python
+
+    zero = np.zeros((3, 8, 8), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        native.postprocess(zero, [], 3), _postprocessing_python(zero, disable_tqdm=True)
+    )
+    # No background anywhere: np.unique[1:] drops class 1 (reference quirk).
+    ones = np.ones((3, 8, 8), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        native.postprocess(ones, [], 3), _postprocessing_python(ones, disable_tqdm=True)
+    )
