@@ -305,12 +305,18 @@ def main():
         fused.apply(e2e_vol)  # warm/compile
         # Host postprocess stages wobble up to 10x on this shared box
         # (measured: same input 1.7-27 s); best-of-2 like the other stages.
-        fused_times = []
+        fused_times, fused_stage_runs = [], []
         for _ in range(2):
+            fused.timings.reset()
             t0 = time.perf_counter()
             fused.apply(e2e_vol)
             fused_times.append(time.perf_counter() - t0)
+            fused_stage_runs.append(fused.timings.summary())
         fused_e2e_s = min(fused_times)
+        fused_stages = {
+            k: round(v, 3)
+            for k, v in fused_stage_runs[int(np.argmin(fused_times))].items()
+        }
 
         # noHU path (BASELINE config 2): 8-bit stack → pseudo-HU → inference.
         # Same shapes as e2e_vol, so the compiled programs are reused.
@@ -405,6 +411,7 @@ def main():
                     "cohort_size": len(cohort.results),
                     "cohort_errors": cohort_errors,
                     "fused_e2e_sec_per_volume": round(fused_e2e_s, 3),
+                    "fused_stage_seconds": fused_stages,
                     "nohu_e2e_sec_per_volume": round(nohu_e2e_s, 3),
                     "dicom_series_decode_sec": round(dicom_decode_s, 3),
                     "baseline": "reference torch-cpu-1thread on this host",

@@ -23,10 +23,16 @@ JPEG_LOSSLESS_P14 = "1.2.840.10008.1.2.4.57"
 JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"
 JPEG_LS_LOSSLESS = "1.2.840.10008.1.2.4.80"
 JPEG_LS_NEAR_LOSSLESS = "1.2.840.10008.1.2.4.81"
+JPEG_2000_LOSSLESS = "1.2.840.10008.1.2.4.90"
+JPEG_2000 = "1.2.840.10008.1.2.4.91"  # may carry reversible 5/3 streams too
 
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
-_SRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc", "dicom_codecs.cpp")
+_CSRC_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
+_SRCS = [
+    os.path.join(_CSRC_DIR, "dicom_codecs.cpp"),
+    os.path.join(_CSRC_DIR, "jpeg2000.cpp"),
+]
 _OUT_DIR = os.path.join(os.path.dirname(__file__), "..", "ops", "_native")
 _OUT = os.path.join(_OUT_DIR, "libdicomcodecs.so")
 
@@ -38,7 +44,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
     _TRIED = True
     from lungmask_tpu.ops.native import build_or_load_library
 
-    lib = build_or_load_library([os.path.abspath(_SRC)], _OUT)
+    lib = build_or_load_library([os.path.abspath(s) for s in _SRCS], _OUT)
     if lib is None:
         return None
     u8p = ctypes.POINTER(ctypes.c_uint8)
@@ -53,6 +59,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.lm_jpegls_decode.restype = ctypes.c_int32
     lib.lm_jpegls_decode.argtypes = [u8p, ctypes.c_int64, u16p, ctypes.c_int64,
                                      i32p, i32p, i32p, i32p]
+    if hasattr(lib, "lm_j2k_decode"):
+        lib.lm_j2k_decode.restype = ctypes.c_int32
+        lib.lm_j2k_decode.argtypes = [u8p, ctypes.c_int64, i32p, ctypes.c_int64,
+                                      i32p, i32p, i32p, i32p]
     _LIB = lib
     return _LIB
 
@@ -222,6 +232,133 @@ def _peek_sof3_dims(data: bytes):
             raise ValueError("lossy/non-lossless JPEG process not supported")
         p += 2 + seg
     raise ValueError("no SOF3 marker found")
+
+
+# ---------------------------------------------------------------------------
+# JPEG 2000 Part 1 (ITU-T T.800) — from-scratch native decoder, reversible
+# (5/3) path only (csrc/jpeg2000.cpp): the DICOM JPEG 2000 Lossless transfer
+# syntax (.90) and reversible .91 streams. Validated bit-for-bit against
+# OpenJPEG (via Pillow) in tests/test_codecs.py.
+# ---------------------------------------------------------------------------
+
+_J2K_ERRORS = {
+    -1: "malformed JPEG 2000 codestream",
+    -2: "output capacity too small for the declared image size",
+    -3: "packet parse error (truncated or corrupt tile data)",
+    -4: "EBCOT tier-1 decode error (corrupt code-block segment)",
+    -20: "irreversible 9/7 wavelet — a LOSSY JPEG 2000 stream; HU values "
+         "would not be exact. Re-export losslessly (5/3 reversible).",
+    -21: "multi-component or subsampled image (CT is single-component)",
+    -22: "code-block style with selective bypass / reset / termall / "
+         "vertically-causal passes",
+    -23: "packed packet headers (PPM/PPT)",
+    -24: "PCRL/CPRL progression or POC marker",
+    -25: "ROI shift (RGN marker)",
+    -26: "per-tile COD/QCD overrides",
+}
+
+
+def _unwrap_jp2(data: bytes) -> bytes:
+    """Extract the raw codestream from a JP2 box container (DICOM forbids the
+    container, PS3.5 A.4.4, but some exporters embed it anyway)."""
+    if data[:4] == b"\xff\x4f\xff\x51":
+        return data  # already a raw codestream (SOC + SIZ)
+    if len(data) > 12 and data[4:8] == b"jP  ":
+        p = 0
+        while p + 8 <= len(data):
+            (ln,) = struct.unpack(">I", data[p : p + 4])
+            btype = data[p + 4 : p + 8]
+            if ln == 1:  # extended 64-bit length
+                (ln,) = struct.unpack(">Q", data[p + 8 : p + 16])
+                body = p + 16
+            else:
+                body = p + 8
+            if btype == b"jp2c":
+                end = p + ln if ln else len(data)
+                return data[body:end]
+            if ln == 0:
+                break
+            p += ln
+    raise ValueError("not a JPEG 2000 codestream (no SOC, no jp2c box)")
+
+
+def j2k_decode(data: bytes) -> np.ndarray:
+    """Decode a JPEG 2000 Part 1 reversible codestream → int32 (rows, cols).
+
+    Signed components come back as true signed sample values; unsigned are
+    DC-level-shifted to their natural range, matching GDCM/OpenJPEG output.
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "lm_j2k_decode"):
+        raise ValueError(
+            "JPEG 2000 decode requires the native codec core "
+            "(csrc/jpeg2000.cpp) and no compiler is available"
+        )
+    data = _unwrap_jp2(data)
+    rows, cols = _peek_siz_dims(data)
+    src = np.frombuffer(data, dtype=np.uint8)
+    out = np.empty((rows, cols), dtype=np.int32)
+    r = ctypes.c_int32()
+    c = ctypes.c_int32()
+    prec = ctypes.c_int32()
+    sgnd = ctypes.c_int32()
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    rc = lib.lm_j2k_decode(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(data),
+        out.ctypes.data_as(i32p),
+        out.size,
+        ctypes.byref(r),
+        ctypes.byref(c),
+        ctypes.byref(prec),
+        ctypes.byref(sgnd),
+    )
+    if rc != 0:
+        raise ValueError(
+            f"JPEG 2000 decode failed: "
+            f"{_J2K_ERRORS.get(rc, f'error {rc}')}"
+        )
+    return out[: r.value, : c.value]
+
+
+def j2k_encode(pixels: np.ndarray) -> bytes:
+    """Encode (rows, cols) uint8/uint16 samples as a raw JPEG 2000 lossless
+    codestream via Pillow/OpenJPEG — fixture/writer encoder only (the decode
+    path never needs Pillow)."""
+    import io as _io
+
+    from PIL import Image
+
+    px = np.ascontiguousarray(pixels)
+    if px.dtype == np.uint8:
+        im = Image.fromarray(px)
+    else:
+        im = Image.frombytes(
+            "I;16", (px.shape[1], px.shape[0]), px.astype("<u2").tobytes()
+        )
+    buf = _io.BytesIO()
+    try:
+        im.save(buf, "JPEG2000", irreversible=False, no_jp2=True)
+    except TypeError:  # older Pillow without no_jp2
+        im.save(buf, "JPEG2000", irreversible=False)
+    return _unwrap_jp2(buf.getvalue())
+
+
+def _peek_siz_dims(data: bytes):
+    """(rows, cols) from the SIZ marker (Xsiz-X0siz etc.)."""
+    if len(data) < 42 or data[:2] != b"\xff\x4f":
+        raise ValueError("not a JPEG 2000 codestream")
+    p = 2
+    while p + 4 <= len(data):
+        if data[p] != 0xFF:
+            raise ValueError("bad JPEG 2000 marker stream")
+        m = data[p + 1]
+        ln = (data[p + 2] << 8) | data[p + 3]
+        if m == 0x51:  # SIZ
+            xs, ys, x0, y0 = struct.unpack(">IIII", data[p + 6 : p + 22])
+            return ys - y0, xs - x0
+        p += 2 + ln
+    raise ValueError("no SIZ marker found")
 
 
 # ---------------------------------------------------------------------------

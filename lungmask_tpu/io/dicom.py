@@ -6,8 +6,10 @@ Replaces the reference's pydicom header scanning + SimpleITK series decoding
 Supported transfer syntaxes: Implicit VR Little Endian (1.2.840.10008.1.2),
 Explicit VR Little Endian (1.2.840.10008.1.2.1), RLE Lossless
 (1.2.840.10008.1.2.5), JPEG Lossless process 14 (1.2.840.10008.1.2.4.57
-and .70), and JPEG-LS lossless/near-lossless (1.2.840.10008.1.2.4.80/.81) —
-compressed frames decode through the native codec core (io/codecs.py).
+and .70), JPEG-LS lossless/near-lossless (1.2.840.10008.1.2.4.80/.81), and
+JPEG 2000 (1.2.840.10008.1.2.4.90 always; .91 when the stream is reversible
+5/3 — irreversible 9/7 is rejected with a lossy-HU error) — compressed frames
+decode through the native codec core (io/codecs.py, csrc/jpeg2000.cpp).
 Remaining syntaxes raise a clear error.
 
 The reader exposes tags under ``"gggg|eeee"`` lowercase-hex keys (the
@@ -36,6 +38,8 @@ IMPLICIT_VR_LE = "1.2.840.10008.1.2"
 EXPLICIT_VR_LE = "1.2.840.10008.1.2.1"
 # Compressed transfer syntaxes — single source of truth in io/codecs.py.
 from lungmask_tpu.io.codecs import (  # noqa: E402
+    JPEG_2000,
+    JPEG_2000_LOSSLESS,
     JPEG_LOSSLESS_P14,
     JPEG_LOSSLESS_SV1,
     JPEG_LS_LOSSLESS,
@@ -48,6 +52,9 @@ _ENCAPSULATED = {
     JPEG_LOSSLESS_SV1,
     JPEG_LS_LOSSLESS,
     JPEG_LS_NEAR_LOSSLESS,
+    JPEG_2000_LOSSLESS,
+    JPEG_2000,  # decodable when the stream is reversible 5/3; the decoder
+    # rejects irreversible 9/7 streams with a clear lossy-HU error
 }
 CT_STORAGE_UID = "1.2.840.10008.5.1.4.1.1.2"
 
@@ -315,7 +322,8 @@ def read_file(
     else:
         raise DicomError(
             f"{path}: transfer syntax {transfer_syntax} not supported "
-            "(uncompressed little-endian, RLE, or JPEG Lossless)"
+            "(uncompressed little-endian, RLE, JPEG Lossless, JPEG-LS, "
+            "or JPEG 2000 lossless)"
         )
 
     pixels = None
@@ -449,6 +457,18 @@ def _decode_encapsulated(
                     f"({rows}, {cols})"
                 )
             samples = decoded if bits_alloc == 16 else decoded.astype(np.uint8)
+        elif transfer_syntax in (JPEG_2000_LOSSLESS, JPEG_2000):
+            decoded = codecs.j2k_decode(data)  # int32, signedness applied
+            if decoded.shape != (rows, cols):
+                raise DicomError(
+                    f"{path}: JPEG 2000 frame is {decoded.shape}, header says "
+                    f"({rows}, {cols})"
+                )
+            pixel_rep = int(tags.get("0028|0103", "0") or 0)
+            if bits_alloc == 16:
+                samples = decoded.astype(np.int16 if pixel_rep else np.uint16)
+            else:
+                samples = decoded.astype(np.int8 if pixel_rep else np.uint8)
         else:  # JPEG Lossless (process 14 / SV1)
             decoded = codecs.jpegll_decode(data)
             if decoded.shape != (rows, cols):
@@ -543,7 +563,8 @@ def write_slice(
     study_uid = study_uid or generate_uid()
 
     if transfer_syntax not in (
-        EXPLICIT_VR_LE, RLE_LOSSLESS, JPEG_LOSSLESS_SV1, JPEG_LS_LOSSLESS
+        EXPLICIT_VR_LE, RLE_LOSSLESS, JPEG_LOSSLESS_SV1, JPEG_LS_LOSSLESS,
+        JPEG_2000_LOSSLESS, JPEG_2000,
     ):
         raise DicomError(f"writer does not support {transfer_syntax}")
 
@@ -606,6 +627,8 @@ def write_slice(
                 frame = codecs.rle_encode_frame(fr.view(np.uint16))
             elif transfer_syntax == JPEG_LS_LOSSLESS:
                 frame = codecs.jpegls_encode(fr.view(np.uint16), precision=16)
+            elif transfer_syntax in (JPEG_2000_LOSSLESS, JPEG_2000):
+                frame = codecs.j2k_encode(fr.view(np.uint16))
             else:
                 frame = codecs.jpegll_encode(fr.view(np.uint16), precision=16)
             if len(frame) % 2:

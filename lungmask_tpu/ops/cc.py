@@ -1,23 +1,37 @@
-"""Device-side connected components: iterative min-label propagation + pointer
-jumping, fully inside ``jit``/``vmap``.
+"""Device-side connected components: neighbor min-propagation accelerated by
+segmented min-scans along every axis, fully inside ``jit``/``vmap``.
 
 Used by the per-slice bodymask pipeline (the reference labels 128² bodymasks
 per slice, /root/reference/lungmask/utils.py:75-78, and an 8-connectivity pass
-at full slice resolution in crop_and_resize, utils.py:102) — hundreds of tiny
-CC problems per volume, which batch perfectly on the VPU via ``vmap`` instead
-of a host round-trip per slice.
+at full slice resolution in crop_and_resize, utils.py:102) and by the
+full-volume device postprocessing (transforms/postprocess_device.py,
+replacing the 3-D skimage labeling at /root/reference/lungmask/utils.py:293).
 
 Algorithm: every foreground pixel starts with label = its linear index + 1
 (so a component's final label is its raster-first pixel index + 1, giving the
 same scan-order component ordering as skimage — SURVEY §7 hard part #2). Each
-iteration does
+``lax.while_loop`` iteration does
 
-1. a neighborhood min-propagation (labels flow between same-value neighbors), and
-2. a pointer-jumping contraction ``label = min(label, label[label-1])`` twice,
+1. a one-step neighborhood min-propagation (labels flow between same-value
+   neighbors — this is the only step that crosses runs/diagonals), then
+2. a **segmented min-scan along each axis** (``lax.associative_scan`` forward
+   + backward over same-value runs): the run minimum reaches every voxel of
+   an axis-aligned run in one pass.
 
-inside a ``lax.while_loop`` until fixpoint. Pointer jumping contracts label
-chains exponentially, so convergence is ~O(log diameter) iterations instead of
-O(diameter).
+The sweeps propagate a label across an entire straight run per iteration, so
+convergence is ~(number of bends in the component's geodesics) iterations —
+single digits for anatomical shapes — instead of O(diameter). This design is
+deliberately gather-free: the previous pointer-jumping contraction
+(``label[label-1]``) cost ~125 ms *per iteration* in XLA TPU gathers over a
+192×256² volume (~7 s/volume total, the round-2 device-postprocess
+bottleneck); scans and shifts are dense, linear-traffic VPU work. A Pallas
+block-local union-find was considered and rejected: union-find is serial
+pointer-chasing, the one workload shape the VPU cannot vectorize, while the
+scan fixpoint maps onto it perfectly.
+
+At fixpoint the labeling is exact: if any same-value neighbor pair disagreed,
+the neighbor step would lower one of them (labels only decrease, bounded
+below by the component's raster-first index).
 
 Components are identified by *root linear index*; the segment-sum helpers below
 provide the region reductions the bodymask needs (areas, largest-component
@@ -41,6 +55,21 @@ def _shift_by(x: jnp.ndarray, off) -> jnp.ndarray:
     return x
 
 
+def _seg_scan(reset: jnp.ndarray, value: jnp.ndarray, combine, axis: int,
+              reverse: bool = False) -> jnp.ndarray:
+    """Segmented associative scan: ``value`` combined within runs, restarting
+    wherever ``reset`` is True (True = this element does NOT continue the run
+    from its predecessor in scan direction)."""
+
+    def op(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, combine(va, vb))
+
+    _, v = lax.associative_scan(op, (reset, value), axis=axis, reverse=reverse)
+    return v
+
+
 def label(image: jnp.ndarray, connectivity: Optional[int] = None) -> jnp.ndarray:
     """Connected components of a (possibly multi-class) integer/bool image.
 
@@ -62,8 +91,18 @@ def label(image: jnp.ndarray, connectivity: Optional[int] = None) -> jnp.ndarray
     fg = image if is_binary else image != 0
     lin = (jnp.arange(image.size, dtype=jnp.int32) + 1).reshape(image.shape)
     labels0 = jnp.where(fg, lin, 0)
-    flat_size = image.size
     big = jnp.int32(2**31 - 1)
+
+    # Per axis: does element i continue the same-value run from i-1 (fwd) /
+    # from i+1 (bwd)? Precomputed once — geometry does not change.
+    cont = []
+    for axis in range(ndim):
+        prev_ok = fg & _shift(fg, axis, 1)
+        next_ok = fg & _shift(fg, axis, -1)
+        if not is_binary:
+            prev_ok &= image == _shift_by(image, tuple(1 if a == axis else 0 for a in range(ndim)))
+            next_ok &= image == _shift_by(image, tuple(-1 if a == axis else 0 for a in range(ndim)))
+        cont.append((~prev_ok, ~next_ok))
 
     def propagate(labels):
         out = labels
@@ -76,19 +115,24 @@ def label(image: jnp.ndarray, connectivity: Optional[int] = None) -> jnp.ndarray
             out = jnp.minimum(out, cand)
         return jnp.where(fg, out, 0)
 
-    def contract(labels):
-        flat = labels.reshape(flat_size)
-        for _ in range(2):
-            parent = flat[jnp.maximum(flat - 1, 0)]
-            flat = jnp.where(flat > 0, jnp.minimum(flat, parent), 0)
-        return flat.reshape(labels.shape)
+    def sweep(labels):
+        out = labels
+        for axis in range(ndim):
+            if image.shape[axis] == 1:
+                continue
+            reset_fwd, reset_bwd = cont[axis]
+            masked = jnp.where(fg, out, big)
+            fwd = _seg_scan(reset_fwd, masked, jnp.minimum, axis)
+            bwd = _seg_scan(reset_bwd, masked, jnp.minimum, axis, reverse=True)
+            out = jnp.where(fg, jnp.minimum(jnp.minimum(fwd, bwd), out), 0)
+        return out
 
     def body(state):
         labels, _ = state
-        new = contract(propagate(labels))
+        new = sweep(propagate(labels))
         return new, jnp.any(new != labels)
 
-    labels, _ = lax.while_loop(lambda s: s[1], body, (labels0, jnp.bool_(True)))
+    labels, _ = lax.while_loop(lambda s: s[1], body, (sweep(labels0), jnp.bool_(True)))
     return labels
 
 

@@ -332,3 +332,139 @@ def test_ac_class_dht_does_not_clobber_dc_table(tmp_path, ct_slice):
     patched = stream[:2] + ac_dht + stream[2:]
     out = codecs.jpegll_decode(patched)
     np.testing.assert_array_equal(out.view(np.int16), ct_slice)
+
+
+# ---------------------------------------------------------------------------
+# JPEG 2000 Part 1 (lossless 5/3) — decoder validated bit-for-bit against
+# OpenJPEG via Pillow (the fixture encoder and spec oracle).
+# ---------------------------------------------------------------------------
+
+
+def _pil_j2k(arr, **kw):
+    import io as _io
+
+    PIL = pytest.importorskip("PIL.Image")
+    buf = _io.BytesIO()
+    if arr.dtype == np.uint8:
+        im = PIL.fromarray(arr)
+    else:
+        im = PIL.frombytes(
+            "I;16", (arr.shape[1], arr.shape[0]), arr.astype("<u2").tobytes()
+        )
+    im.save(buf, "JPEG2000", irreversible=False, **kw)
+    return buf.getvalue()
+
+
+def _require_j2k():
+    lib = codecs.get_lib()
+    if lib is None or not hasattr(lib, "lm_j2k_decode"):
+        pytest.skip("native J2K decoder unavailable")
+
+
+def test_j2k_basic_8bit(rng):
+    _require_j2k()
+    a = rng.integers(0, 256, (61, 53), dtype=np.uint8)
+    np.testing.assert_array_equal(codecs.j2k_decode(_pil_j2k(a)), a)
+
+
+def test_j2k_16bit_ct_like(rng):
+    _require_j2k()
+    ct = (
+        (rng.normal(0, 300, (128, 96)) + 1024).clip(0, 4095).astype(np.uint16)
+    )
+    np.testing.assert_array_equal(codecs.j2k_decode(_pil_j2k(ct)), ct)
+
+
+def test_j2k_odd_dims_smooth():
+    _require_j2k()
+    yy, xx = np.mgrid[0:211, 0:187]
+    smooth = (2000 * np.exp(-((yy - 100) ** 2 + (xx - 90) ** 2) / 3000)).astype(
+        np.uint16
+    )
+    np.testing.assert_array_equal(codecs.j2k_decode(_pil_j2k(smooth)), smooth)
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {"quality_mode": "rates", "quality_layers": [20, 5, 1]},
+        {"progression": "RLCP"},
+        {"progression": "RPCL"},
+        {"precinct_size": (64, 64), "codeblock_size": (32, 32)},
+        {"num_resolutions": 1},
+    ],
+)
+def test_j2k_codestream_features(rng, kw):
+    """Multiple quality layers, RLCP/RPCL progressions, precinct and
+    code-block sizes, and 0 decomposition levels — all bit-exact."""
+    _require_j2k()
+    a = rng.integers(0, 4096, (77, 90), dtype=np.uint16)
+    np.testing.assert_array_equal(codecs.j2k_decode(_pil_j2k(a, **kw)), a)
+
+
+def test_j2k_deep_decomposition(rng):
+    """7 decomposition levels (needs a large enough image for OpenJPEG)."""
+    _require_j2k()
+    a = rng.integers(0, 4096, (200, 260), dtype=np.uint16)
+    np.testing.assert_array_equal(
+        codecs.j2k_decode(_pil_j2k(a, num_resolutions=8)), a
+    )
+
+
+def test_j2k_tiled_8bit(rng):
+    """Tile grids, 8-bit: encode round-trip is exact."""
+    _require_j2k()
+    a = rng.integers(0, 256, (77, 90), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        codecs.j2k_decode(_pil_j2k(a, tile_size=(32, 32))), a
+    )
+
+
+def test_j2k_tiled_16bit_matches_openjpeg_decode(rng):
+    """Tile grids, 16-bit: Pillow's I;16 tiled ENCODE path corrupts tiles
+    after the first (it cannot round-trip its own stream — verified), so the
+    oracle here is decode agreement: our decoder must produce bit-for-bit
+    what OpenJPEG itself decodes from the same stream."""
+    import io as _io
+
+    _require_j2k()
+    PIL = pytest.importorskip("PIL.Image")
+    a = rng.integers(0, 4096, (77, 90), dtype=np.uint16)
+    data = _pil_j2k(a, tile_size=(32, 32))
+    got = codecs.j2k_decode(data)
+    ref = np.array(PIL.open(_io.BytesIO(data))).astype(np.int32)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_j2k_rejects_lossy(rng):
+    _require_j2k()
+    import io as _io
+
+    PIL = pytest.importorskip("PIL.Image")
+    buf = _io.BytesIO()
+    PIL.fromarray(rng.integers(0, 256, (32, 32), dtype=np.uint8)).save(
+        buf, "JPEG2000", irreversible=True
+    )
+    with pytest.raises(ValueError, match="9/7|LOSSY|lossy"):
+        codecs.j2k_decode(buf.getvalue())
+
+
+def test_j2k_jp2_container_unwrapped(rng):
+    """DICOM forbids the JP2 container but some exporters embed it; the
+    wrapper must find the jp2c box."""
+    _require_j2k()
+    a = rng.integers(0, 256, (40, 44), dtype=np.uint8)
+    data = _pil_j2k(a)  # Pillow BytesIO save produces a JP2 container
+    assert data[:4] != b"\xff\x4f\xff\x51"
+    np.testing.assert_array_equal(codecs.j2k_decode(data), a)
+
+
+@pytest.mark.parametrize("syntax", [dicom.JPEG_2000_LOSSLESS, dicom.JPEG_2000])
+def test_j2k_dicom_roundtrip(tmp_path, ct_slice, syntax):
+    """Encapsulated .90/.91 DICOM round-trip with signed int16 CT pixels."""
+    _require_j2k()
+    pytest.importorskip("PIL.Image")
+    p = str(tmp_path / "j2k.dcm")
+    dicom.write_slice(p, ct_slice, transfer_syntax=syntax)
+    parsed = dicom.read_file(p)
+    np.testing.assert_array_equal(parsed.pixels, ct_slice)
