@@ -221,6 +221,23 @@ def main():
         best_pipe = min(best_pipe, time.perf_counter() - t0)
     slices_per_sec = half * len(streams) / best_pipe
 
+    # Multi-volume serving batch (VERDICT r2 #4 — the identified MFU lever):
+    # one program over K volumes' chunk stacks amortizes per-dispatch
+    # overhead and the lax.map pipeline tails. Same program shape family
+    # (just more chunks), so no extra compiles beyond the K sizes measured.
+    kbatch = {}
+    for k in (1, 2, 4):
+        stack = jnp.concatenate([vol_dev] * k) if k > 1 else vol_dev
+        np.asarray(volume_argmax_packed2(params, stack, chunk, jnp.bfloat16))
+        best_k = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = unpack_crumbs(
+                np.asarray(volume_argmax_packed2(params, stack, chunk, jnp.bfloat16))
+            )
+            best_k = min(best_k, time.perf_counter() - t0)
+        kbatch[k] = round(k * n_slices / best_k, 1)
+
     # End-to-end volume latency with per-stage breakdown.
     from lungmask_tpu.inferer import LMInferer
     from lungmask_tpu.models import convert
@@ -386,6 +403,7 @@ def main():
                         bs20_slices_per_sec, 1
                     ),
                     "timed_region": "steady-state volume stream (dispatch per half-volume, downloads overlapped); single-dispatch-per-volume value in single_volume_slices_per_sec",
+                    "kbatch_slices_per_sec": kbatch,
                     "e2e_sec_per_volume": round(e2e_s, 3),
                     "e2e_sec_per_volume_mean": round(e2e_mean, 3),
                     "e2e_first_call_s": round(e2e_first, 2),

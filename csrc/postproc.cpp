@@ -519,6 +519,33 @@ int32_t lm_postprocess(const uint8_t* label_image, int64_t nz, int64_t ny,
   return 0;
 }
 
+// Fused-path finish in one native call (reference mask.py:228-232 semantics):
+//   spare = max(res_l) + 1
+//   FN-fill:    res_l[res_l == 0 & res_r > 0] = spare
+//   FP-removal: res_l[res_r == 0] = 0
+//   out = lm_postprocess(res_l, spare=[spare])
+// The three numpy passes over the full-size volume (plus the max scan) fold
+// into one streaming pass feeding the postprocessing core directly.
+// Returns 0 ok, -1 on error (spare would overflow uint8, or nz < 2).
+int32_t lm_fused_finish(const uint8_t* res_l, const uint8_t* res_r, int64_t nz,
+                        int64_t ny, int64_t nx, int32_t skip_below,
+                        uint8_t* out) {
+  const int64_t n = nz * ny * nx;
+  uint8_t maxv = 0;
+  for (int64_t i = 0; i < n; ++i)
+    if (res_l[i] > maxv) maxv = res_l[i];
+  if (maxv == 255) return -1;
+  const uint8_t spare_u8 = (uint8_t)(maxv + 1);
+  std::vector<uint8_t> fused(n);
+  for (int64_t i = 0; i < n; ++i) {
+    // Single-pass equivalent of FN-fill-then-FP-removal: res_r==0 always
+    // clears; otherwise res_l==0 becomes spare.
+    fused[i] = res_r[i] == 0 ? 0 : (res_l[i] == 0 ? spare_u8 : res_l[i]);
+  }
+  const int32_t spare = spare_u8;
+  return lm_postprocess(fused.data(), nz, ny, nx, &spare, 1, skip_below, out);
+}
+
 // Expand bit-packed class maps (runtime/engine.py packs masks to 2 or 4 bits
 // per pixel on device to shrink the device→host download; the expansion back
 // to uint8 sits on the single-volume latency path). One 256-entry word-wide

@@ -36,6 +36,8 @@ def main(argv=None) -> None:
         "input",
         metavar="input",
         type=path,
+        nargs="?",
+        default=None,
         help="CT volume to segment: a single image file, or a directory that "
         "will be scanned recursively for a DICOM series",
     )
@@ -43,7 +45,22 @@ def main(argv=None) -> None:
         "output",
         metavar="output",
         type=str,
+        nargs="?",
+        default=None,
         help="where to write the resulting label volume",
+    )
+    parser.add_argument(
+        "--warmup",
+        nargs="?",
+        type=int,
+        const=192,
+        default=None,
+        metavar="N_SLICES",
+        help="ahead-of-time compile pass: run the configured model(s) over a "
+        "synthetic N_SLICES-slice volume so every device program lands in "
+        "the persistent compilation cache (first cold compile on a fresh "
+        "machine takes minutes; warmed runs start in seconds). No input/"
+        "output needed; honors --modelname/--modelpath/--batchsize/--cpu.",
     )
     parser.add_argument(
         "--modelname",
@@ -107,6 +124,12 @@ def main(argv=None) -> None:
     if args.cpu:
         batchsize = 1
 
+    if args.warmup is not None:
+        _warmup(args, batchsize)
+        return
+    if args.input is None or args.output is None:
+        parser.error("input and output are required (or pass --warmup)")
+
     # keeping any Patient / Study info is the default; deactivated by flag or
     # for non-HU data (no DICOM source)
     keepmetadata = not args.removemetadata and not args.noHU
@@ -166,6 +189,61 @@ def main(argv=None) -> None:
 
     logger.info(f"Save result to: {args.output}")
     loader.write_image(result_out, args.output)
+
+
+def _warmup(args, batchsize) -> None:
+    """AOT compile pass: drive the full pipeline on a synthetic lung phantom
+    so every program shape the configured model needs is compiled and stored
+    in the persistent cache (runtime.enable_compile_cache). The forward
+    engine's split-dispatch family ({1,2,3}-chunk programs) covers every
+    volume length; preprocessing programs are per-slice-bucket, so warming
+    with N close to your typical series length warms those too."""
+    import time
+
+    import numpy as np
+
+    n = int(args.warmup)
+    logger.info(f"Warmup: compiling device programs for a {n}-slice volume")
+    zz, yy, xx = np.mgrid[0:n, 0:512, 0:512]
+    vol = np.full((n, 512, 512), -1000, dtype=np.int16)
+    body = ((yy - 256) / 200.0) ** 2 + ((xx - 256) / 230.0) ** 2 < 1
+    vol[body] = 40
+    for cx in (160, 352):
+        lung = (
+            ((zz - n / 2) / (n * 0.45)) ** 2
+            + ((yy - 256) / 140.0) ** 2
+            + ((xx - cx) / 90.0) ** 2
+            < 1
+        )
+        vol[lung] = -800
+    if args.modelname == "LTRCLobes_R231":
+        inferer = LMInferer(
+            modelname="LTRCLobes",
+            force_cpu=args.cpu,
+            fillmodel="R231",
+            batch_size=batchsize,
+            volume_postprocessing=not args.nopostprocess,
+            tqdm_disable=args.noprogress,
+        )
+    else:
+        inferer = LMInferer(
+            modelname=args.modelname,
+            modelpath=args.modelpath,
+            force_cpu=args.cpu,
+            batch_size=batchsize,
+            volume_postprocessing=not args.nopostprocess,
+            tqdm_disable=args.noprogress,
+        )
+    t0 = time.perf_counter()
+    inferer.apply(vol)
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    inferer.apply(vol)
+    warm = time.perf_counter() - t0
+    logger.info(
+        f"Warmup complete: first (compiling) pass {cold:.1f}s, "
+        f"warm pass {warm:.1f}s; programs persisted to the compile cache"
+    )
 
 
 if __name__ == "__main__":

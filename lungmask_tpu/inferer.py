@@ -334,8 +334,14 @@ class LMInferer:
     def _dual_forward(self, n, normalized):
         """Both models over the shared preprocessed stack — ONE device
         dispatch when both runners are plain single-device UNetRunners
-        (runtime.engine.volume_argmax_pair), two otherwise."""
-        from lungmask_tpu.runtime.engine import volume_argmax_pair
+        (runtime.engine.volume_argmax_pair), two otherwise. Masks come back
+        bit-packed per model (engine.pack_bits_for) — the dense dual download
+        dominates this stage's wall clock on tunnel-attached TPUs."""
+        from lungmask_tpu.runtime.engine import (
+            pack_bits_for,
+            unpack_bits_np,
+            volume_argmax_pair_packed,
+        )
 
         a, b = self.model, self.fillmodelm
         same_cfg = (
@@ -347,10 +353,17 @@ class LMInferer:
         with self.timings.stage("unet"):
             if same_cfg:
                 slices, _, _ = a._pad(jnp.asarray(normalized))
-                pa, pb = volume_argmax_pair(
-                    a.params, b.params, slices, a.batch_size, a.compute_dtype
+                width = slices.shape[2]
+                bits_a = pack_bits_for(a.n_classes, width)
+                bits_b = pack_bits_for(b.n_classes, width)
+                pa, pb = volume_argmax_pair_packed(
+                    a.params, b.params, slices, a.batch_size, a.compute_dtype,
+                    bits_a, bits_b,
                 )
-                return np.asarray(pa)[:n], np.asarray(pb)[:n]
+                return (
+                    unpack_bits_np(np.asarray(pa), bits_a)[:n],
+                    unpack_bits_np(np.asarray(pb), bits_b)[:n],
+                )
             pa = (
                 a.run_numpy(normalized)[:n]
                 if hasattr(a, "run_numpy")
@@ -431,11 +444,22 @@ class LMInferer:
                     )
                 )
             res_l, res_r = results
-            spare_value = res_l.max() + 1
-            res_l[np.logical_and(res_l == 0, res_r > 0)] = spare_value
-            res_l[res_r == 0] = 0
             logger.info("Fusing results... this may take up to several minutes!")
             with self.timings.stage("fusion_postprocess"):
+                # One native call folds the FN-fill/FP-removal passes into
+                # the postprocessing core (csrc lm_fused_finish) — the numpy
+                # formulation below costs several full-volume passes on the
+                # host. Reference semantics (mask.py:228-232; the fusion
+                # postprocessing is unconditional — no volume_postprocessing
+                # guard, matching the reference).
+                from lungmask_tpu.ops import native
+
+                fused = native.fused_finish(res_l, res_r)
+                if fused is not None:
+                    return fused
+                spare_value = res_l.max() + 1
+                res_l[np.logical_and(res_l == 0, res_r > 0)] = spare_value
+                res_l[res_r == 0] = 0
                 return postprocess.postprocessing(
                     res_l, spare=[spare_value], disable_tqdm=self.tqdm_disable
                 )

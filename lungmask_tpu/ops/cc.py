@@ -55,18 +55,41 @@ def _shift_by(x: jnp.ndarray, off) -> jnp.ndarray:
     return x
 
 
-def _seg_scan(reset: jnp.ndarray, value: jnp.ndarray, combine, axis: int,
-              reverse: bool = False) -> jnp.ndarray:
-    """Segmented associative scan: ``value`` combined within runs, restarting
+def _shift_fill(x: jnp.ndarray, axis: int, offset: int, fill) -> jnp.ndarray:
+    """Shift along ``axis``, filling vacated positions with ``fill``."""
+    pad = [(0, 0, 0)] * x.ndim
+    sl = [slice(None)] * x.ndim
+    if offset > 0:
+        pad[axis] = (offset, 0, 0)
+        sl[axis] = slice(0, x.shape[axis])
+    else:
+        pad[axis] = (0, -offset, 0)
+        sl[axis] = slice(-offset, x.shape[axis] - offset)
+    return lax.pad(x, jnp.asarray(fill, x.dtype), pad)[tuple(sl)]
+
+
+def _seg_scan(reset: jnp.ndarray, value: jnp.ndarray, combine, identity,
+              axis: int, reverse: bool = False) -> jnp.ndarray:
+    """Segmented inclusive scan: ``value`` combined within runs, restarting
     wherever ``reset`` is True (True = this element does NOT continue the run
-    from its predecessor in scan direction)."""
+    from its predecessor in scan direction).
 
-    def op(a, b):
-        fa, va = a
-        fb, vb = b
-        return fa | fb, jnp.where(fb, vb, combine(va, vb))
-
-    _, v = lax.associative_scan(op, (reset, value), axis=axis, reverse=reverse)
+    Hillis-Steele doubling with plain shifts — deliberately NOT
+    ``lax.associative_scan``: its slice-based lowering inside a fixpoint
+    ``while_loop`` ballooned the postprocessing program to a 32 MB executable
+    that took minutes to (re)load over the tunnel; the doubling form is the
+    same O(n log n) work in ~log2(n) shift+where pairs of tiny HLO.
+    """
+    step = 1 if reverse else -1  # each element absorbs its predecessor side
+    n = value.shape[axis]
+    f, v = reset, value
+    d = 1
+    while d < n:
+        f_prev = _shift_fill(f, axis, -step * d, True)
+        v_prev = _shift_fill(v, axis, -step * d, identity)
+        v = jnp.where(f, v, combine(v, v_prev))
+        f = f | f_prev
+        d *= 2
     return v
 
 
@@ -122,8 +145,8 @@ def label(image: jnp.ndarray, connectivity: Optional[int] = None) -> jnp.ndarray
                 continue
             reset_fwd, reset_bwd = cont[axis]
             masked = jnp.where(fg, out, big)
-            fwd = _seg_scan(reset_fwd, masked, jnp.minimum, axis)
-            bwd = _seg_scan(reset_bwd, masked, jnp.minimum, axis, reverse=True)
+            fwd = _seg_scan(reset_fwd, masked, jnp.minimum, big, axis)
+            bwd = _seg_scan(reset_bwd, masked, jnp.minimum, big, axis, reverse=True)
             out = jnp.where(fg, jnp.minimum(jnp.minimum(fwd, bwd), out), 0)
         return out
 

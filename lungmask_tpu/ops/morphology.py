@@ -152,22 +152,15 @@ def binary_fill_holes(x: jnp.ndarray, structure: str = "full") -> jnp.ndarray:
         for axis in range(x.ndim)
     ]
 
-    def seg_or(reset, value, axis, reverse):
-        def op(a, b):
-            fa, va = a
-            fb, vb = b
-            return fa | fb, jnp.where(fb, vb, va | vb)
-
-        _, v = lax.associative_scan(op, (reset, value), axis=axis, reverse=reverse)
-        return v
-
     def sweep(reached):
+        from lungmask_tpu.ops.cc import _seg_scan
+
         for axis in range(x.ndim):
             if x.shape[axis] == 1:
                 continue
             rf, rb = resets[axis]
-            fwd = seg_or(rf, reached, axis, False)
-            bwd = seg_or(rb, reached, axis, True)
+            fwd = _seg_scan(rf, reached, jnp.logical_or, False, axis)
+            bwd = _seg_scan(rb, reached, jnp.logical_or, False, axis, reverse=True)
             reached = reached | (outside & (fwd | bwd))
         return reached
 

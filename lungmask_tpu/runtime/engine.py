@@ -149,6 +149,52 @@ def volume_argmax_pair(
     return out_a.reshape(m, h, w), out_b.reshape(m, h, w)
 
 
+def _pack_bits_device(dense: jnp.ndarray, bits: int) -> jnp.ndarray:
+    """Pack a uint8 class map along the last axis: 2 bits (4 px/byte) or
+    4 bits (2 px/byte); 8 = passthrough."""
+    if bits == 8:
+        return dense
+    m, h, w = dense.shape
+    per = 8 // bits
+    groups = dense.reshape(m, h, w // per, per)
+    out = groups[..., 0]
+    for i in range(1, per):
+        out = out | (groups[..., i] << (bits * i))
+    return out
+
+
+def pack_bits_for(n_classes: int, width: int) -> int:
+    """Packing width for a class count: the device-side mask transfer is the
+    dominant host↔device cost on tunnel-attached TPUs, so masks travel at 2
+    bits/pixel (≤4 classes), 4 (≤16), or dense."""
+    if width % 4 == 0 and n_classes <= 4:
+        return 2
+    if width % 2 == 0 and n_classes <= 16:
+        return 4
+    return 8
+
+
+def unpack_bits_np(packed: np.ndarray, bits: int) -> np.ndarray:
+    if bits == 8:
+        return np.asarray(packed)
+    return unpack_crumbs(packed) if bits == 2 else unpack_nibbles(packed)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chunk", "compute_dtype", "bits_a", "bits_b")
+)
+def volume_argmax_pair_packed(
+    params_a, params_b, vol: jnp.ndarray, chunk: int, compute_dtype,
+    bits_a: int, bits_b: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """:func:`volume_argmax_pair` with each class map bit-packed on device by
+    its own class count (LTRCLobes needs 4 bits, R231 2): the fused path's
+    dense dual download (2×H×W bytes per slice) is the single biggest
+    host↔device transfer in the pipeline — packing cuts it 2-4×."""
+    a, b = volume_argmax_pair(params_a, params_b, vol, chunk, compute_dtype)
+    return _pack_bits_device(a, bits_a), _pack_bits_device(b, bits_b)
+
+
 DEFAULT_CHUNK = 32  # measured MXU sweet spot on v5e (+16% over the
 # reference's batch 20 at 256²; 40/64 plateau at the same rate)
 

@@ -97,3 +97,27 @@ def test_cli_fused_forbids_modelpath(tmp_path, dicom_dir, weights3):
         main(
             [dicom_dir, out, "--modelname", "LTRCLobes_R231", "--modelpath", weights3]
         )
+
+
+def test_cli_warmup(tmp_path, monkeypatch):
+    """--warmup runs the full pipeline on a synthetic phantom with no
+    input/output arguments (tiny slice count to keep CPU compiles fast)."""
+    import numpy as np
+
+    from lungmask_tpu import cli
+    from lungmask_tpu.models import convert, unet
+    import jax
+
+    w = str(tmp_path / "w.npz")
+    convert.save_npz(w, jax.tree_util.tree_map(
+        np.asarray, unet.init_params(jax.random.PRNGKey(0), 3)))
+    cli.main(["--warmup", "2", "--modelpath", w, "--noprogress"])
+
+
+def test_cli_requires_io_without_warmup():
+    import pytest as _pytest
+
+    from lungmask_tpu import cli
+
+    with _pytest.raises(SystemExit):
+        cli.main(["--noprogress"])

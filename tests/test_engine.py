@@ -79,3 +79,28 @@ def test_packing_choice_by_classes():
     r6 = engine.UNetRunner(params, 6)
     assert r6._packing(256)[0] is engine.volume_argmax_packed
     assert r3._packing(255)[1]("x") == "x"  # odd width: dense passthrough
+
+
+def test_pair_packed_matches_dense():
+    """Per-model bit-packed dual forward must unpack to the dense pair
+    (2-bit for a 3-class model, 4-bit for a 6-class one)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lungmask_tpu.models import unet
+    from lungmask_tpu.runtime.engine import (
+        pack_bits_for,
+        unpack_bits_np,
+        volume_argmax_pair,
+        volume_argmax_pair_packed,
+    )
+
+    pa = unet.init_params(jax.random.PRNGKey(0), n_classes=3, wf=2, depth=3)
+    pb = unet.init_params(jax.random.PRNGKey(1), n_classes=6, wf=2, depth=3)
+    vol = jax.random.uniform(jax.random.PRNGKey(2), (4, 32, 32))
+    da, db = volume_argmax_pair(pa, pb, vol, 2, jnp.float32)
+    bits_a, bits_b = pack_bits_for(3, 32), pack_bits_for(6, 32)
+    assert (bits_a, bits_b) == (2, 4)
+    ka, kb = volume_argmax_pair_packed(pa, pb, vol, 2, jnp.float32, bits_a, bits_b)
+    np.testing.assert_array_equal(unpack_bits_np(np.asarray(ka), 2), np.asarray(da))
+    np.testing.assert_array_equal(unpack_bits_np(np.asarray(kb), 4), np.asarray(db))

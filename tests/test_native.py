@@ -151,3 +151,31 @@ def test_lm_postprocess_empty_and_full(lib):
     np.testing.assert_array_equal(
         native.postprocess(ones, [], 3), _postprocessing_python(ones, disable_tqdm=True)
     )
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_lm_fused_finish_matches_numpy_formulation(lib, seed):
+    """One-call fused finish vs the literal FN-fill/FP-removal + spare-aware
+    postprocessing (reference mask.py:228-232)."""
+    if not hasattr(lib, "lm_fused_finish"):
+        pytest.skip("lm_fused_finish not in library")
+    from lungmask_tpu.transforms.postprocess import _postprocessing_python
+
+    rng = np.random.default_rng(300 + seed)
+    shape = (5, 26, 26)
+    res_l = np.zeros(shape, dtype=np.uint8)
+    res_r = np.zeros(shape, dtype=np.uint8)
+    for v in range(1, 6):
+        noise = ndimage.gaussian_filter(rng.normal(size=shape), 1.3)
+        res_l[noise > np.quantile(noise, 0.8)] = v
+    noise = ndimage.gaussian_filter(rng.normal(size=shape), 1.5)
+    res_r[noise > np.quantile(noise, 0.65)] = 1
+
+    got = native.fused_finish(res_l.copy(), res_r.copy())
+    assert got is not None
+    l = res_l.copy()
+    spare_value = l.max() + 1
+    l[np.logical_and(l == 0, res_r > 0)] = spare_value
+    l[res_r == 0] = 0
+    want = _postprocessing_python(l, spare=[spare_value], disable_tqdm=True)
+    np.testing.assert_array_equal(got, want)
