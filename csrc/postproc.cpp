@@ -46,8 +46,6 @@ struct UnionFind {
 
 }  // namespace
 
-extern "C" {
-
 // Multi-class connected components, run-length union-find.
 //
 // Label volumes are highly run-compressible (a lung field is one run per
@@ -87,30 +85,37 @@ inline void unite_rows(UnionFind& uf, std::vector<Run>& runs,
   }
 }
 
-}  // namespace
+// Per-component statistics accumulated from runs (the run sweep knows each
+// run's value, length and extent, so a separate voxel-level regionprops pass
+// over the volume is unnecessary).
+struct CompStats {
+  std::vector<int64_t> areas;
+  std::vector<int32_t> value;    // the component's (single) image value
+  std::vector<int32_t> bbox;     // n*6: z0,y0,x0,z1,y1,x1 half-open
+};
 
-int32_t lm_label(const int32_t* img, int64_t nz, int64_t ny, int64_t nx,
-                 int32_t connectivity, int32_t* out) {
+// Run-length union-find CC labeling, templated over the input sample type,
+// with fused per-component stats. Labels are 1..n in raster first-occurrence
+// order (skimage ordering). Returns n.
+template <typename T>
+int32_t label_runs(const T* img, int64_t nz, int64_t ny, int64_t nx,
+                   bool full, int32_t* out, CompStats* stats) {
   const int64_t sy = nx, sz = ny * nx;
-  const bool full = connectivity != 1;
   const int32_t slack = full ? 1 : 0;
   UnionFind uf;
   std::vector<Run> runs;
   runs.reserve(1 << 16);
-  // row_start[z*ny + y] .. row_start[z*ny + y + 1]: that row's runs.
   std::vector<int64_t> row_start(nz * ny + 1, 0);
 
   for (int64_t z = 0; z < nz; ++z) {
     for (int64_t y = 0; y < ny; ++y) {
       const int64_t row = z * sz + y * sy;
       row_start[z * ny + y] = static_cast<int64_t>(runs.size());
-      // Extract maximal same-value runs; adjacent runs differ by
-      // construction, so within-row connectivity needs no unions.
       for (int64_t x = 0; x < nx;) {
-        const int32_t v = img[row + x];
+        const int32_t v = static_cast<int32_t>(img[row + x]);
         if (v == 0) { ++x; continue; }
         int64_t e = x + 1;
-        while (e < nx && img[row + e] == v) ++e;
+        while (e < nx && static_cast<int32_t>(img[row + e]) == v) ++e;
         runs.push_back({static_cast<int32_t>(x), static_cast<int32_t>(e), v,
                         uf.make()});
         x = e;
@@ -118,11 +123,11 @@ int32_t lm_label(const int32_t* img, int64_t nz, int64_t ny, int64_t nx,
       const int64_t a0 = row_start[z * ny + y];
       const int64_t a1 = static_cast<int64_t>(runs.size());
       if (a1 == a0) continue;
-      if (y > 0) {  // (z, y-1)
+      if (y > 0) {
         const int64_t b0 = row_start[z * ny + y - 1];
         unite_rows(uf, runs, a0, a1, b0, row_start[z * ny + y], slack);
       }
-      if (z > 0) {  // (z-1, y) always; (z-1, y±1) for full connectivity
+      if (z > 0) {
         const int64_t ylo = full ? (y > 0 ? y - 1 : 0) : y;
         const int64_t yhi = full ? (y + 1 < ny ? y + 1 : ny - 1) : y;
         for (int64_t yy = ylo; yy <= yhi; ++yy) {
@@ -135,15 +140,41 @@ int32_t lm_label(const int32_t* img, int64_t nz, int64_t ny, int64_t nx,
   }
   row_start[nz * ny] = static_cast<int64_t>(runs.size());
 
-  // Resolve + renumber in raster first-occurrence order (runs were created
-  // in raster order, so a run sweep visits first occurrences in order),
-  // then fill the output: zero it and paint each run with its final label.
   std::vector<int32_t> remap(uf.parent.size(), 0);
   int32_t next = 0;
   for (auto& r : runs) {
     const int32_t root = uf.find(r.prov);
     if (remap[root] == 0) remap[root] = ++next;
-    r.prov = remap[root];  // reuse the field for the final label
+    r.prov = remap[root];
+  }
+  if (stats) {
+    stats->areas.assign(next, 0);
+    stats->value.assign(next, 0);
+    stats->bbox.assign(static_cast<size_t>(next) * 6, 0);
+    for (int32_t l = 0; l < next; ++l) {
+      int32_t* b = stats->bbox.data() + static_cast<size_t>(l) * 6;
+      b[0] = static_cast<int32_t>(nz);
+      b[1] = static_cast<int32_t>(ny);
+      b[2] = static_cast<int32_t>(nx);
+    }
+    int64_t ri = 0;
+    for (int64_t z = 0; z < nz; ++z)
+      for (int64_t y = 0; y < ny; ++y) {
+        const int64_t r1 = row_start[z * ny + y + 1];
+        for (; ri < r1; ++ri) {
+          const Run& r = runs[ri];
+          const int32_t k = r.prov - 1;
+          stats->areas[k] += r.x1 - r.x0;
+          stats->value[k] = r.value;
+          int32_t* b = stats->bbox.data() + static_cast<size_t>(k) * 6;
+          if (z < b[0]) b[0] = static_cast<int32_t>(z);
+          if (y < b[1]) b[1] = static_cast<int32_t>(y);
+          if (r.x0 < b[2]) b[2] = r.x0;
+          if (z + 1 > b[3]) b[3] = static_cast<int32_t>(z + 1);
+          if (y + 1 > b[4]) b[4] = static_cast<int32_t>(y + 1);
+          if (r.x1 > b[5]) b[5] = r.x1;
+        }
+      }
   }
   std::memset(out, 0, sizeof(int32_t) * nz * sz);
   int64_t ri = 0;
@@ -159,6 +190,15 @@ int32_t lm_label(const int32_t* img, int64_t nz, int64_t ny, int64_t nx,
       }
     }
   return next;
+}
+
+}  // namespace
+
+extern "C" {
+
+int32_t lm_label(const int32_t* img, int64_t nz, int64_t ny, int64_t nx,
+                 int32_t connectivity, int32_t* out) {
+  return label_runs<int32_t>(img, nz, ny, nx, connectivity != 1, out, nullptr);
 }
 
 // Fused region properties over a labeled volume.
@@ -316,16 +356,13 @@ int32_t lm_postprocess(const uint8_t* label_image, int64_t nz, int64_t ny,
     return false;
   };
 
-  std::vector<int32_t> img(n);
-  for (int64_t i = 0; i < n; ++i) img[i] = label_image[i];
   std::vector<int32_t> comp(n);
-  const int32_t n_comp = lm_label(img.data(), nz, ny, nx, /*full*/ 3, comp.data());
-
-  std::vector<int64_t> areas(n_comp);
-  std::vector<int32_t> maxint(n_comp);
-  std::vector<int32_t> bbox(static_cast<size_t>(n_comp) * 6);
-  lm_regionprops(comp.data(), img.data(), nz, ny, nx, n_comp, areas.data(),
-                 maxint.data(), bbox.data());
+  CompStats st;
+  const int32_t n_comp =
+      label_runs<uint8_t>(label_image, nz, ny, nx, /*full*/ true, comp.data(), &st);
+  std::vector<int64_t>& areas = st.areas;
+  std::vector<int32_t>& maxint = st.value;
+  std::vector<int32_t>& bbox = st.bbox;
 
   // Ascending initial area, ties in ascending-label (stable) order.
   std::vector<int32_t> order(n_comp);
@@ -424,17 +461,15 @@ int32_t lm_postprocess(const uint8_t* label_image, int64_t nz, int64_t ny,
   for (int32_t l = 1; l <= n_comp; ++l)
     if (class_of[l] && in_spare(class_of[l])) class_of[l] = 0;
 
-  std::memset(out, 0, static_cast<size_t>(n));
-
   // ---- final sweep: per-class champion + windowed hole fill ----
   // finals: (label, class value, area, bbox*) in ascending label order.
   std::vector<int32_t> fin_label;
   std::vector<uint8_t> fin_value;
   std::vector<int64_t> fin_area;
   const int32_t* fin_bbox = nullptr;
-  std::vector<int64_t> areas2;
-  std::vector<int32_t> maxint2, bbox2;
+  CompStats st2;
   std::vector<int32_t>* comp_final = &comp;
+  bool painted_any_zero = false;
 
   if (!merged_any && n_spare == 0) {
     // No merge wrote into comp and no spare was zeroed: comp restricted to
@@ -448,39 +483,44 @@ int32_t lm_postprocess(const uint8_t* label_image, int64_t nz, int64_t ny,
       }
     fin_bbox = bbox.data();
   } else {
-    for (int64_t i = 0; i < n; ++i) img[i] = class_of[comp[i]];
-    const int32_t n2 = lm_label(img.data(), nz, ny, nx, 3, comp.data());
-    areas2.resize(n2);
-    maxint2.resize(n2);
-    bbox2.resize(static_cast<size_t>(n2) * 6);
-    lm_regionprops(comp.data(), img.data(), nz, ny, nx, n2, areas2.data(),
-                   maxint2.data(), bbox2.data());
+    // Paint the class volume into `out` (uint8, reused as scratch until the
+    // final zero below) and relabel it with fused stats — no separate
+    // int32 conversion or regionprops sweep.
+    for (int64_t i = 0; i < n; ++i) {
+      out[i] = class_of[comp[i]];
+      painted_any_zero |= out[i] == 0;
+    }
+    const int32_t n2 =
+        label_runs<uint8_t>(out, nz, ny, nx, true, comp.data(), &st2);
     for (int32_t l = 1; l <= n2; ++l) {
       fin_label.push_back(l);
-      fin_value.push_back(static_cast<uint8_t>(maxint2[l - 1]));
-      fin_area.push_back(areas2[l - 1]);
+      fin_value.push_back(static_cast<uint8_t>(st2.value[l - 1]));
+      fin_area.push_back(st2.areas[l - 1]);
     }
-    fin_bbox = bbox2.data();
+    fin_bbox = st2.bbox.data();
   }
 
   // Classes present, ascending; drop the FIRST sorted-unique value verbatim
   // (utils.py:355) — when 0 is absent this drops the smallest class.
   std::vector<uint8_t> present(max_class + 2, 0);
   if (!merged_any && n_spare == 0) {
-    present[0] = 1;  // comp==0 background voxels exist unless the volume is
-    // fully covered by champions; match np.unique on the painted volume:
     bool any_zero = false;
     for (int64_t i = 0; i < n && !any_zero; ++i)
       if (class_of[comp[i]] == 0) any_zero = true;
     present[0] = any_zero ? 1 : 0;
     for (size_t f = 0; f < fin_label.size(); ++f) present[fin_value[f]] = 1;
   } else {
-    for (int64_t i = 0; i < n; ++i) present[img[i]] = 1;
+    present[0] = painted_any_zero ? 1 : 0;
+    for (size_t f = 0; f < fin_label.size(); ++f) present[fin_value[f]] = 1;
   }
   std::vector<int32_t> classes;
   for (int32_t v = 0; v <= max_class + 1; ++v)
     if (present[v]) classes.push_back(v);
   if (!classes.empty()) classes.erase(classes.begin());
+
+  // `out` may have served as the class-volume scratch above; zero it now
+  // before painting the filled champions.
+  std::memset(out, 0, static_cast<size_t>(n));
 
   // Champion per class: ascending-label scan keeps the LAST maximal region.
   std::vector<int32_t> champ(max_class + 2, -1);

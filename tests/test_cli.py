@@ -10,6 +10,8 @@ from lungmask_tpu.io import dicom, loader
 from lungmask_tpu.models import convert, unet
 
 
+pytestmark = pytest.mark.slow  # deselect with -m "not slow" for the smoke tier
+
 @pytest.fixture(scope="module")
 def weights3(tmp_path_factory):
     params = unet.init_params(jax.random.PRNGKey(0), n_classes=3)

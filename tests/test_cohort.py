@@ -14,6 +14,8 @@ from lungmask_tpu.models import convert, unet
 from lungmask_tpu.runtime.cohort import run_cohort
 
 
+pytestmark = pytest.mark.slow  # deselect with -m "not slow" for the smoke tier
+
 @pytest.fixture(scope="module")
 def inferer(tmp_path_factory):
     params = unet.init_params(jax.random.PRNGKey(0), n_classes=3)

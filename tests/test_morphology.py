@@ -9,6 +9,8 @@ import jax.numpy as jnp
 from lungmask_tpu.ops import morphology
 
 
+pytestmark = pytest.mark.slow  # deselect with -m "not slow" for the smoke tier
+
 def _rand_mask(rng, shape, p=0.5):
     return rng.random(shape) < p
 

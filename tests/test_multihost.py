@@ -12,6 +12,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # deselect with -m "not slow" for the smoke tier
+
 _WORKER = r"""
 import os, sys, json
 os.environ["JAX_PLATFORMS"] = "cpu"

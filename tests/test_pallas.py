@@ -11,6 +11,8 @@ from lungmask_tpu.ops.pallas.bodymask import bodymask_labels_pallas
 from lungmask_tpu.transforms import preprocess
 
 
+pytestmark = pytest.mark.slow  # deselect with -m "not slow" for the smoke tier
+
 def _slices(rng, b=3):
     out = np.full((b, 128, 128), -1000, dtype=np.float32)
     yy, xx = np.mgrid[0:128, 0:128]

@@ -15,6 +15,8 @@ from lungmask_tpu.runtime.engine import UNetRunner
 from lungmask_tpu.train import init_train_state, make_train_step
 
 
+pytestmark = pytest.mark.slow  # deselect with -m "not slow" for the smoke tier
+
 @pytest.fixture(scope="module")
 def tiny_params():
     return unet.init_params(jax.random.PRNGKey(0), n_classes=3, wf=2)

@@ -10,6 +10,8 @@ from lungmask_tpu.transforms.postprocess import postprocessing
 from lungmask_tpu.transforms.postprocess_device import postprocess_device
 
 
+pytestmark = pytest.mark.slow  # deselect with -m "not slow" for the smoke tier
+
 def _clean_pred(rng):
     pred = np.zeros((4, 48, 48), dtype=np.uint8)
     yy, xx = np.mgrid[0:48, 0:48]

@@ -11,6 +11,8 @@ from lungmask_tpu.ops import cc, cc_host
 from lungmask_tpu.transforms import host_pipeline, preprocess
 
 
+pytestmark = pytest.mark.slow  # deselect with -m "not slow" for the smoke tier
+
 def _synthetic_body_volume(rng, n=2, h=96, w=96):
     """Body-like phantom: soft-tissue ellipse on air, plus a small separate blob."""
     vol = np.full((n, h, w), -1000, dtype=np.int16)

@@ -17,6 +17,8 @@ from lungmask_tpu.ops import native
 from lungmask_tpu.transforms import host_pipeline, preprocess
 
 
+pytestmark = pytest.mark.slow  # deselect with -m "not slow" for the smoke tier
+
 def _phantom(rng, n=3, h=512, w=512):
     """Body ellipse + two lungs + an 'arm' blob, ≥128² (hybrid main path)."""
     vol = np.full((n, h, w), -1000, dtype=np.int16)

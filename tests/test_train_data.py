@@ -12,6 +12,8 @@ from lungmask_tpu.train import init_train_state, make_train_step
 from lungmask_tpu.train.data import SliceDataset, slices_from_pair
 
 
+pytestmark = pytest.mark.slow  # deselect with -m "not slow" for the smoke tier
+
 def _pair(seed, n=3, hw=96):
     rng = np.random.default_rng(seed)
     vol = np.full((n, hw, hw), -1000, dtype=np.int16)
