@@ -321,9 +321,12 @@ def main():
         )
         fused.apply(e2e_vol)  # warm/compile
         # Host postprocess stages wobble up to 10x on this shared box
-        # (measured: same input 1.7-27 s); best-of-2 like the other stages.
+        # (measured: same input 1.7-27 s), and the first timed runs pay
+        # first-touch page faults on the ~250 MB of fused working buffers
+        # (measured: 9.7 s first timed run vs 2.6 s steady state on identical
+        # inputs) — best-of-4 reaches steady state.
         fused_times, fused_stage_runs = [], []
-        for _ in range(2):
+        for _ in range(4):
             fused.timings.reset()
             t0 = time.perf_counter()
             fused.apply(e2e_vol)

@@ -16,10 +16,29 @@
 // Exposed as a C ABI for ctypes (no pybind11 in this environment).
 
 #include <algorithm>
+#include <chrono>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <vector>
+
+namespace {
+// LM_POSTPROC_TIMING=1 → per-stage wall times of lm_postprocess to stderr.
+inline bool pp_timing() {
+  static int v = -1;
+  if (v < 0) {
+    const char* e = getenv("LM_POSTPROC_TIMING");
+    v = (e && *e == '1') ? 1 : 0;
+  }
+  return v == 1;
+}
+inline double pp_now() {
+  return std::chrono::duration<double>(
+             std::chrono::steady_clock::now().time_since_epoch())
+      .count();
+}
+}  // namespace
 
 namespace {
 
@@ -356,6 +375,7 @@ int32_t lm_postprocess(const uint8_t* label_image, int64_t nz, int64_t ny,
     return false;
   };
 
+  double t0 = pp_timing() ? pp_now() : 0.0;
   std::vector<int32_t> comp(n);
   CompStats st;
   const int32_t n_comp =
@@ -363,6 +383,11 @@ int32_t lm_postprocess(const uint8_t* label_image, int64_t nz, int64_t ny,
   std::vector<int64_t>& areas = st.areas;
   std::vector<int32_t>& maxint = st.value;
   std::vector<int32_t>& bbox = st.bbox;
+  if (pp_timing()) {
+    fprintf(stderr, "lm_postprocess: label %.3fs (n_comp=%d)\n", pp_now() - t0,
+            n_comp);
+    t0 = pp_now();
+  }
 
   // Ascending initial area, ties in ascending-label (stable) order.
   std::vector<int32_t> order(n_comp);
@@ -456,6 +481,12 @@ int32_t lm_postprocess(const uint8_t* label_image, int64_t nz, int64_t ny,
     areas[t] += moved;
   }
 
+  if (pp_timing()) {
+    fprintf(stderr, "lm_postprocess: merge %.3fs (merged_any=%d)\n",
+            pp_now() - t0, (int)merged_any);
+    t0 = pp_now();
+  }
+
   // class volume (interim-champion LUT, spare classes zeroed — np.isin on
   // *class values*, utils.py:342).
   for (int32_t l = 1; l <= n_comp; ++l)
@@ -490,6 +521,10 @@ int32_t lm_postprocess(const uint8_t* label_image, int64_t nz, int64_t ny,
       out[i] = class_of[comp[i]];
       painted_any_zero |= out[i] == 0;
     }
+    if (pp_timing()) {
+      fprintf(stderr, "lm_postprocess:   paint %.3fs\n", pp_now() - t0);
+      t0 = pp_now();
+    }
     const int32_t n2 =
         label_runs<uint8_t>(out, nz, ny, nx, true, comp.data(), &st2);
     for (int32_t l = 1; l <= n2; ++l) {
@@ -498,6 +533,11 @@ int32_t lm_postprocess(const uint8_t* label_image, int64_t nz, int64_t ny,
       fin_area.push_back(st2.areas[l - 1]);
     }
     fin_bbox = st2.bbox.data();
+  }
+  if (pp_timing()) {
+    fprintf(stderr, "lm_postprocess: final-relabel %.3fs (finals=%zu)\n",
+            pp_now() - t0, fin_label.size());
+    t0 = pp_now();
   }
 
   // Classes present, ascending; drop the FIRST sorted-unique value verbatim
@@ -556,6 +596,8 @@ int32_t lm_postprocess(const uint8_t* label_image, int64_t nz, int64_t ny,
           if (w[x - x0]) out[row + x] = static_cast<uint8_t>(v);
       }
   }
+  if (pp_timing())
+    fprintf(stderr, "lm_postprocess: fills %.3fs\n", pp_now() - t0);
   return 0;
 }
 

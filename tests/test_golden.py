@@ -164,6 +164,7 @@ def synthetic_w3(tmp_path_factory):
     return p
 
 
+@pytest.mark.slow  # full-pipeline runs on the real CT series (~40-85 s each on this 1-core host)
 @needs_refdata
 @pytest.mark.parametrize("preprocessing", ["host", "hybrid"])
 def test_synthetic_golden_counts_f32(refvol, synthetic_w3, preprocessing):
@@ -178,6 +179,7 @@ def test_synthetic_golden_counts_f32(refvol, synthetic_w3, preprocessing):
     assert counts == SYNTHETIC_GOLDEN
 
 
+@pytest.mark.slow  # full-pipeline runs on the real CT series (~40-85 s each on this 1-core host)
 @needs_refdata
 def test_synthetic_golden_default_config_agreement(refvol, synthetic_w3):
     """Default config (hybrid preprocessing, bfloat16): bf16 argmax flips vs
@@ -188,6 +190,7 @@ def test_synthetic_golden_default_config_agreement(refvol, synthetic_w3):
     assert delta / res.size < 0.002, (counts.tolist(), SYNTHETIC_GOLDEN)
 
 
+@pytest.mark.slow  # full-pipeline runs on the real CT series (~40-85 s each on this 1-core host)
 @needs_refdata
 def test_synthetic_hybrid_host_masks_identical(refvol, synthetic_w3):
     """Stronger than equal counts: the hybrid and host preprocessing configs

@@ -146,3 +146,37 @@ def test_packed_device_postprocess_matches_dense():
     dense = np.asarray(postprocess_device(jnp.asarray(vol), 3))
     packed = np.asarray(postprocess_device_packed2(jnp.asarray(vol), 3))
     np.testing.assert_array_equal(unpack_crumbs(packed), dense)
+
+
+def test_sweep_cc_spiral_worst_case():
+    """A spiral is the worst case for sweep-based labeling (label must
+    propagate around every bend); the fixpoint must still match the host
+    labeling partition exactly."""
+    import jax.numpy as jnp
+
+    from lungmask_tpu.ops import cc, cc_host
+
+    img = np.zeros((33, 33), dtype=np.uint8)
+    # draw an inward rectangular spiral of value 1
+    top, left, bottom, right = 0, 0, 32, 32
+    while top < bottom and left < right:
+        img[top, left:right + 1] = 1
+        img[top:bottom + 1, right] = 1
+        img[bottom, left:right + 1] = 1
+        img[top + 2:bottom + 1, left] = 1
+        top += 2
+        bottom -= 2
+        left += 2
+        right -= 2
+    # plus an unrelated second component
+    img[16, 16] = 2
+
+    dev = np.asarray(cc.label(jnp.asarray(img)))
+    host = cc_host.label(img)
+    # same partition: bijection between label sets
+    for hv in np.unique(host):
+        sel = host == hv
+        assert len(np.unique(dev[sel])) == 1
+    for dv in np.unique(dev):
+        sel = dev == dv
+        assert len(np.unique(host[sel])) == 1

@@ -135,6 +135,7 @@ def test_forward_parity_small(oracle_and_params):
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
 
 
+@pytest.mark.slow  # production-resolution forward on 1 CPU core
 def test_argmax_parity_256(oracle_and_params):
     """Class-decision parity at the production 256² resolution."""
     model, params = oracle_and_params
@@ -178,6 +179,7 @@ def test_init_params_shapes():
     assert out.dtype == jnp.uint8
 
 
+@pytest.mark.slow
 def test_bfloat16_path_agrees():
     """bf16 MXU path must agree with f32 on the overwhelming majority of pixels."""
     params = unet.init_params(jax.random.PRNGKey(2), n_classes=3)
