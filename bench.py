@@ -276,7 +276,7 @@ def main():
         # report volumes/hour (BASELINE.json config 5, README serving claim).
         from lungmask_tpu.runtime.cohort import run_cohort
 
-        cohort = run_cohort([e2e_vol] * (2 if small else 6), inferer)
+        cohort = run_cohort([e2e_vol] * (2 if small else 10), inferer)
         cohort_vph = round(cohort.volumes_per_hour, 1)
         cohort_errors = sum(1 for r in cohort.results if r.error)
 
@@ -289,7 +289,7 @@ def main():
             modelpath=wpath, tqdm_disable=True, postprocessing_mode="device"
         )
         dev_mask = dev_inferer.apply(e2e_vol)  # warm/compile
-        cohort_dev = run_cohort([e2e_vol] * (2 if small else 6), dev_inferer)
+        cohort_dev = run_cohort([e2e_vol] * (2 if small else 10), dev_inferer)
         cohort_dev_vph = round(cohort_dev.volumes_per_hour, 1)
 
         # Accuracy contract, measured per run: device-mode postprocessing vs

@@ -122,9 +122,11 @@ int32_t label_runs(const T* img, int64_t nz, int64_t ny, int64_t nx,
   const int64_t sy = nx, sz = ny * nx;
   const int32_t slack = full ? 1 : 0;
   UnionFind uf;
-  std::vector<Run> runs;
+  static thread_local std::vector<Run> runs;
+  runs.clear();
   runs.reserve(1 << 16);
-  std::vector<int64_t> row_start(nz * ny + 1, 0);
+  static thread_local std::vector<int64_t> row_start;
+  row_start.assign(nz * ny + 1, 0);
 
   for (int64_t z = 0; z < nz; ++z) {
     for (int64_t y = 0; y < ny; ++y) {
@@ -159,7 +161,8 @@ int32_t label_runs(const T* img, int64_t nz, int64_t ny, int64_t nx,
   }
   row_start[nz * ny] = static_cast<int64_t>(runs.size());
 
-  std::vector<int32_t> remap(uf.parent.size(), 0);
+  static thread_local std::vector<int32_t> remap;
+  remap.assign(uf.parent.size(), 0);
   int32_t next = 0;
   for (auto& r : runs) {
     const int32_t root = uf.find(r.prov);
@@ -376,8 +379,13 @@ int32_t lm_postprocess(const uint8_t* label_image, int64_t nz, int64_t ny,
   };
 
   double t0 = pp_timing() ? pp_now() : 0.0;
-  std::vector<int32_t> comp(n);
-  CompStats st;
+  // Persistent scratch: these working buffers total ~250 MB for a full-size
+  // fused volume; fresh vectors would be mmap'd and page-faulted anew on
+  // every call (multi-second swings measured between identical calls), so
+  // they are retained across calls instead.
+  static thread_local std::vector<int32_t> comp;
+  comp.resize(n);
+  static thread_local CompStats st;
   const int32_t n_comp =
       label_runs<uint8_t>(label_image, nz, ny, nx, /*full*/ true, comp.data(), &st);
   std::vector<int64_t>& areas = st.areas;
@@ -415,7 +423,8 @@ int32_t lm_postprocess(const uint8_t* label_image, int64_t nz, int64_t ny,
 
   // ---- merge loop ----
   bool merged_any = false;
-  std::vector<int64_t> cnt(n_comp + 1, 0);
+  static thread_local std::vector<int64_t> cnt;
+  cnt.assign(n_comp + 1, 0);
   std::vector<int32_t> touched;
   for (int32_t oi = 0; oi < n_comp; ++oi) {
     const int32_t r = order[oi];
@@ -498,7 +507,7 @@ int32_t lm_postprocess(const uint8_t* label_image, int64_t nz, int64_t ny,
   std::vector<uint8_t> fin_value;
   std::vector<int64_t> fin_area;
   const int32_t* fin_bbox = nullptr;
-  CompStats st2;
+  static thread_local CompStats st2;
   std::vector<int32_t>* comp_final = &comp;
   bool painted_any_zero = false;
 
@@ -570,7 +579,7 @@ int32_t lm_postprocess(const uint8_t* label_image, int64_t nz, int64_t ny,
     if (champ[v] < 0 || fin_area[f] >= fin_area[champ[v]]) champ[v] = (int32_t)f;
   }
 
-  std::vector<uint8_t> win;
+  static thread_local std::vector<uint8_t> win;
   for (const int32_t v : classes) {
     if (v == 0 || champ[v] < 0) continue;
     const size_t f = champ[v];
@@ -618,7 +627,8 @@ int32_t lm_fused_finish(const uint8_t* res_l, const uint8_t* res_r, int64_t nz,
     if (res_l[i] > maxv) maxv = res_l[i];
   if (maxv == 255) return -1;
   const uint8_t spare_u8 = (uint8_t)(maxv + 1);
-  std::vector<uint8_t> fused(n);
+  static thread_local std::vector<uint8_t> fused;
+  fused.resize(n);
   for (int64_t i = 0; i < n; ++i) {
     // Single-pass equivalent of FN-fill-then-FP-removal: res_r==0 always
     // clears; otherwise res_l==0 becomes spare.

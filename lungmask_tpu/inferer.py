@@ -29,7 +29,7 @@ from lungmask_tpu.io.image import MedicalImage, reorient
 from lungmask_tpu.logger import logger
 from lungmask_tpu.models.registry import MODEL_URLS, get_model
 from lungmask_tpu.ops import resample
-from lungmask_tpu.runtime import enable_compile_cache
+from lungmask_tpu.runtime import enable_compile_cache, tune_host_allocator
 from lungmask_tpu.runtime.engine import UNetRunner
 from lungmask_tpu.transforms import host_pipeline, postprocess, preprocess
 from lungmask_tpu.utils.profiling import StageTimer, trace
@@ -111,6 +111,7 @@ class LMInferer:
         self.postprocessing_mode = postprocessing_mode
         self._sharded_post = {}  # n_classes -> compiled mesh-sharded program
         enable_compile_cache()
+        tune_host_allocator()
 
         if modelpath is not None:
             modelname = os.path.basename(modelpath)

@@ -29,4 +29,41 @@ def enable_compile_cache(path: str | None = None) -> None:
         pass
 
 
-__all__ = ["UNetRunner", "volume_argmax", "enable_compile_cache"]
+_alloc_tuned = False
+
+
+def tune_host_allocator() -> bool:
+    """Keep large host buffers on the heap across calls (idempotent).
+
+    glibc malloc services allocations above ~32 MB with mmap and returns the
+    pages to the kernel on free, so every inference call re-faults its
+    working set (~250 MB for a full fused volume) back in — measured as
+    multi-second swings between identical postprocessing calls on this host.
+    ``mallopt(M_MMAP_MAX, 0)`` + a high trim threshold make the heap retain
+    and reuse those pages; with volumes this size the residency cost is a
+    few hundred MB. Opt out with LUNGMASK_TPU_NO_MALLOC_TUNING=1.
+    """
+    global _alloc_tuned
+    if _alloc_tuned:
+        return True
+    if os.environ.get("LUNGMASK_TPU_NO_MALLOC_TUNING") == "1":
+        return False
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL(None)
+        M_TRIM_THRESHOLD, M_MMAP_MAX = -1, -4
+        ok = libc.mallopt(M_MMAP_MAX, 0) == 1
+        ok &= libc.mallopt(M_TRIM_THRESHOLD, 1 << 30) == 1
+        _alloc_tuned = bool(ok)
+    except Exception:
+        _alloc_tuned = False
+    return _alloc_tuned
+
+
+__all__ = [
+    "UNetRunner",
+    "volume_argmax",
+    "enable_compile_cache",
+    "tune_host_allocator",
+]

@@ -164,3 +164,24 @@ def test_pth_roundtrip_on_real_ct_slices(ref_resunet, tmp_path):
     got = np.asarray(unet.unet_apply(params, jnp.asarray(x)))
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
     assert np.array_equal(np.argmax(got, axis=-1), np.argmax(ref, axis=-1))
+
+
+def test_variant_npz_roundtrip(ref_resunet, tmp_path):
+    """Variant pytrees (res/bn_pre/upconv keys) must survive the flat .npz
+    (de)serialization through the fully generic unflatten."""
+    model = _build(ref_resunet, residual=True, up_mode="upconv", seed=29)
+    params = convert.convert_state_dict(model.state_dict())
+    path = str(tmp_path / "variant.npz")
+    convert.save_npz(path, params, meta={"variant": "residual-upconv"})
+    loaded, meta = convert.load_npz(path)
+    assert meta["variant"] == "residual-upconv"
+    fa, fb = convert.flatten_params(params), convert.flatten_params(loaded)
+    assert set(fa) == set(fb)
+    for k in fa:
+        np.testing.assert_array_equal(fa[k], fb[k])
+    rng = np.random.default_rng(1)
+    x = rng.uniform(0, 1, (1, 32, 32, 1)).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(unet.unet_apply(params, jnp.asarray(x))),
+        np.asarray(unet.unet_apply(loaded, jnp.asarray(x))),
+    )
