@@ -179,3 +179,64 @@ def test_lm_fused_finish_matches_numpy_formulation(lib, seed):
     l[res_r == 0] = 0
     want = _postprocessing_python(l, spare=[spare_value], disable_tqdm=True)
     np.testing.assert_array_equal(got, want)
+
+
+def test_lm_postprocess_scratch_reuse_across_sizes(lib):
+    """The native core retains thread_local scratch across calls; interleaved
+    volume sizes (grow -> shrink -> grow) must not leak state between calls."""
+    if not hasattr(lib, "lm_postprocess"):
+        pytest.skip("lm_postprocess not in library")
+    from lungmask_tpu.transforms.postprocess import _postprocessing_python
+
+    rng = np.random.default_rng(77)
+    for shape in [(4, 24, 24), (8, 40, 40), (3, 12, 12), (6, 32, 32)]:
+        vol = np.zeros(shape, dtype=np.uint8)
+        for v in range(1, 4):
+            noise = ndimage.gaussian_filter(rng.normal(size=shape), sigma=1.2)
+            vol[noise > np.quantile(noise, 0.78)] = v
+        got = native.postprocess(vol.copy(), [], 3)
+        want = _postprocessing_python(vol.copy(), disable_tqdm=True)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_lm_postprocess_concurrent_threads(lib):
+    """Two threads driving the native core concurrently (the cohort finisher
+    thread does exactly this) must each get oracle-exact results — the
+    persistent scratch is thread_local, not shared."""
+    if not hasattr(lib, "lm_postprocess"):
+        pytest.skip("lm_postprocess not in library")
+    import threading
+
+    from lungmask_tpu.transforms.postprocess import _postprocessing_python
+
+    rng = np.random.default_rng(88)
+    vols = []
+    for i in range(6):
+        shape = (int(rng.integers(3, 7)), 30, 30)
+        vol = np.zeros(shape, dtype=np.uint8)
+        for v in range(1, 4):
+            noise = ndimage.gaussian_filter(rng.normal(size=shape), sigma=1.1)
+            vol[noise > np.quantile(noise, 0.8)] = v
+        vols.append(vol)
+    wants = [_postprocessing_python(v.copy(), disable_tqdm=True) for v in vols]
+    gots = [None] * len(vols)
+    errs = []
+
+    def worker(idxs):
+        try:
+            for i in idxs:
+                gots[i] = native.postprocess(vols[i].copy(), [], 3)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=worker, args=(range(0, len(vols), 2),)),
+        threading.Thread(target=worker, args=(range(1, len(vols), 2),)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    for got, want in zip(gots, wants):
+        np.testing.assert_array_equal(got, want)
