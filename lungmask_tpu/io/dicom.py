@@ -275,7 +275,24 @@ def _skip_undefined_sequence(buf: memoryview, pos: int, explicit: bool) -> int:
 def read_file(
     path: str, stop_before_pixels: bool = False
 ) -> DicomFile:
-    """Parse one DICOM file (implicit/explicit VR little endian)."""
+    """Parse one DICOM file (implicit/explicit VR little endian).
+
+    Error contract: any malformed input — truncation, corrupted tag/length
+    fields, bad element values — raises ``DicomError`` (byte-level failures
+    from struct/decode internals are translated), so callers scanning
+    untrusted directories can catch one type. Mirrors the reference's
+    skip-bad-files tolerance (utils.py:187-189) at the per-file level.
+    """
+    try:
+        return _read_file_impl(path, stop_before_pixels)
+    except DicomError:
+        raise
+    except (struct.error, IndexError, KeyError, OverflowError,
+            UnicodeDecodeError, EOFError) as e:
+        raise DicomError(f"{path}: malformed DICOM stream ({e})") from e
+
+
+def _read_file_impl(path: str, stop_before_pixels: bool) -> DicomFile:
     with open(path, "rb") as f:
         data = f.read()
     buf = memoryview(data)
