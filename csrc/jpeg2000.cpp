@@ -603,10 +603,12 @@ int32_t lm_j2k_decode(const uint8_t* src, int64_t n, int32_t* out,
       int64_t data_start = p + 12;  // SOT(12) then markers then SOD
       // Scan forward to SOD within this tile-part header.
       int64_t q = p + 2 + lsot;
+      bool sod_found = false;
       while (q + 4 <= n) {
         if (src[q] != 0xFF) return -1;
         if (src[q + 1] == 0x93) {  // SOD
           q += 2;
+          sod_found = true;
           break;
         }
         // Tile-part headers may carry COD/QCD overrides — unsupported if
@@ -620,7 +622,9 @@ int32_t lm_j2k_decode(const uint8_t* src, int64_t n, int32_t* out,
       }
       (void)data_start;
       int64_t body_end = (psot == 0) ? n : p + psot;
-      if (body_end > n) return -1;
+      // A corrupt Lsot/Psot can leave the SOD scan past body_end; a
+      // negative tile-part length would turn into a huge range insert.
+      if (body_end > n || !sod_found || q > body_end) return -1;
       if (tile_parts.size() <= isot) tile_parts.resize(isot + 1);
       tile_parts[isot].push_back({q, body_end - q});
       p = body_end;
@@ -629,8 +633,12 @@ int32_t lm_j2k_decode(const uint8_t* src, int64_t n, int32_t* out,
     if (p + 4 > n) return -1;
     uint32_t l = rd16(p + 2);
     int64_t seg = p + 4;
+    // Segment data spans [seg, seg + l - 2); every fixed-offset field read
+    // below must stay inside it and inside the buffer.
+    if (l < 2 || seg + (int64_t)l - 2 > n) return -1;
     switch (m) {
       case 0x51: {  // SIZ
+        if ((int64_t)l - 2 < 39) return -1;  // Lsiz >= 41 for 1 component
         xsiz = rd32(seg + 2);
         ysiz = rd32(seg + 6);
         x0siz = rd32(seg + 10);
@@ -645,10 +653,16 @@ int32_t lm_j2k_decode(const uint8_t* src, int64_t n, int32_t* out,
         precision = (ssiz & 0x7F) + 1;
         is_signed = ssiz >> 7;
         if (src[seg + 37] != 1 || src[seg + 38] != 1) return -21;  // subsampled
+        // Geometry sanity (corrupt fields otherwise reach div-by-zero in
+        // the tile grid or unsigned-wrap into absurd allocations).
+        if (xsiz <= x0siz || ysiz <= y0siz || xt == 0 || yt == 0 ||
+            xt0 > x0siz || yt0 > y0siz)
+          return -1;
         have_siz = true;
         break;
       }
       case 0x52: {  // COD
+        if ((int64_t)l - 2 < 10) return -1;
         uint8_t scod = src[seg];
         cod.have_precincts = scod & 1;
         cod.sop = scod & 2;
@@ -665,13 +679,16 @@ int32_t lm_j2k_decode(const uint8_t* src, int64_t n, int32_t* out,
         if (cod.cstyle & (0x01 | 0x04 | 0x08))
           return -22;  // bypass / termall / vertically causal
         if (cod.prog > 2) return -24;  // PCRL / CPRL
+        if (cod.levels > 32) return -1;  // T.800 allows at most 32 levels
         if (cod.have_precincts) {
+          if ((int64_t)l - 2 < 10 + cod.levels + 1) return -1;
           cod.prec_sizes.assign(src + seg + 10, src + seg + 10 + cod.levels + 1);
         }
         have_cod = true;
         break;
       }
       case 0x5C: {  // QCD
+        if ((int64_t)l - 2 < 1) return -1;
         uint8_t sqcd = src[seg];
         qcd.style = sqcd & 0x1F;
         qcd.guard = sqcd >> 5;
@@ -680,10 +697,12 @@ int32_t lm_j2k_decode(const uint8_t* src, int64_t n, int32_t* out,
           for (int64_t q = seg + 1; q < seg + l - 2; ++q)
             qcd.exps.push_back(src[q] >> 3);
         } else if (qcd.style == 1) {
+          if ((int64_t)l - 2 < 3) return -1;
           qcd.exps.push_back((int)(rd16(seg + 1) >> 11));
         } else {  // style 2: scalar expounded (irreversible) — not lossless
           return -20;
         }
+        if (qcd.exps.empty()) return -1;  // band_numbps needs >= 1 exponent
         have_qcd = true;
         break;
       }

@@ -468,3 +468,47 @@ def test_j2k_dicom_roundtrip(tmp_path, ct_slice, syntax):
     dicom.write_slice(p, ct_slice, transfer_syntax=syntax)
     parsed = dicom.read_file(p)
     np.testing.assert_array_equal(parsed.pixels, ct_slice)
+
+
+@pytest.fixture(scope="module")
+def j2k_stream():
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 3000, size=(64, 64), dtype=np.uint16)
+    data = codecs.j2k_encode(img)
+    assert np.array_equal(codecs.j2k_decode(data), img.astype(np.int32))
+    return data
+
+
+def test_j2k_fuzz_truncation(j2k_stream):
+    """Truncated codestreams at every prefix length must decode or raise a
+    clean ValueError — the native decoder (csrc/jpeg2000.cpp) parses
+    untrusted bytes in-process, so anything else is a memory-safety bug."""
+    n = len(j2k_stream)
+    for cut in range(0, n, max(1, n // 64)):
+        try:
+            codecs.j2k_decode(j2k_stream[:cut])
+        except ValueError:
+            pass
+
+
+@pytest.mark.slow
+def test_j2k_fuzz_bitflips(j2k_stream):
+    """Byte corruptions across the stream (markers, packet headers, EBCOT
+    payload) must decode-or-ValueError, never crash or hang."""
+    rng = np.random.default_rng(11)
+    n = len(j2k_stream)
+    offsets = sorted(set(rng.integers(0, n, size=256).tolist()))
+    for off in offsets:
+        data = bytearray(j2k_stream)
+        data[off] ^= 0xFF
+        try:
+            codecs.j2k_decode(bytes(data))
+        except ValueError:
+            pass
+    for off in offsets[:64]:
+        data = bytearray(j2k_stream)
+        data[off] = int(rng.integers(0, 256))
+        try:
+            codecs.j2k_decode(bytes(data))
+        except ValueError:
+            pass
