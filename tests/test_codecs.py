@@ -512,3 +512,34 @@ def test_j2k_fuzz_bitflips(j2k_stream):
             codecs.j2k_decode(bytes(data))
         except ValueError:
             pass
+
+
+@pytest.mark.parametrize(
+    "codec", ["rle", "jpegll", "jpegls"]
+)
+def test_native_decoder_fuzz_corruption(codec, rng):
+    """Truncations and byte corruptions of valid streams must decode or raise
+    cleanly for every native decoder (csrc/dicom_codecs.cpp) — they parse
+    untrusted DICOM pixel bytes in-process. (The J2K twin lives above;
+    fork-isolated 600+-case sweeps per codec ran during development.)"""
+    img = rng.integers(0, 3000, size=(33, 41), dtype=np.uint16)
+    if codec == "rle":
+        data = codecs.rle_encode_frame(img.astype(np.int16))
+        decode = lambda b: codecs.rle_decode_frame(b, img.size, 2)
+    elif codec == "jpegll":
+        data = codecs.jpegll_encode(img, precision=16)
+        decode = codecs.jpegll_decode
+    else:
+        data = codecs.jpegls_encode(img, precision=16)
+        decode = codecs.jpegls_decode
+    n = len(data)
+    blobs = [data[:cut] for cut in range(0, n, max(1, n // 24))]
+    for off in sorted(set(rng.integers(0, n, size=48).tolist())):
+        b = bytearray(data)
+        b[off] ^= 0xFF
+        blobs.append(bytes(b))
+    for blob in blobs:
+        try:
+            decode(blob)
+        except ValueError:
+            pass  # the decoders' one documented failure type
