@@ -117,6 +117,16 @@ def main(argv=None) -> None:
         action="store_true",
         help="For processing of 8-bit image stacks (e.g. jpg/png slices) that are not in Hounsfield units: intensities are mapped to the model's HU window. Implies --removemetadata.",
     )
+    parser.add_argument(
+        "--cohort",
+        action="store_true",
+        help="batch mode: INPUT is a directory whose entries are volumes "
+        "(image files, or subdirectories holding one DICOM series each); "
+        "masks are streamed to OUTPUT/<name>_mask.nii.gz through the "
+        "overlapped decode/compute/postprocess pipeline "
+        "(lungmask_tpu.runtime.cohort). The reference CLI handles one "
+        "volume per invocation; this keeps the chip busy across a cohort.",
+    )
 
     args = parser.parse_args(sys.argv[1:] if argv is None else argv)
 
@@ -129,6 +139,11 @@ def main(argv=None) -> None:
         return
     if args.input is None or args.output is None:
         parser.error("input and output are required (or pass --warmup)")
+    if args.cohort:
+        if args.noHU:
+            parser.error("--cohort does not support --noHU stacks")
+        _cohort(args, batchsize)
+        return
 
     # keeping any Patient / Study info is the default; deactivated by flag or
     # for non-HU data (no DICOM source)
@@ -149,27 +164,7 @@ def main(argv=None) -> None:
         )
 
     logger.info("Infer lungmask")
-    if args.modelname == "LTRCLobes_R231":
-        assert (
-            args.modelpath is None
-        ), "Modelpath can not be specified for LTRCLobes_R231 mode"
-        inferer = LMInferer(
-            modelname="LTRCLobes",
-            force_cpu=args.cpu,
-            fillmodel="R231",
-            batch_size=batchsize,
-            volume_postprocessing=not args.nopostprocess,
-            tqdm_disable=args.noprogress,
-        )
-    else:
-        inferer = LMInferer(
-            modelname=args.modelname,
-            modelpath=args.modelpath,
-            force_cpu=args.cpu,
-            batch_size=batchsize,
-            volume_postprocessing=not args.nopostprocess,
-            tqdm_disable=args.noprogress,
-        )
+    inferer = _build_inferer(args, batchsize)
     result = inferer.apply(input_image)
 
     result_out = input_image.with_array(result)
@@ -189,6 +184,70 @@ def main(argv=None) -> None:
 
     logger.info(f"Save result to: {args.output}")
     loader.write_image(result_out, args.output)
+
+
+def _build_inferer(args, batchsize):
+    if args.modelname == "LTRCLobes_R231":
+        assert (
+            args.modelpath is None
+        ), "Modelpath can not be specified for LTRCLobes_R231 mode"
+        return LMInferer(
+            modelname="LTRCLobes",
+            force_cpu=args.cpu,
+            fillmodel="R231",
+            batch_size=batchsize,
+            volume_postprocessing=not args.nopostprocess,
+            tqdm_disable=args.noprogress,
+        )
+    return LMInferer(
+        modelname=args.modelname,
+        modelpath=args.modelpath,
+        force_cpu=args.cpu,
+        batch_size=batchsize,
+        volume_postprocessing=not args.nopostprocess,
+        tqdm_disable=args.noprogress,
+    )
+
+
+_COHORT_EXTS = (
+    ".dcm", ".nii", ".nii.gz", ".mha", ".mhd", ".nrrd", ".nhdr",
+    ".hdr", ".img", ".vtk", ".gipl", ".gipl.gz",
+)
+
+
+def _cohort(args, batchsize) -> None:
+    """Batch mode: each entry of INPUT (subdirectory = one DICOM series,
+    file = one volume) streams through runtime.cohort; masks land in OUTPUT.
+    Failures are per-volume (logged, recorded), not fatal — a corrupt series
+    must not abort a 500-volume overnight run."""
+    from lungmask_tpu.runtime.cohort import run_cohort
+
+    if not os.path.isdir(args.input):
+        sys.exit(f"--cohort input must be a directory: {args.input}")
+    sources = []
+    for entry in sorted(os.listdir(args.input)):
+        p = os.path.join(args.input, entry)
+        if os.path.isdir(p):
+            sources.append(p)
+        elif entry.lower().endswith(_COHORT_EXTS):
+            sources.append(p)
+    if not sources:
+        sys.exit(f"No volumes found in {args.input}")
+    os.makedirs(args.output, exist_ok=True)
+
+    logger.info(f"Cohort: {len(sources)} volumes -> {args.output}")
+    inferer = _build_inferer(args, batchsize)
+    stats = run_cohort(sources, inferer, output_dir=args.output)
+    failed = [r for r in stats.results if r.error]
+    for r in failed:
+        logger.error(f"{r.name}: {r.error}")
+    logger.info(
+        f"Cohort done: {len(stats.results) - len(failed)}/{len(stats.results)} "
+        f"volumes in {stats.wall_seconds:.1f}s "
+        f"({stats.volumes_per_hour:.0f} volumes/hour)"
+    )
+    if failed and len(failed) == len(stats.results):
+        sys.exit("every volume failed")
 
 
 def _warmup(args, batchsize) -> None:
@@ -216,24 +275,7 @@ def _warmup(args, batchsize) -> None:
             < 1
         )
         vol[lung] = -800
-    if args.modelname == "LTRCLobes_R231":
-        inferer = LMInferer(
-            modelname="LTRCLobes",
-            force_cpu=args.cpu,
-            fillmodel="R231",
-            batch_size=batchsize,
-            volume_postprocessing=not args.nopostprocess,
-            tqdm_disable=args.noprogress,
-        )
-    else:
-        inferer = LMInferer(
-            modelname=args.modelname,
-            modelpath=args.modelpath,
-            force_cpu=args.cpu,
-            batch_size=batchsize,
-            volume_postprocessing=not args.nopostprocess,
-            tqdm_disable=args.noprogress,
-        )
+    inferer = _build_inferer(args, batchsize)
     t0 = time.perf_counter()
     inferer.apply(vol)
     cold = time.perf_counter() - t0

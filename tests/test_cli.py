@@ -123,3 +123,46 @@ def test_cli_requires_io_without_warmup():
 
     with _pytest.raises(SystemExit):
         cli.main(["--noprogress"])
+
+
+def test_cli_cohort_mode(tmp_path, dicom_dir, weights3):
+    """--cohort streams a directory of volumes (a DICOM series subdir + a
+    NIfTI file + a corrupt file) to OUTPUT/<name>_mask.nii.gz; the corrupt
+    volume fails per-volume without aborting the run."""
+    import shutil
+
+    cohort_in = tmp_path / "cohort"
+    cohort_in.mkdir()
+    shutil.copytree(dicom_dir, cohort_in / "patient_a")
+    vol = np.full((2, 48, 48), -1000, dtype=np.int16)
+    vol[:, 12:36, 10:38] = 40
+    from lungmask_tpu.io.image import MedicalImage
+
+    loader.write_image(MedicalImage(array=vol), str(cohort_in / "patient_b.nii.gz"))
+    (cohort_in / "patient_c.nii").write_bytes(b"not a nifti at all")
+    out_dir = tmp_path / "masks"
+
+    main(
+        [
+            str(cohort_in),
+            str(out_dir),
+            "--cohort",
+            "--modelpath",
+            weights3,
+            "--noprogress",
+            "--batchsize",
+            "2",
+        ]
+    )
+    a = loader.load_input_image(str(out_dir / "patient_a_mask.nii.gz"))
+    assert a.array.shape == (2, 64, 64)
+    b = loader.load_input_image(str(out_dir / "patient_b_mask.nii.gz"))
+    assert b.array.shape == (2, 48, 48)
+    assert not (out_dir / "patient_c_mask.nii.gz").exists()
+
+
+def test_cli_cohort_rejects_non_directory(tmp_path, weights3):
+    f = tmp_path / "single.nii"
+    f.write_bytes(b"x")
+    with pytest.raises(SystemExit):
+        main([str(f), str(tmp_path / "out"), "--cohort", "--modelpath", weights3])
