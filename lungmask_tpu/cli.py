@@ -8,6 +8,12 @@ directory) and output path; ``--modelname`` (incl. the fused
 ``--noprogress``, ``--version``, ``--removemetadata``. Output carries the
 input geometry and, unless disabled, the keep-listed DICOM tags plus the
 marker tags (SeriesDescription "Created with lungmask", WC=1/WW=2).
+
+TPU-native extensions beyond the reference surface: ``--noHU``
+(reconstructed 8-bit stack mode), ``--warmup`` (AOT compile into the
+persistent cache), ``--cohort`` (stream a directory of volumes through the
+overlapped cohort pipeline), ``--postprocessing {exact,device}`` (host
+C++ bit-faithful cleanup vs the all-on-accelerator lane).
 """
 
 from __future__ import annotations
@@ -118,6 +124,16 @@ def main(argv=None) -> None:
         help="For processing of 8-bit image stacks (e.g. jpg/png slices) that are not in Hounsfield units: intensities are mapped to the model's HU window. Implies --removemetadata.",
     )
     parser.add_argument(
+        "--postprocessing",
+        choices=["exact", "device"],
+        default="exact",
+        help="volume cleanup implementation: 'exact' replicates the "
+        "reference's label semantics bit-for-bit on the host C++ core; "
+        "'device' keeps the whole cleanup on the accelerator (fastest "
+        "cohort lane, with a small documented divergence contract — see "
+        "transforms/postprocess_device.py)",
+    )
+    parser.add_argument(
         "--cohort",
         action="store_true",
         help="batch mode: INPUT is a directory whose entries are volumes "
@@ -187,6 +203,7 @@ def main(argv=None) -> None:
 
 
 def _build_inferer(args, batchsize):
+    mode = getattr(args, "postprocessing", "exact")
     if args.modelname == "LTRCLobes_R231":
         assert (
             args.modelpath is None
@@ -198,6 +215,7 @@ def _build_inferer(args, batchsize):
             batch_size=batchsize,
             volume_postprocessing=not args.nopostprocess,
             tqdm_disable=args.noprogress,
+            postprocessing_mode=mode,
         )
     return LMInferer(
         modelname=args.modelname,
@@ -206,6 +224,7 @@ def _build_inferer(args, batchsize):
         batch_size=batchsize,
         volume_postprocessing=not args.nopostprocess,
         tqdm_disable=args.noprogress,
+        postprocessing_mode=mode,
     )
 
 

@@ -166,3 +166,22 @@ def test_cli_cohort_rejects_non_directory(tmp_path, weights3):
     f.write_bytes(b"x")
     with pytest.raises(SystemExit):
         main([str(f), str(tmp_path / "out"), "--cohort", "--modelpath", weights3])
+
+
+def test_cli_device_postprocessing(tmp_path, dicom_dir, weights3):
+    out = str(tmp_path / "dev.nii.gz")
+    main(
+        [
+            dicom_dir,
+            out,
+            "--modelpath",
+            weights3,
+            "--noprogress",
+            "--batchsize",
+            "2",
+            "--postprocessing",
+            "device",
+        ]
+    )
+    img = loader.load_input_image(out)
+    assert img.array.shape == (2, 64, 64)
