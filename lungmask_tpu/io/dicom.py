@@ -4,11 +4,15 @@ Replaces the reference's pydicom header scanning + SimpleITK series decoding
 (/root/reference/lungmask/utils.py:132-230) with a self-contained parser.
 
 Supported transfer syntaxes: Implicit VR Little Endian (1.2.840.10008.1.2),
-Explicit VR Little Endian (1.2.840.10008.1.2.1), RLE Lossless
-(1.2.840.10008.1.2.5), JPEG Lossless process 14 (1.2.840.10008.1.2.4.57
-and .70), JPEG-LS lossless/near-lossless (1.2.840.10008.1.2.4.80/.81), and
-JPEG 2000 (1.2.840.10008.1.2.4.90 always; .91 when the stream is reversible
-5/3 — irreversible 9/7 is rejected with a lossy-HU error) — compressed frames
+Explicit VR Little Endian (1.2.840.10008.1.2.1), Deflated Explicit VR Little
+Endian (1.2.840.10008.1.2.1.99 — the post-meta dataset is raw-deflate
+compressed, PS3.5 A.5), Explicit VR Big Endian (1.2.840.10008.1.2.2, retired
+but still emitted by legacy archives — every tag, length, numeric value and
+pixel word is byte-swapped), RLE Lossless (1.2.840.10008.1.2.5), JPEG
+Lossless process 14 (1.2.840.10008.1.2.4.57 and .70), JPEG-LS
+lossless/near-lossless (1.2.840.10008.1.2.4.80/.81), and JPEG 2000
+(1.2.840.10008.1.2.4.90 always; .91 when the stream is reversible 5/3 —
+irreversible 9/7 is rejected with a lossy-HU error) — compressed frames
 decode through the native codec core (io/codecs.py, csrc/jpeg2000.cpp).
 Remaining syntaxes raise a clear error.
 
@@ -26,6 +30,7 @@ from __future__ import annotations
 
 import os
 import struct
+import zlib
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
@@ -36,6 +41,8 @@ from lungmask_tpu.logger import logger
 
 IMPLICIT_VR_LE = "1.2.840.10008.1.2"
 EXPLICIT_VR_LE = "1.2.840.10008.1.2.1"
+DEFLATED_EXPLICIT_VR_LE = "1.2.840.10008.1.2.1.99"
+EXPLICIT_VR_BE = "1.2.840.10008.1.2.2"  # retired (2006) but still in archives
 # Compressed transfer syntaxes — single source of truth in io/codecs.py.
 from lungmask_tpu.io.codecs import (  # noqa: E402
     JPEG_2000,
@@ -117,7 +124,9 @@ class DicomError(Exception):
     pass
 
 
-def _decode_pixels(tags: Dict[str, str], raw: bytes) -> np.ndarray:
+def _decode_pixels(
+    tags: Dict[str, str], raw: bytes, big_endian: bool = False
+) -> np.ndarray:
     """Native pixel data → int16/int32 array; (rows, cols) for single-frame
     files, (frames, rows, cols) for multi-frame (Enhanced CT stores the whole
     volume in one file — the reference reads those through
@@ -125,7 +134,7 @@ def _decode_pixels(tags: Dict[str, str], raw: bytes) -> np.ndarray:
     rows = int(tags.get("0028|0010", "0"))
     cols = int(tags.get("0028|0011", "0"))
     n_frames = int(tags.get("0028|0008", "1") or 1)
-    return _pixel_rules(tags, raw, None, rows, cols, n_frames)
+    return _pixel_rules(tags, raw, None, rows, cols, n_frames, big_endian)
 
 
 def _pixel_rules(
@@ -135,6 +144,7 @@ def _pixel_rules(
     rows: int,
     cols: int,
     n_frames: int,
+    big_endian: bool = False,
 ) -> np.ndarray:
     """Photometric/sign/packed-bit/rescale rules shared by the native path
     (``raw`` bytes) and the compressed path (already-decoded ``samples`` cells,
@@ -169,7 +179,10 @@ def _pixel_rules(
             )
         arr = samples.reshape(-1).view(dtype)
     else:
-        arr = np.frombuffer(raw[: n * (bits_alloc // 8)], dtype=dtype)
+        stored = np.dtype(dtype).newbyteorder(">") if big_endian else dtype
+        arr = np.frombuffer(raw[: n * (bits_alloc // 8)], dtype=stored)
+        if big_endian:
+            arr = arr.astype(dtype)  # swap to native for the shift/rescale ops
     if arr.size < n:
         raise DicomError(
             f"pixel data truncated: {arr.size} samples for "
@@ -197,22 +210,23 @@ def _pixel_rules(
 
 
 _NUMERIC_VRS = {
-    b"US": ("<H", 2),
-    b"SS": ("<h", 2),
-    b"UL": ("<I", 4),
-    b"SL": ("<i", 4),
-    b"FL": ("<f", 4),
-    b"FD": ("<d", 8),
+    b"US": ("H", 2),
+    b"SS": ("h", 2),
+    b"UL": ("I", 4),
+    b"SL": ("i", 4),
+    b"FL": ("f", 4),
+    b"FD": ("d", 8),
 }
 
 
-def _stringify(vr: bytes, value: bytes) -> str:
+def _stringify(vr: bytes, value: bytes, bo: str = "<") -> str:
     if vr in _NUMERIC_VRS:
         fmt, width = _NUMERIC_VRS[vr]
         if len(value) % width:
             return ""
         vals = [
-            struct.unpack_from(fmt, value, i)[0] for i in range(0, len(value), width)
+            struct.unpack_from(bo + fmt, value, i)[0]
+            for i in range(0, len(value), width)
         ]
         return "\\".join(str(v) for v in vals)
     if vr in (b"OB", b"OW", b"UN", b"OF", b"OL", b"OD"):
@@ -224,34 +238,38 @@ def _stringify(vr: bytes, value: bytes) -> str:
     return s.rstrip("\x00").rstrip()
 
 
-def _read_element(buf: memoryview, pos: int, explicit: bool):
-    """Returns (group, elem, vr, value_offset, value_length, next_pos)."""
+def _read_element(buf: memoryview, pos: int, explicit: bool, bo: str = "<"):
+    """Returns (group, elem, vr, value_offset, value_length, next_pos).
+    ``bo`` is the dataset byte order ("<" LE, ">" for Explicit VR Big
+    Endian, where tags and lengths are byte-swapped too, PS3.5 7.3)."""
     if pos + 8 > len(buf):
         raise DicomError("truncated element header")
-    group, elem = struct.unpack_from("<HH", buf, pos)
+    group, elem = struct.unpack_from(bo + "HH", buf, pos)
     if (group, elem) in (_TAG_ITEM, _TAG_ITEM_DELIM, _TAG_SEQ_DELIM):
-        (length,) = struct.unpack_from("<I", buf, pos + 4)
+        (length,) = struct.unpack_from(bo + "I", buf, pos + 4)
         return group, elem, b"  ", pos + 8, length, pos + 8
     if explicit:
         vr = bytes(buf[pos + 4 : pos + 6])
         if vr in _LONG_VRS:
-            (length,) = struct.unpack_from("<I", buf, pos + 8)
+            (length,) = struct.unpack_from(bo + "I", buf, pos + 8)
             return group, elem, vr, pos + 12, length, pos + 12
-        (length,) = struct.unpack_from("<H", buf, pos + 6)
+        (length,) = struct.unpack_from(bo + "H", buf, pos + 6)
         return group, elem, vr, pos + 8, length, pos + 8
-    (length,) = struct.unpack_from("<I", buf, pos + 4)
+    (length,) = struct.unpack_from(bo + "I", buf, pos + 4)
     return group, elem, b"UN", pos + 8, length, pos + 8
 
 
-def _skip_undefined_sequence(buf: memoryview, pos: int, explicit: bool) -> int:
+def _skip_undefined_sequence(
+    buf: memoryview, pos: int, explicit: bool, bo: str = "<"
+) -> int:
     """Skip an undefined-length sequence body, returning the position after its
     sequence delimiter."""
     depth = 1
     while depth > 0:
         if pos + 8 > len(buf):
             raise DicomError("unterminated sequence")
-        group, elem = struct.unpack_from("<HH", buf, pos)
-        (length,) = struct.unpack_from("<I", buf, pos + 4)
+        group, elem = struct.unpack_from(bo + "HH", buf, pos)
+        (length,) = struct.unpack_from(bo + "I", buf, pos + 4)
         pos += 8
         if (group, elem) == _TAG_SEQ_DELIM:
             depth -= 1
@@ -264,9 +282,9 @@ def _skip_undefined_sequence(buf: memoryview, pos: int, explicit: bool) -> int:
         else:
             # nested element inside an undefined-length item
             pos -= 8
-            g, e, vr, voff, vlen, after = _read_element(buf, pos, explicit)
+            g, e, vr, voff, vlen, after = _read_element(buf, pos, explicit, bo)
             if vlen == 0xFFFFFFFF:
-                pos = _skip_undefined_sequence(buf, after, explicit)
+                pos = _skip_undefined_sequence(buf, after, explicit, bo)
             else:
                 pos = voff + vlen
     return pos
@@ -332,20 +350,34 @@ def _read_file_impl(path: str, stop_before_pixels: bool) -> DicomFile:
         else:
             transfer_syntax = IMPLICIT_VR_LE
 
+    bo = "<"
     if transfer_syntax == IMPLICIT_VR_LE:
         explicit = False
+    elif transfer_syntax == DEFLATED_EXPLICIT_VR_LE:
+        # PS3.10 A.5: everything after the file-meta group is one raw-deflate
+        # stream (no zlib header) holding an Explicit VR LE dataset.
+        try:
+            inflated = zlib.decompressobj(-15).decompress(bytes(buf[pos:]))
+        except zlib.error as e:
+            raise DicomError(f"{path}: corrupt deflated dataset ({e})") from e
+        buf = memoryview(inflated)
+        pos = 0
+        explicit = True
+    elif transfer_syntax == EXPLICIT_VR_BE:
+        explicit = True
+        bo = ">"
     elif transfer_syntax == EXPLICIT_VR_LE or transfer_syntax in _ENCAPSULATED:
         explicit = True  # encapsulated syntaxes encode the dataset explicit LE
     else:
         raise DicomError(
             f"{path}: transfer syntax {transfer_syntax} not supported "
-            "(uncompressed little-endian, RLE, JPEG Lossless, JPEG-LS, "
-            "or JPEG 2000 lossless)"
+            "(uncompressed little/big-endian, deflated, RLE, JPEG Lossless, "
+            "JPEG-LS, or JPEG 2000 lossless)"
         )
 
     pixels = None
     while pos + 8 <= len(buf):
-        g, e, vr, voff, vlen, _ = _read_element(buf, pos, explicit)
+        g, e, vr, voff, vlen, _ = _read_element(buf, pos, explicit, bo)
         if (g, e) == _TAG_PIXEL_DATA:
             if stop_before_pixels:
                 break
@@ -369,16 +401,20 @@ def _read_file_impl(path: str, stop_before_pixels: bool) -> DicomFile:
                     f"{path}: defined-length pixel data in compressed "
                     f"transfer syntax {transfer_syntax}"
                 )
-            pixels = _decode_pixels(tags, bytes(buf[voff : voff + vlen]))
+            pixels = _decode_pixels(
+                tags, bytes(buf[voff : voff + vlen]), big_endian=(bo == ">")
+            )
             pos = voff + vlen
             continue
         if vlen == 0xFFFFFFFF:
-            pos = _skip_undefined_sequence(buf, voff, explicit)
+            pos = _skip_undefined_sequence(buf, voff, explicit, bo)
             continue
         if vr == b"UN" and (g, e) in _VR_FOR_TAG:
             vr = _VR_FOR_TAG[(g, e)]  # implicit VR: resolve known tags
         if vr != b"SQ":  # defined-length sequences are skipped as opaque
-            tags[tag_key(g, e)] = _stringify(vr, bytes(buf[voff : voff + vlen]))
+            tags[tag_key(g, e)] = _stringify(
+                vr, bytes(buf[voff : voff + vlen]), bo
+            )
         pos = voff + vlen
 
     return DicomFile(path=path, tags=tags, pixels=pixels)
@@ -533,17 +569,19 @@ def generate_uid() -> str:
     return f"{_UID_ROOT}.{os.getpid()}.{_uid_counter[0]}"
 
 
-def _encode_element(group: int, elem: int, vr: bytes, value: bytes) -> bytes:
+def _encode_element(
+    group: int, elem: int, vr: bytes, value: bytes, bo: str = "<"
+) -> bytes:
     if len(value) % 2:
         value += b"\x00" if vr != b"UI" else b"\x00"
-    head = struct.pack("<HH", group, elem)
+    head = struct.pack(bo + "HH", group, elem)
     if vr in _LONG_VRS:
-        return head + vr + b"\x00\x00" + struct.pack("<I", len(value)) + value
-    return head + vr + struct.pack("<H", len(value)) + value
+        return head + vr + b"\x00\x00" + struct.pack(bo + "I", len(value)) + value
+    return head + vr + struct.pack(bo + "H", len(value)) + value
 
 
-def _us(v: int) -> bytes:
-    return struct.pack("<H", v)
+def _us(v: int, bo: str = "<") -> bytes:
+    return struct.pack(bo + "H", v)
 
 
 def write_slice(
@@ -565,8 +603,9 @@ def write_slice(
     """Write one int16 CT slice — or, for a 3-D ``pixels`` array, a
     multi-frame (Enhanced-CT-style) file with NumberOfFrames and
     SpacingBetweenSlices. ``transfer_syntax`` may be Explicit VR LE
-    (default), RLE Lossless, or JPEG Lossless SV1 — the compressed forms are
-    used to synthesize encapsulated test fixtures."""
+    (default), Deflated Explicit VR LE, Explicit VR Big Endian, RLE Lossless,
+    or JPEG Lossless SV1 — the non-default forms are used to synthesize
+    round-trip test fixtures."""
     pixels = np.ascontiguousarray(pixels.astype(np.int16))
     if pixels.ndim == 3:
         n_frames, rows, cols = pixels.shape
@@ -580,10 +619,12 @@ def write_slice(
     study_uid = study_uid or generate_uid()
 
     if transfer_syntax not in (
-        EXPLICIT_VR_LE, RLE_LOSSLESS, JPEG_LOSSLESS_SV1, JPEG_LS_LOSSLESS,
+        EXPLICIT_VR_LE, DEFLATED_EXPLICIT_VR_LE, EXPLICIT_VR_BE,
+        RLE_LOSSLESS, JPEG_LOSSLESS_SV1, JPEG_LS_LOSSLESS,
         JPEG_2000_LOSSLESS, JPEG_2000,
     ):
         raise DicomError(f"writer does not support {transfer_syntax}")
+    bo = ">" if transfer_syntax == EXPLICIT_VR_BE else "<"
 
     meta = b""
     meta_elems = [
@@ -608,15 +649,15 @@ def write_slice(
         (0x0020, 0x000E): series_uid.encode(),
         (0x0020, 0x0032): "\\".join(str(float(p)) for p in position).encode(),
         (0x0020, 0x0037): "\\".join(str(float(o)) for o in orientation).encode(),
-        (0x0028, 0x0002): _us(1),
+        (0x0028, 0x0002): _us(1, bo),
         (0x0028, 0x0004): b"MONOCHROME2",
-        (0x0028, 0x0010): _us(rows),
-        (0x0028, 0x0011): _us(cols),
+        (0x0028, 0x0010): _us(rows, bo),
+        (0x0028, 0x0011): _us(cols, bo),
         (0x0028, 0x0030): f"{spacing[0]}\\{spacing[1]}".encode(),
-        (0x0028, 0x0100): _us(16),
-        (0x0028, 0x0101): _us(16),
-        (0x0028, 0x0102): _us(15),
-        (0x0028, 0x0103): _us(1),
+        (0x0028, 0x0100): _us(16, bo),
+        (0x0028, 0x0101): _us(16, bo),
+        (0x0028, 0x0102): _us(15, bo),
+        (0x0028, 0x0103): _us(1, bo),
         (0x0028, 0x1052): f"{intercept}".encode(),
         (0x0028, 0x1053): f"{slope}".encode(),
     }
@@ -631,10 +672,14 @@ def write_slice(
         vr = _VR_FOR_TAG.get((g, e), b"LO")
         val = body_tags[(g, e)]
         if isinstance(val, str):
-            val = _us(int(val)) if vr == b"US" else val.encode()
-        body += _encode_element(g, e, vr, val)
-    if transfer_syntax == EXPLICIT_VR_LE:
+            val = _us(int(val), bo) if vr == b"US" else val.encode()
+        body += _encode_element(g, e, vr, val, bo)
+    if transfer_syntax in (EXPLICIT_VR_LE, DEFLATED_EXPLICIT_VR_LE):
         body += _encode_element(0x7FE0, 0x0010, b"OW", pixels.tobytes())
+    elif transfer_syntax == EXPLICIT_VR_BE:
+        body += _encode_element(
+            0x7FE0, 0x0010, b"OW", pixels.astype(">i2").tobytes(), bo
+        )
     else:
         from lungmask_tpu.io import codecs
 
@@ -668,6 +713,10 @@ def write_slice(
         for frame in encoded:
             body += struct.pack("<HHI", *_TAG_ITEM, len(frame)) + frame
         body += struct.pack("<HHI", *_TAG_SEQ_DELIM, 0)
+
+    if transfer_syntax == DEFLATED_EXPLICIT_VR_LE:
+        comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+        body = comp.compress(body) + comp.flush()
 
     with open(path, "wb") as f:
         f.write(b"\x00" * 128 + b"DICM" + group_len + meta + body)

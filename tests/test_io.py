@@ -264,6 +264,75 @@ def test_dicom_write_read_roundtrip(tmp_path, rng):
     assert hdr.series_uid == f.series_uid
 
 
+def test_dicom_deflated_roundtrip(tmp_path, rng):
+    """Deflated Explicit VR LE (1.2.840.10008.1.2.1.99): the post-meta dataset
+    is one raw-deflate stream (PS3.10 A.5)."""
+    arr = rng.integers(-1024, 600, size=(16, 24)).astype(np.int16)
+    p = str(tmp_path / "d.dcm")
+    dicom.write_slice(
+        p, arr, position=(1.0, 2.0, 3.0),
+        transfer_syntax=dicom.DEFLATED_EXPLICIT_VR_LE,
+    )
+    # the on-disk dataset really is compressed: pixel bytes must not appear
+    assert arr.tobytes() not in open(p, "rb").read()
+    f = dicom.read_file(p)
+    np.testing.assert_array_equal(f.pixels, arr)
+    assert f.position == (1.0, 2.0, 3.0)
+    hdr = dicom.read_file(p, stop_before_pixels=True)
+    assert hdr.pixels is None and hdr.series_uid == f.series_uid
+
+
+def test_dicom_deflated_corrupt_stream_raises(tmp_path, rng):
+    arr = rng.integers(0, 100, size=(8, 8)).astype(np.int16)
+    p = str(tmp_path / "d.dcm")
+    dicom.write_slice(p, arr, transfer_syntax=dicom.DEFLATED_EXPLICIT_VR_LE)
+    data = open(p, "rb").read()
+    # locate the end of the file meta group: the last meta element's value is
+    # the implementation-class UID; the deflate stream starts right after it
+    impl_uid = f"{dicom._UID_ROOT}.1".encode()
+    start = data.rfind(impl_uid) + len(impl_uid) + (len(impl_uid) % 2)
+    with open(p, "wb") as f:
+        # stored-block header with LEN=0, NLEN=0: NLEN fails its ones'-
+        # complement check, so inflate reports an invalid stream
+        f.write(data[:start] + b"\x00\x00\x00\x00\x00")
+    with pytest.raises(dicom.DicomError):
+        dicom.read_file(p)
+
+
+def test_dicom_big_endian_roundtrip(tmp_path, rng):
+    """Explicit VR Big Endian (1.2.840.10008.1.2.2, retired): tags, lengths,
+    US values and pixel words are all byte-swapped."""
+    arr = rng.integers(-1024, 600, size=(16, 24)).astype(np.int16)
+    p = str(tmp_path / "b.dcm")
+    dicom.write_slice(
+        p, arr, position=(4.0, 5.0, 6.0), rescale=(1.0, -1024.0),
+        transfer_syntax=dicom.EXPLICIT_VR_BE,
+    )
+    # stored pixel words really are big-endian
+    assert arr.astype(">i2").tobytes() in open(p, "rb").read()
+    f = dicom.read_file(p)
+    np.testing.assert_array_equal(
+        f.pixels, arr.astype(np.int32) - 1024
+    )
+    assert f.position == (4.0, 5.0, 6.0)
+    assert f.get("0028|0010") == "16"  # byte-swapped US Rows decoded right
+
+
+def test_dicom_big_endian_series_scan(tmp_path, rng):
+    """A BE series groups/sorts like an LE one through the scanner."""
+    uid = "7.8.9"
+    for z in range(3):
+        dicom.write_slice(
+            str(tmp_path / f"s{z}.dcm"),
+            rng.integers(0, 50, size=(8, 8)).astype(np.int16),
+            series_uid=uid, study_uid="1.2.3", position=(0.0, 0.0, float(z)),
+            transfer_syntax=dicom.EXPLICIT_VR_BE,
+        )
+    series = dicom.scan_directory(str(tmp_path), disable_tqdm=True)
+    assert len(series) == 1 and len(series[0]) == 3
+    assert [s.position[2] for s in series[0]] == [0.0, 1.0, 2.0]
+
+
 def test_dicom_rescale_applied(tmp_path, rng):
     raw = rng.integers(0, 3000, size=(8, 8)).astype(np.int16)
     p = str(tmp_path / "r.dcm")

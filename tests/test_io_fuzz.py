@@ -67,6 +67,29 @@ def test_bitflip_sweep(valid_bytes, tmp_path):
         _try_parse(tmp_path, f"b{off}.dcm", bytes(data))
 
 
+@pytest.mark.parametrize(
+    "syntax", [dicom.DEFLATED_EXPLICIT_VR_LE, dicom.EXPLICIT_VR_BE]
+)
+def test_truncation_and_bitflip_sweep_new_syntaxes(tmp_path, syntax):
+    """Deflated and big-endian streams get the same clean-failure contract:
+    corrupt deflate blocks and byte-swapped length fields are both classic
+    crash vectors."""
+    rng = np.random.default_rng(7)
+    arr = rng.integers(-1000, 500, size=(16, 16), dtype=np.int16)
+    p = tmp_path / "s.dcm"
+    dicom.write_slice(str(p), arr, transfer_syntax=syntax)
+    data = p.read_bytes()
+    n = len(data)
+    for cut in range(0, n, max(1, n // 48)):
+        _try_parse(tmp_path, f"t{cut}.dcm", data[:cut])
+    offsets = set(rng.integers(0, n, size=64).tolist())
+    offsets.update(range(128, 160))
+    for off in sorted(offsets):
+        mut = bytearray(data)
+        mut[off] ^= 0xFF
+        _try_parse(tmp_path, f"b{off}.dcm", bytes(mut))
+
+
 def test_random_garbage(tmp_path):
     rng = np.random.default_rng(23)
     for i, size in enumerate([0, 1, 131, 132, 133, 1024, 4096]):
