@@ -302,6 +302,264 @@ int lm_jpegll_decode(const uint8_t* src, int64_t n, uint16_t* out,
   return 0;
 }
 
+// --- JPEG sequential DCT (ITU T.81 baseline SOF0 / extended SOF1) -----------
+//
+// Single-component (grayscale) decoder for the lossy DICOM transfer syntaxes
+// 1.2.840.10008.1.2.4.50 (baseline, 8-bit) and .51 (extended, 12-bit) — the
+// reference decodes these through ITK/GDCM (utils.py:215-222). The inverse
+// DCT is the Loeffler-Ligtenberg-Moszowicz integer algorithm with the same
+// 13-bit fixed-point constants and descale rounding as libjpeg's "islow"
+// path, so decoded samples are bit-identical to a libjpeg decode of the same
+// stream (asserted vs Pillow in tests/test_codecs.py).
+
+namespace {
+
+const int kZigzag[64] = {
+    0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6,  7,  14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+
+inline int64_t dct_descale(int64_t x, int n) {
+  return (x + (int64_t(1) << (n - 1))) >> n;
+}
+
+// One 8-point islow butterfly: in/out strided arrays, input already scaled.
+// CONST_BITS=13 fixed-point constants (rounded 2^13 * cos multiples).
+inline void islow_butterfly(const int64_t* in, int stride, int64_t* t10,
+                            int64_t* t11, int64_t* t12, int64_t* t13,
+                            int64_t* o0, int64_t* o1, int64_t* o2,
+                            int64_t* o3) {
+  const int64_t C0298 = 2446, C0390 = 3196, C0541 = 4433, C0765 = 6270,
+                C0899 = 7373, C1175 = 9633, C1501 = 12299, C1847 = 15137,
+                C1961 = 16069, C2053 = 16819, C2562 = 20995, C3072 = 25172;
+  int64_t z2 = in[2 * stride], z3 = in[6 * stride];
+  int64_t z1 = (z2 + z3) * C0541;
+  int64_t t2 = z1 - z3 * C1847;
+  int64_t t3 = z1 + z2 * C0765;
+  z2 = in[0];
+  z3 = in[4 * stride];
+  int64_t t0 = (z2 + z3) << 13;
+  int64_t t1 = (z2 - z3) << 13;
+  *t10 = t0 + t3;
+  *t13 = t0 - t3;
+  *t11 = t1 + t2;
+  *t12 = t1 - t2;
+  t0 = in[7 * stride];
+  t1 = in[5 * stride];
+  t2 = in[3 * stride];
+  t3 = in[1 * stride];
+  z1 = t0 + t3;
+  z2 = t1 + t2;
+  z3 = t0 + t2;
+  int64_t z4 = t1 + t3;
+  int64_t z5 = (z3 + z4) * C1175;
+  t0 *= C0298;
+  t1 *= C2053;
+  t2 *= C3072;
+  t3 *= C1501;
+  z1 *= -C0899;
+  z2 *= -C2562;
+  z3 *= -C1961;
+  z4 *= -C0390;
+  z3 += z5;
+  z4 += z5;
+  *o0 = t0 + z1 + z3;
+  *o1 = t1 + z2 + z4;
+  *o2 = t2 + z2 + z3;
+  *o3 = t3 + z1 + z4;
+}
+
+// coef: dequantized coefficients in natural (row-major) order.
+void idct8x8_islow(const int32_t* coef, int32_t* out) {
+  int64_t wide[64], ws[64];
+  for (int i = 0; i < 64; ++i) wide[i] = coef[i];
+  for (int c = 0; c < 8; ++c) {
+    int64_t t10, t11, t12, t13, b0, b1, b2, b3;
+    islow_butterfly(wide + c, 8, &t10, &t11, &t12, &t13, &b0, &b1, &b2, &b3);
+    // pass 1 keeps PASS1_BITS=2 extra fractional bits
+    ws[8 * 0 + c] = dct_descale(t10 + b3, 13 - 2);
+    ws[8 * 7 + c] = dct_descale(t10 - b3, 13 - 2);
+    ws[8 * 1 + c] = dct_descale(t11 + b2, 13 - 2);
+    ws[8 * 6 + c] = dct_descale(t11 - b2, 13 - 2);
+    ws[8 * 2 + c] = dct_descale(t12 + b1, 13 - 2);
+    ws[8 * 5 + c] = dct_descale(t12 - b1, 13 - 2);
+    ws[8 * 3 + c] = dct_descale(t13 + b0, 13 - 2);
+    ws[8 * 4 + c] = dct_descale(t13 - b0, 13 - 2);
+  }
+  for (int r = 0; r < 8; ++r) {
+    int64_t t10, t11, t12, t13, b0, b1, b2, b3;
+    islow_butterfly(ws + 8 * r, 1, &t10, &t11, &t12, &t13, &b0, &b1, &b2,
+                    &b3);
+    int32_t* o = out + 8 * r;
+    // final descale: CONST_BITS + PASS1_BITS + 3 (the 3 undoes the 8x DCT
+    // gain)
+    o[0] = (int32_t)dct_descale(t10 + b3, 13 + 2 + 3);
+    o[7] = (int32_t)dct_descale(t10 - b3, 13 + 2 + 3);
+    o[1] = (int32_t)dct_descale(t11 + b2, 13 + 2 + 3);
+    o[6] = (int32_t)dct_descale(t11 - b2, 13 + 2 + 3);
+    o[2] = (int32_t)dct_descale(t12 + b1, 13 + 2 + 3);
+    o[5] = (int32_t)dct_descale(t12 - b1, 13 + 2 + 3);
+    o[3] = (int32_t)dct_descale(t13 + b0, 13 + 2 + 3);
+    o[4] = (int32_t)dct_descale(t13 - b0, 13 + 2 + 3);
+  }
+}
+
+}  // namespace
+
+// Decode a single-component sequential-DCT JPEG (SOF0/SOF1) into uint16
+// samples (level-shifted back to unsigned, clamped to [0, 2^prec - 1]).
+// Returns 0 on success; negative codes classify the failure.
+int lm_jpegdct_decode(const uint8_t* src, int64_t n, uint16_t* out,
+                      int64_t out_capacity, int32_t* rows_out,
+                      int32_t* cols_out, int32_t* prec_out) {
+  if (n < 4 || src[0] != 0xFF || src[1] != 0xD8) return -1;  // SOI
+  int64_t p = 2;
+  int rows = 0, cols = 0, prec = 0;
+  int restart_interval = 0;
+  uint16_t qt[4][64];  // zigzag order, per table id
+  bool qt_ok[4] = {false, false, false, false};
+  int comp_qt = 0;  // quant table id of the single component
+  Huff dc_tables[4], ac_tables[4];
+  int dc_sel = 0, ac_sel = 0;
+  int64_t scan_start = -1;
+
+  while (p + 4 <= n) {
+    if (src[p] != 0xFF) return -2;
+    uint8_t m = src[p + 1];
+    if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7)) {
+      p += 2;
+      continue;
+    }
+    int seg = (src[p + 2] << 8) | src[p + 3];
+    if (seg < 2 || p + 2 + seg > n) return -2;
+    if (m == 0xC0 || m == 0xC1) {  // SOF0 baseline / SOF1 extended
+      if (seg < 11) return -3;
+      prec = src[p + 4];
+      rows = (src[p + 5] << 8) | src[p + 6];
+      cols = (src[p + 7] << 8) | src[p + 8];
+      int ncomp = src[p + 9];
+      if (ncomp != 1) return -3;  // CT is monochrome
+      comp_qt = src[p + 12] & 0x0F;
+    } else if (m == 0xC2 || (m >= 0xC5 && m <= 0xCF && m != 0xC8 &&
+                             m != 0xCC && m != 0xC4)) {
+      return -12;  // progressive/hierarchical/arithmetic: not supported
+    } else if (m == 0xDB) {  // DQT (possibly several tables per marker)
+      int64_t q = p + 4, end = p + 2 + seg;
+      while (q < end) {
+        int pq = (src[q] >> 4) & 0x0F, tq = src[q] & 0x0F;
+        if (tq > 3 || pq > 1) return -4;
+        int w = pq ? 2 : 1;
+        if (q + 1 + 64 * w > end) return -4;
+        for (int i = 0; i < 64; ++i)
+          qt[tq][i] = pq ? (uint16_t)((src[q + 1 + 2 * i] << 8) |
+                                      src[q + 2 + 2 * i])
+                         : src[q + 1 + i];
+        qt_ok[tq] = true;
+        q += 1 + 64 * w;
+      }
+    } else if (m == 0xC4) {  // DHT: DC and AC classes
+      int64_t q = p + 4, end = p + 2 + seg;
+      while (q + 17 <= end) {
+        int tc = (src[q] >> 4) & 0x0F, id = src[q] & 0x0F;
+        const uint8_t* counts = src + q + 1;
+        int nv = 0;
+        for (int i = 0; i < 16; ++i) nv += counts[i];
+        if (q + 17 + nv > end || id > 3 || tc > 1) return -4;
+        Huff& t = tc ? ac_tables[id] : dc_tables[id];
+        if (!t.build(counts, src + q + 17, nv)) return -4;
+        q += 17 + nv;
+      }
+    } else if (m == 0xDD) {  // DRI
+      if (seg < 4) return -2;
+      restart_interval = (src[p + 4] << 8) | src[p + 5];
+    } else if (m == 0xDA) {  // SOS
+      if (seg < 8) return -5;
+      if (src[p + 4] != 1) return -5;
+      dc_sel = (src[p + 6] >> 4) & 0x0F;
+      ac_sel = src[p + 6] & 0x0F;
+      scan_start = p + 2 + seg;
+      break;
+    } else if (m == 0xD9) {
+      return -6;  // EOI before SOS
+    }
+    p += 2 + seg;
+  }
+
+  if (scan_start < 0 || rows <= 0 || cols <= 0) return -7;
+  if (prec != 8 && prec != 12) return -7;
+  if ((int64_t)rows * cols > out_capacity) return -8;
+  if (!qt_ok[comp_qt]) return -9;
+  if (!dc_tables[dc_sel].ok || !ac_tables[ac_sel].ok) return -9;
+
+  // Dequantization table in natural order.
+  int32_t qnat[64];
+  for (int i = 0; i < 64; ++i) qnat[kZigzag[i]] = qt[comp_qt][i];
+
+  BitReader br(src + scan_start, n - scan_start);
+  const Huff& dch = dc_tables[dc_sel];
+  const Huff& ach = ac_tables[ac_sel];
+  const int center = 1 << (prec - 1);
+  const int maxval = (1 << prec) - 1;
+  const int bh = (rows + 7) / 8, bw = (cols + 7) / 8;
+  int dc_pred = 0;
+  int64_t count_in_interval = 0;
+  int32_t coef[64], pix[64];
+
+  for (int by = 0; by < bh; ++by) {
+    for (int bx = 0; bx < bw; ++bx) {
+      for (int i = 0; i < 64; ++i) coef[i] = 0;
+      int ssss = dch.decode(br);
+      if (ssss < 0 || ssss > 15) return -11;
+      int v = br.get(ssss);
+      if (v < 0) return -11;
+      dc_pred += extend(v, ssss);
+      coef[0] = dc_pred * qnat[0];
+      int k = 1;
+      while (k < 64) {
+        int rs = ach.decode(br);
+        if (rs < 0) return -11;
+        int r = rs >> 4, s = rs & 15;
+        if (s == 0) {
+          if (r == 15) {  // ZRL: sixteen zeros
+            k += 16;
+            continue;
+          }
+          break;  // EOB
+        }
+        k += r;
+        if (k > 63) return -11;
+        int bits = br.get(s);
+        if (bits < 0) return -11;
+        coef[kZigzag[k]] = extend(bits, s) * qnat[kZigzag[k]];
+        ++k;
+      }
+      idct8x8_islow(coef, pix);
+      const int y0 = by * 8, x0 = bx * 8;
+      const int ylim = rows - y0 < 8 ? rows - y0 : 8;
+      const int xlim = cols - x0 < 8 ? cols - x0 : 8;
+      for (int y = 0; y < ylim; ++y)
+        for (int x = 0; x < xlim; ++x) {
+          int s2 = pix[y * 8 + x] + center;
+          if (s2 < 0) s2 = 0;
+          if (s2 > maxval) s2 = maxval;
+          out[(int64_t)(y0 + y) * cols + (x0 + x)] = (uint16_t)s2;
+        }
+      if (restart_interval > 0 && ++count_in_interval == restart_interval &&
+          !(by == bh - 1 && bx == bw - 1)) {
+        count_in_interval = 0;
+        br.fill();
+        br.reset_to_byte_after_marker();
+        dc_pred = 0;
+      }
+    }
+  }
+  *rows_out = rows;
+  *cols_out = cols;
+  *prec_out = prec;
+  return 0;
+}
+
 }  // extern "C"
 
 // --- JPEG-LS (ITU-T T.87 / ISO 14495-1) --------------------------------------

@@ -19,6 +19,8 @@ import numpy as np
 
 
 RLE_LOSSLESS = "1.2.840.10008.1.2.5"
+JPEG_BASELINE = "1.2.840.10008.1.2.4.50"  # lossy 8-bit sequential DCT
+JPEG_EXTENDED = "1.2.840.10008.1.2.4.51"  # lossy 12-bit sequential DCT
 JPEG_LOSSLESS_P14 = "1.2.840.10008.1.2.4.57"
 JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"
 JPEG_LS_LOSSLESS = "1.2.840.10008.1.2.4.80"
@@ -59,6 +61,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.lm_jpegls_decode.restype = ctypes.c_int32
     lib.lm_jpegls_decode.argtypes = [u8p, ctypes.c_int64, u16p, ctypes.c_int64,
                                      i32p, i32p, i32p, i32p]
+    if hasattr(lib, "lm_jpegdct_decode"):  # absent only in a stale cached .so
+        lib.lm_jpegdct_decode.restype = ctypes.c_int32
+        lib.lm_jpegdct_decode.argtypes = [u8p, ctypes.c_int64, u16p,
+                                          ctypes.c_int64, i32p, i32p, i32p]
     if hasattr(lib, "lm_j2k_decode"):
         lib.lm_j2k_decode.restype = ctypes.c_int32
         lib.lm_j2k_decode.argtypes = [u8p, ctypes.c_int64, i32p, ctypes.c_int64,
@@ -604,5 +610,194 @@ def jpegll_encode(pixels: np.ndarray, precision: int = 16) -> bytes:
     sos = bytes([1, 1, 0x00, 1, 0, 0x00])
     out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
     out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# JPEG sequential DCT (ITU T.81 baseline SOF0 / extended SOF1) — the LOSSY
+# DICOM transfer syntaxes .50 (8-bit) and .51 (12-bit). The reference decodes
+# them via ITK/GDCM (utils.py:215-222); decoded values approximate the
+# original HU (the DICOM layer logs a warning). The native decoder's integer
+# IDCT matches libjpeg's islow path bit-for-bit (tests/test_codecs.py
+# asserts decode identity vs Pillow on 8-bit streams).
+# ---------------------------------------------------------------------------
+
+# Natural (row-major) coefficient indices in zigzag scan order (T.81 fig. 5).
+_DCT_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def jpegdct_decode(data: bytes) -> np.ndarray:
+    """Decode a single-component sequential-DCT JPEG → (rows, cols) samples.
+
+    Returns uint8 for 8-bit precision, uint16 for 12-bit.
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "lm_jpegdct_decode"):
+        raise ValueError(
+            "lossy JPEG decode requires the native codec core "
+            "(csrc/dicom_codecs.cpp) and no compiler is available"
+        )
+    rows, cols = _peek_sofdct_dims(data)
+    src = np.frombuffer(data, dtype=np.uint8)
+    out = np.empty(rows * cols, dtype=np.uint16)
+    r = ctypes.c_int32()
+    c = ctypes.c_int32()
+    prec = ctypes.c_int32()
+    rc = lib.lm_jpegdct_decode(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        out.size,
+        ctypes.byref(r),
+        ctypes.byref(c),
+        ctypes.byref(prec),
+    )
+    if rc == -12:
+        raise ValueError(
+            "progressive/hierarchical/arithmetic JPEG is not supported "
+            "(sequential DCT only)"
+        )
+    if rc != 0:
+        raise ValueError(f"JPEG sequential-DCT decode failed (rc={rc})")
+    arr = out.reshape(r.value, c.value)
+    return arr.astype(np.uint8) if prec.value == 8 else arr
+
+
+def _peek_sofdct_dims(data: bytes):
+    p = 2
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        raise ValueError("not a JPEG codestream")
+    while p + 4 <= len(data):
+        if data[p] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        m = data[p + 1]
+        if m == 0xD8 or 0xD0 <= m <= 0xD7:
+            p += 2
+            continue
+        seg = (data[p + 2] << 8) | data[p + 3]
+        if m in (0xC0, 0xC1):
+            if p + 9 > len(data):
+                raise ValueError("truncated JPEG codestream (SOF cut short)")
+            rows = (data[p + 5] << 8) | data[p + 6]
+            cols = (data[p + 7] << 8) | data[p + 8]
+            if rows == 0 or cols == 0:
+                raise ValueError("JPEG SOF declares a zero dimension")
+            return rows, cols
+        if m in (0xC2, 0xC3):
+            raise ValueError("not a sequential-DCT JPEG (progressive/lossless)")
+        p += 2 + seg
+    raise ValueError("no SOF0/SOF1 marker found")
+
+
+def jpegdct_encode(
+    pixels: np.ndarray, precision: int = 12, quant: int = 1
+) -> bytes:
+    """Encode (rows, cols) unsigned samples as sequential-DCT JPEG.
+
+    Fixture/round-trip encoder (the framework never writes lossy CT):
+    SOF0 for 8-bit, SOF1 for 12-bit; a flat ``quant`` quantization table;
+    fixed canonical Huffman tables (DC: 16 symbols at length 5; AC: 242
+    symbols at length 9 — never the reserved all-ones code).
+    """
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
+    px = np.ascontiguousarray(pixels)
+    if px.ndim != 2:
+        raise ValueError("expect a 2-D image")
+    if px.min() < 0 or px.max() >= (1 << precision):
+        raise ValueError("pixel exceeds declared precision")
+    rows, cols = px.shape
+    center = 1 << (precision - 1)
+
+    # Edge-replicate to 8x8 multiples.
+    pr, pc = (-rows) % 8, (-cols) % 8
+    padded = np.pad(px.astype(np.float64) - center, ((0, pr), (0, pc)),
+                    mode="edge")
+    bh, bw = padded.shape[0] // 8, padded.shape[1] // 8
+
+    # Orthonormal 2-D DCT-II basis (T.81 A.3.3 scaling).
+    u = np.arange(8)
+    D = 0.5 * np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16)
+    D[0] /= np.sqrt(2.0)
+
+    qz = np.full(64, int(quant), dtype=np.int32)
+    qnat = np.empty(64, np.int32)
+    qnat[_DCT_ZIGZAG] = qz
+
+    blocks = padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+    coefs = np.einsum("ux,bcxy,vy->bcuv", D, blocks, D)
+    quantized = np.round(coefs.reshape(bh * bw, 64) /
+                         qnat.reshape(8 * 8)).astype(np.int64)
+
+    # Canonical Huffman tables.
+    dc_counts = [0] * 16
+    dc_counts[4] = 16  # 16 symbols (ssss 0..15) at code length 5
+    dc_values = list(range(16))
+    dc_codes = {sym: (i, 5) for i, sym in enumerate(dc_values)}
+    ac_counts = [0] * 16
+    ac_values = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 16)
+    ]
+    ac_counts[8] = len(ac_values)  # 242 symbols at code length 9
+    ac_codes = {sym: (i, 9) for i, sym in enumerate(ac_values)}
+
+    def category(v: int) -> int:
+        return 0 if v == 0 else int(abs(v)).bit_length()
+
+    bwr = _BitWriter()
+    dc_pred = 0
+    for bi in range(bh * bw):
+        zz = quantized[bi][_DCT_ZIGZAG]
+        diff = int(zz[0]) - dc_pred
+        dc_pred = int(zz[0])
+        ssss = category(diff)
+        if ssss > 15:
+            raise ValueError("DC difference out of 15-bit range")
+        code, ln = dc_codes[ssss]
+        bwr.put(code, ln)
+        if ssss:
+            v = diff if diff > 0 else diff + (1 << ssss) - 1
+            bwr.put(v, ssss)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c2, l2 = ac_codes[0xF0]
+                bwr.put(c2, l2)  # ZRL
+                run -= 16
+            s = category(v)
+            if s > 15:
+                raise ValueError("AC coefficient out of 15-bit range")
+            c2, l2 = ac_codes[(run << 4) | s]
+            bwr.put(c2, l2)
+            bits = v if v > 0 else v + (1 << s) - 1
+            bwr.put(bits, s)
+            run = 0
+        if run:
+            c2, l2 = ac_codes[0x00]
+            bwr.put(c2, l2)  # EOB
+    bwr.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    dqt = bytes([0x00]) + bytes(int(q) for q in qz)  # Pq=0 (8-bit), Tq=0
+    out += b"\xff\xdb" + struct.pack(">H", len(dqt) + 2) + dqt
+    sof_marker = b"\xff\xc0" if precision == 8 else b"\xff\xc1"
+    sof = struct.pack(">BHHB", precision, rows, cols, 1) + bytes([1, 0x11, 0])
+    out += sof_marker + struct.pack(">H", len(sof) + 2) + sof
+    dht = (bytes([0x00]) + bytes(dc_counts) + bytes(dc_values)
+           + bytes([0x10]) + bytes(ac_counts) + bytes(ac_values))
+    out += b"\xff\xc4" + struct.pack(">H", len(dht) + 2) + dht
+    sos = bytes([1, 1, 0x00, 0, 63, 0x00])  # Ss=0, Se=63, Ah/Al=0
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    out += bwr.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)

@@ -12,9 +12,12 @@ pixel word is byte-swapped), RLE Lossless (1.2.840.10008.1.2.5), JPEG
 Lossless process 14 (1.2.840.10008.1.2.4.57 and .70), JPEG-LS
 lossless/near-lossless (1.2.840.10008.1.2.4.80/.81), and JPEG 2000
 (1.2.840.10008.1.2.4.90 always; .91 when the stream is reversible 5/3 —
-irreversible 9/7 is rejected with a lossy-HU error) — compressed frames
-decode through the native codec core (io/codecs.py, csrc/jpeg2000.cpp).
-Remaining syntaxes raise a clear error.
+irreversible 9/7 is rejected with a lossy-HU error), and lossy sequential-DCT
+JPEG (1.2.840.10008.1.2.4.50 baseline 8-bit / .51 extended 12-bit, decoded
+with a logged HU-accuracy warning; the libjpeg-islow-exact decoder lives in
+csrc/dicom_codecs.cpp) — compressed frames decode through the native codec
+core (io/codecs.py, csrc/jpeg2000.cpp). Remaining syntaxes raise a clear
+error.
 
 The reader exposes tags under ``"gggg|eeee"`` lowercase-hex keys (the
 SimpleITK key format the reference CLI's metadata propagation relies on,
@@ -47,6 +50,8 @@ EXPLICIT_VR_BE = "1.2.840.10008.1.2.2"  # retired (2006) but still in archives
 from lungmask_tpu.io.codecs import (  # noqa: E402
     JPEG_2000,
     JPEG_2000_LOSSLESS,
+    JPEG_BASELINE,
+    JPEG_EXTENDED,
     JPEG_LOSSLESS_P14,
     JPEG_LOSSLESS_SV1,
     JPEG_LS_LOSSLESS,
@@ -55,6 +60,8 @@ from lungmask_tpu.io.codecs import (  # noqa: E402
 )
 _ENCAPSULATED = {
     RLE_LOSSLESS,
+    JPEG_BASELINE,   # lossy sequential DCT: decoded with an HU-accuracy
+    JPEG_EXTENDED,   # warning (the reference decodes these via GDCM silently)
     JPEG_LOSSLESS_P14,
     JPEG_LOSSLESS_SV1,
     JPEG_LS_LOSSLESS,
@@ -498,6 +505,12 @@ def _decode_encapsulated(
     bits_alloc = int(tags.get("0028|0100", "16"))
     frames = _group_frames(fragments, frag_offsets, bot, n_frames, path)
 
+    if transfer_syntax in (JPEG_BASELINE, JPEG_EXTENDED):
+        logger.warning(
+            f"{path}: lossy JPEG transfer syntax {transfer_syntax} — decoded "
+            "values approximate the originally acquired HU"
+        )
+
     decoded_frames = []
     for data in frames:
         if transfer_syntax == RLE_LOSSLESS:
@@ -510,6 +523,14 @@ def _decode_encapsulated(
                     f"({rows}, {cols})"
                 )
             samples = decoded if bits_alloc == 16 else decoded.astype(np.uint8)
+        elif transfer_syntax in (JPEG_BASELINE, JPEG_EXTENDED):
+            decoded = codecs.jpegdct_decode(data)
+            if decoded.shape != (rows, cols):
+                raise DicomError(
+                    f"{path}: JPEG frame is {decoded.shape}, header says "
+                    f"({rows}, {cols})"
+                )
+            samples = decoded  # uint8 (8-bit) or uint16 (12-bit)
         elif transfer_syntax in (JPEG_2000_LOSSLESS, JPEG_2000):
             decoded = codecs.j2k_decode(data)  # int32, signedness applied
             if decoded.shape != (rows, cols):
@@ -621,10 +642,23 @@ def write_slice(
     if transfer_syntax not in (
         EXPLICIT_VR_LE, DEFLATED_EXPLICIT_VR_LE, EXPLICIT_VR_BE,
         RLE_LOSSLESS, JPEG_LOSSLESS_SV1, JPEG_LS_LOSSLESS,
-        JPEG_2000_LOSSLESS, JPEG_2000,
+        JPEG_2000_LOSSLESS, JPEG_2000, JPEG_BASELINE, JPEG_EXTENDED,
     ):
         raise DicomError(f"writer does not support {transfer_syntax}")
     bo = ">" if transfer_syntax == EXPLICIT_VR_BE else "<"
+    # Lossy DCT fixtures store unsigned prec-bit samples; everything else is
+    # the usual signed 16-bit CT representation.
+    if transfer_syntax == JPEG_BASELINE:
+        bits_alloc, bits_stored, pixel_rep = 8, 8, 0
+    elif transfer_syntax == JPEG_EXTENDED:
+        bits_alloc, bits_stored, pixel_rep = 16, 12, 0
+    else:
+        bits_alloc, bits_stored, pixel_rep = 16, 16, 1
+    if pixel_rep == 0 and (pixels.min() < 0 or
+                           pixels.max() >= (1 << bits_stored)):
+        raise DicomError(
+            f"lossy JPEG fixture samples must fit unsigned {bits_stored}-bit"
+        )
 
     meta = b""
     meta_elems = [
@@ -654,10 +688,10 @@ def write_slice(
         (0x0028, 0x0010): _us(rows, bo),
         (0x0028, 0x0011): _us(cols, bo),
         (0x0028, 0x0030): f"{spacing[0]}\\{spacing[1]}".encode(),
-        (0x0028, 0x0100): _us(16, bo),
-        (0x0028, 0x0101): _us(16, bo),
-        (0x0028, 0x0102): _us(15, bo),
-        (0x0028, 0x0103): _us(1, bo),
+        (0x0028, 0x0100): _us(bits_alloc, bo),
+        (0x0028, 0x0101): _us(bits_stored, bo),
+        (0x0028, 0x0102): _us(bits_stored - 1, bo),
+        (0x0028, 0x0103): _us(pixel_rep, bo),
         (0x0028, 0x1052): f"{intercept}".encode(),
         (0x0028, 0x1053): f"{slope}".encode(),
     }
@@ -687,6 +721,12 @@ def write_slice(
         for fr in frames_arr:
             if transfer_syntax == RLE_LOSSLESS:
                 frame = codecs.rle_encode_frame(fr.view(np.uint16))
+            elif transfer_syntax == JPEG_BASELINE:
+                frame = codecs.jpegdct_encode(
+                    fr.view(np.uint16).astype(np.uint8), precision=8
+                )
+            elif transfer_syntax == JPEG_EXTENDED:
+                frame = codecs.jpegdct_encode(fr.view(np.uint16), precision=12)
             elif transfer_syntax == JPEG_LS_LOSSLESS:
                 frame = codecs.jpegls_encode(fr.view(np.uint16), precision=16)
             elif transfer_syntax in (JPEG_2000_LOSSLESS, JPEG_2000):

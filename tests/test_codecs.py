@@ -543,3 +543,122 @@ def test_native_decoder_fuzz_corruption(codec, rng):
             decode(blob)
         except ValueError:
             pass  # the decoders' one documented failure type
+
+
+# ---------------------------------------------------------------------------
+# JPEG sequential DCT (baseline .50 / extended .51) — lossy
+# ---------------------------------------------------------------------------
+
+
+def _pil_jpeg_bytes(arr_u8, quality):
+    import io as _io
+
+    from PIL import Image
+
+    buf = _io.BytesIO()
+    Image.fromarray(arr_u8, "L").save(buf, "JPEG", quality=quality)
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("shape,quality", [((64, 64), 85), ((61, 47), 95),
+                                           ((128, 96), 50)])
+def test_jpegdct_8bit_matches_pillow_bitexact(rng, shape, quality):
+    """The integer islow IDCT reproduces libjpeg's decode bit-for-bit."""
+    from PIL import Image
+    import io as _io
+
+    yy, xx = np.mgrid[0:shape[0], 0:shape[1]]
+    arr = (127 + 100 * np.sin(yy / 9.0) * np.cos(xx / 7.0)
+           + rng.normal(0, 6, shape)).clip(0, 255).astype(np.uint8)
+    data = _pil_jpeg_bytes(arr, quality)
+    ours = codecs.jpegdct_decode(data)
+    pil = np.asarray(Image.open(_io.BytesIO(data)))
+    assert ours.dtype == np.uint8
+    np.testing.assert_array_equal(ours, pil)
+
+
+def test_jpegdct_12bit_roundtrip_near_exact(rng):
+    """Flat quant=1 12-bit encode→decode: only DCT rounding noise remains."""
+    yy, xx = np.mgrid[0:48, 0:40]
+    arr = (2048 + 1500 * np.sin(yy / 11.0) * np.cos(xx / 5.0)).astype(np.uint16)
+    data = codecs.jpegdct_encode(arr, precision=12, quant=1)
+    out = codecs.jpegdct_decode(data)
+    assert out.dtype == np.uint16 and out.shape == arr.shape
+    diff = np.abs(out.astype(int) - arr.astype(int))
+    assert diff.max() <= 2, diff.max()
+
+
+def test_jpegdct_12bit_constant_blocks_exact():
+    """DC-only blocks survive the round trip exactly."""
+    arr = np.repeat(np.repeat(
+        np.array([[100, 2048], [4095, 0]], np.uint16), 8, 0), 8, 1)
+    out = codecs.jpegdct_decode(codecs.jpegdct_encode(arr, precision=12))
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_jpegdct_8bit_own_encoder_roundtrip(rng):
+    arr = rng.integers(0, 256, size=(24, 24)).astype(np.uint8)
+    data = codecs.jpegdct_encode(arr, precision=8, quant=1)
+    out = codecs.jpegdct_decode(data)
+    assert out.dtype == np.uint8
+    assert np.abs(out.astype(int) - arr.astype(int)).max() <= 2
+
+
+def test_jpegdct_rejects_progressive(rng):
+    """Pillow progressive output must be refused, not mis-decoded."""
+    import io as _io
+
+    from PIL import Image
+
+    arr = rng.integers(0, 256, size=(32, 32)).astype(np.uint8)
+    buf = _io.BytesIO()
+    Image.fromarray(arr, "L").save(buf, "JPEG", quality=80, progressive=True)
+    with pytest.raises(ValueError):
+        codecs.jpegdct_decode(buf.getvalue())
+
+
+def test_jpegdct_malformed_streams_error_cleanly(rng):
+    arr = rng.integers(0, 4096, size=(16, 16)).astype(np.uint16)
+    data = codecs.jpegdct_encode(arr, precision=12)
+    for cut in range(0, len(data), max(1, len(data) // 32)):
+        with pytest.raises(ValueError):
+            codecs.jpegdct_decode(data[:cut])
+    for off in range(2, min(len(data), 64)):
+        mut = bytearray(data)
+        mut[off] ^= 0xFF
+        try:
+            codecs.jpegdct_decode(bytes(mut))
+        except ValueError:
+            pass
+
+
+def test_lossy_jpeg_dicom_roundtrip_and_warning(tmp_path):
+    """A .51 CT slice decodes through the DICOM layer (rescale applied) and
+    logs the lossy-HU warning; .50 8-bit does the same."""
+    import logging
+
+    from lungmask_tpu.logger import logger as lmlog
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    stored = (1024 + 900 * np.sin(yy / 7.0) * np.cos(xx / 4.0)).astype(np.int16)
+    p = str(tmp_path / "lossy12.dcm")
+    dicom.write_slice(p, stored, rescale=(1.0, -1024.0),
+                      transfer_syntax=codecs.JPEG_EXTENDED)
+    records = []
+    h = logging.Handler()
+    h.emit = lambda r: records.append(r.getMessage())
+    lmlog.addHandler(h)
+    try:
+        f = dicom.read_file(p)
+    finally:
+        lmlog.removeHandler(h)
+    assert any("lossy JPEG" in m for m in records)
+    want = stored.astype(np.int32) - 1024
+    diff = np.abs(f.pixels.astype(int) - want)
+    assert diff.max() <= 2  # quant=1 fixture: only DCT rounding noise
+
+    stored8 = np.clip(stored // 16, 0, 255).astype(np.int16)
+    p8 = str(tmp_path / "lossy8.dcm")
+    dicom.write_slice(p8, stored8, transfer_syntax=codecs.JPEG_BASELINE)
+    f8 = dicom.read_file(p8)
+    assert np.abs(f8.pixels.astype(int) - stored8.astype(int)).max() <= 2
