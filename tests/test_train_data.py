@@ -142,3 +142,87 @@ def test_batches_rejects_oversized_batch():
     with pytest.raises(ValueError, match="zero batches"):
         next(ds.batches(batch_size=32))
     assert len(list(ds.batches(batch_size=32, drop_last=False))) == 1
+
+
+# ---------------------------------------------------------------------------
+# Augmentation
+# ---------------------------------------------------------------------------
+
+
+def test_augment_deterministic_and_geometry_paired():
+    from lungmask_tpu.train.augment import Augmenter
+
+    vol, mask = _pair(3, n=6, hw=64)
+    images, labels = slices_from_pair(vol, mask, resolution=(64, 64))
+    aug = Augmenter(flip_p=1.0, shift_scale_p=1.0, intensity_p=0.0,
+                    noise_p=0.0)
+    a_i, a_l = aug(images, labels, np.random.default_rng(5))
+    b_i, b_l = aug(images, labels, np.random.default_rng(5))
+    np.testing.assert_array_equal(a_i, b_i)  # seeded → reproducible
+    np.testing.assert_array_equal(a_l, b_l)
+    assert a_i.shape == images.shape and a_l.shape == labels.shape
+    # geometric pairing: the lung region still sits on low intensities
+    assert a_i[a_l == 1].mean() < a_i[(a_l == 0) & (a_i > 0.2)].mean()
+    # shapes of label content preserved approximately (area within 25%)
+    assert 0.75 < (a_l == 1).sum() / max((labels == 1).sum(), 1) < 1.35
+
+
+def test_augment_lr_swap_only_on_flipped():
+    from lungmask_tpu.train.augment import swap_labels
+
+    labels = np.zeros((2, 4, 4), np.int32)
+    labels[:, :, :2] = 1  # "right"
+    labels[:, :, 2:] = 2  # "left"
+    out = swap_labels(labels, 1, 2, mask=np.array([True, False]))
+    assert (out[0][labels[0] == 1] == 2).all()
+    np.testing.assert_array_equal(out[1], labels[1])
+
+
+def test_intensity_ops_clip_and_leave_labels():
+    from lungmask_tpu.train.augment import gaussian_noise, intensity_jitter
+
+    rng = np.random.default_rng(0)
+    img = rng.random((4, 16, 16)).astype(np.float32)
+    out = intensity_jitter(img, rng, shift=0.5, scale=0.5, p=1.0)
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    out2 = gaussian_noise(img, rng, sigma=0.2, p=1.0)
+    assert out2.min() >= 0.0 and out2.max() <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# fit() loop
+# ---------------------------------------------------------------------------
+
+
+def test_fit_improves_dice_and_checkpoints(tmp_path):
+    """End-to-end fine-tune on the synthetic lung phantom: macro Dice of the
+    best params beats the random-init Dice, history/checkpoints populate."""
+    from lungmask_tpu.train import Augmenter, evaluate, fit
+    from lungmask_tpu.train.checkpoint import load_train_state
+
+    vol, mask = _pair(7, n=8, hw=64)
+    ds = SliceDataset([(vol, mask)], resolution=(64, 64))
+    ev_images, ev_labels = slices_from_pair(*_pair(8, n=4, hw=64),
+                                            resolution=(64, 64))
+    params = unet.init_params(jax.random.PRNGKey(0), 2, depth=3, wf=3)
+    d0 = evaluate(params, ev_images, ev_labels, compute_dtype=jnp.float32)
+
+    ckpt = str(tmp_path / "state.npz")
+    res = fit(
+        params, ds, epochs=45, batch_size=4,
+        # from-scratch tiny net: the fine-tuning default (1e-4 AdamW) is far
+        # too timid here — drive it with a plain hot Adam; argmax flips to
+        # the lung class around step ~80 (loss falls smoothly well before)
+        optimizer=optax.adam(3e-3),
+        augment=Augmenter(flip_p=0.5, shift_scale_p=0.0, intensity_p=0.5,
+                          noise_p=0.5),
+        eval_pairs=(ev_images, ev_labels), eval_every=30,
+        checkpoint_path=ckpt, checkpoint_every=30,
+        compute_dtype=jnp.float32, seed=1, log_every=30,
+    )
+    assert res.best_dice > max(d0, 0.5), (res.best_dice, d0)
+    assert any("loss" in h for h in res.history)
+    assert any("eval_macro_dice" in h for h in res.history)
+    # checkpoint written and resumable
+    state2, _ = load_train_state(ckpt, template=res.state)
+    assert int(state2.step) == int(res.state.step)
