@@ -56,15 +56,59 @@ def encoder_channels(depth: int = DEPTH, wf: int = WF) -> List[int]:
     return [2 ** (wf + i) for i in range(depth)]
 
 
-def _conv(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, *, precision) -> jnp.ndarray:
-    out = lax.conv_general_dilated(
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _conv_acc32(x: jnp.ndarray, w: jnp.ndarray, padding: str, precision) -> jnp.ndarray:
+    """Convolution with float32 accumulation (``preferred_element_type``).
+
+    jax 0.9's conv transpose rule rejects mixed dtypes, so a bf16 conv with an
+    f32 ``preferred_element_type`` is not reverse-differentiable as written —
+    which would bar the bf16 training path. The custom VJP keeps the primal
+    bit-identical and computes dgrad/wgrad through the dtype-uniform conv
+    (cotangent rounded to the compute dtype): exactly the standard TPU
+    mixed-precision recipe, where dgrad/wgrad also run on the MXU in bf16
+    with f32 accumulation.
+    """
+    return lax.conv_general_dilated(
         x,
-        w.astype(x.dtype),
+        w,
         window_strides=(1, 1),
-        padding="SAME" if w.shape[0] > 1 else "VALID",
+        padding=padding,
         dimension_numbers=_DIMENSION_NUMBERS,
         precision=precision,
         preferred_element_type=jnp.float32,
+    )
+
+
+def _conv_acc32_fwd(x, w, padding, precision):
+    return _conv_acc32(x, w, padding, precision), (x, w)
+
+
+def _conv_acc32_bwd(padding, precision, res, ct):
+    x, w = res
+
+    def surrogate(x_, w_):
+        return lax.conv_general_dilated(
+            x_,
+            w_,
+            window_strides=(1, 1),
+            padding=padding,
+            dimension_numbers=_DIMENSION_NUMBERS,
+            precision=precision,
+        ).astype(jnp.float32)
+
+    _, vjp = jax.vjp(surrogate, x, w)
+    return vjp(ct)
+
+
+_conv_acc32.defvjp(_conv_acc32_fwd, _conv_acc32_bwd)
+
+
+def _conv(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, *, precision) -> jnp.ndarray:
+    out = _conv_acc32(
+        x,
+        w.astype(x.dtype),
+        "SAME" if w.shape[0] > 1 else "VALID",
+        precision,
     )
     return out + b.astype(out.dtype)
 
@@ -108,9 +152,15 @@ def _conv_block(p: Params, x: jnp.ndarray, *, precision, compute_dtype) -> jnp.n
 
 
 def _avg_pool2(x: jnp.ndarray) -> jnp.ndarray:
-    """2×2/2 average pooling (reference: F.avg_pool2d(x, 2), resunet.py:64)."""
+    """2×2/2 average pooling (reference: F.avg_pool2d(x, 2), resunet.py:64).
+
+    The init value must be a concrete scalar literal (numpy, not a traced
+    jnp constant): under ``jax.checkpoint`` partial-eval a traced init makes
+    reduce_window's linearization fail ("unknown output primals"), breaking
+    the bf16 training path. np.zeros keeps the lowered program identical.
+    """
     summed = lax.reduce_window(
-        x, 0.0 if x.dtype == jnp.float32 else jnp.zeros((), x.dtype),
+        x, 0.0 if x.dtype == jnp.float32 else np.zeros((), x.dtype),
         lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID",
     )
     return summed * jnp.asarray(0.25, summed.dtype)

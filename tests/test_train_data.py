@@ -118,6 +118,34 @@ def test_finetune_loop_improves_loss():
     assert np.mean(losses[-3:]) < np.mean(losses[:3])
 
 
+def test_train_step_bfloat16():
+    """Regression: the bf16 train step must differentiate (jax 0.9's conv
+    transpose rejects mixed dtypes with preferred_element_type — covered by
+    the custom VJP in models/unet.py) and its grads must track float32."""
+    ds = SliceDataset([_pair(0)], resolution=(64, 64))
+    params = unet.init_params(jax.random.PRNGKey(0), n_classes=2, wf=2)
+    optimizer = optax.sgd(1e-2)
+    im, lb = next(ds.batches(batch_size=2, seed=0))
+    im, lb = jnp.asarray(im), jnp.asarray(lb)
+
+    outs = {}
+    for dtype in (jnp.bfloat16, jnp.float32):
+        state = init_train_state(params, optimizer)
+        step = make_train_step(optimizer, compute_dtype=dtype)
+        state, loss = step(state, im, lb)
+        assert np.isfinite(float(loss)), dtype
+        outs[dtype] = (float(loss), state.params)
+    assert outs[jnp.bfloat16][0] == pytest.approx(outs[jnp.float32][0], rel=2e-2)
+    # SGD update = lr*grad: compare a deep and a shallow parameter tensor
+    for path in (("down", 0, "conv1", "w"), ("last", "w")):
+        a, b = outs[jnp.bfloat16][1], outs[jnp.float32][1]
+        for k in path:
+            a, b = a[k], b[k]
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=5e-4
+        )
+
+
 def test_checkpoint_extensionless_path_roundtrip(tmp_path):
     import optax
 
@@ -226,3 +254,28 @@ def test_fit_improves_dice_and_checkpoints(tmp_path):
     # checkpoint written and resumable
     state2, _ = load_train_state(ckpt, template=res.state)
     assert int(state2.step) == int(res.state.step)
+
+
+def test_fit_mesh_sharded_matches_single_device():
+    """fit() over a 4×2 (data × space) mesh: the whole loop runs sharded and
+    the per-step losses track the unsharded run (same data order, same init;
+    float reassociation across shards allows small drift)."""
+    from lungmask_tpu.parallel import make_mesh
+    from lungmask_tpu.train import fit
+
+    vol, mask = _pair(7, n=8, hw=64)
+    ds = SliceDataset([(vol, mask)], resolution=(64, 64))
+    params = unet.init_params(jax.random.PRNGKey(0), 2, depth=3, wf=3)
+
+    def run(mesh):
+        return fit(
+            params, ds, epochs=4, batch_size=4, optimizer=optax.adam(1e-3),
+            mesh=mesh, compute_dtype=jnp.float32, seed=3, log_every=1,
+        )
+
+    res_single = run(None)
+    res_mesh = run(make_mesh(n_devices=8, space=2))
+    l0 = [h["loss"] for h in res_single.history if "loss" in h]
+    l1 = [h["loss"] for h in res_mesh.history if "loss" in h]
+    assert len(l0) == len(l1) == 8
+    np.testing.assert_allclose(l1, l0, rtol=2e-3, atol=2e-4)
