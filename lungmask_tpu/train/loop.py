@@ -14,6 +14,7 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 import optax
 
@@ -51,18 +52,30 @@ def default_optimizer(
     )
 
 
+_eval_forward = jax.jit(unet.unet_argmax, static_argnames=("compute_dtype",))
+
+
 def evaluate(params, images: np.ndarray, labels: np.ndarray,
              batch_size: int = 8, compute_dtype=jnp.bfloat16) -> float:
     """Macro Dice of argmax predictions over an eval slice pool.
 
     images (N,H,W) float32 normalized, labels (N,H,W) int. Runs in
-    ``batch_size`` chunks to bound device memory.
+    ``batch_size`` chunks to bound device memory; the tail chunk is padded to
+    ``batch_size`` so exactly one program shape compiles per (arch, batch).
     """
+    n = images.shape[0]
     preds = []
-    for i in range(0, images.shape[0], batch_size):
-        chunk = jnp.asarray(images[i : i + batch_size][..., None])
-        logits = unet.unet_logits(params, chunk, compute_dtype=compute_dtype)
-        preds.append(np.asarray(jnp.argmax(logits, axis=-1)))
+    for i in range(0, n, batch_size):
+        chunk = images[i : i + batch_size][..., None]
+        got = chunk.shape[0]
+        if got < batch_size:
+            chunk = np.concatenate(
+                [chunk, np.zeros((batch_size - got,) + chunk.shape[1:],
+                                 chunk.dtype)]
+            )
+        out = _eval_forward(params, jnp.asarray(chunk),
+                            compute_dtype=compute_dtype)
+        preds.append(np.asarray(out[:got]))
     pred = np.concatenate(preds, axis=0).astype(np.uint8)
     cmp = metrics.compare_masks(pred, labels.astype(np.uint8))
     return float(cmp.macro_dice)
