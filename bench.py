@@ -376,6 +376,48 @@ def main():
     if os.environ.get("BENCH_TORCH") == "1":
         baseline = measure_torch_baseline()
 
+    # Optional fine-tuning throughput stage (LM_BENCH_TRAIN=1): full R231
+    # architecture, bf16 fwd+bwd+AdamW (no remat — fits HBM at these sizes).
+    # Off by default so the driver's standard run doesn't pay another remote
+    # compile. Measured v5e points: bs=8 101, bs=16 156, bs=32 182 slices/s.
+    train_stats = None
+    if os.environ.get("LM_BENCH_TRAIN") == "1":
+        import optax
+
+        from lungmask_tpu.models import unet as unet_mod
+        from lungmask_tpu.train import init_train_state, make_train_step
+
+        bs = int(os.environ.get("LM_BENCH_TRAIN_BS", "8"))
+        opt = optax.adamw(1e-4)
+        tstate = init_train_state(
+            unet_mod.init_params(jax.random.PRNGKey(0), 3), opt
+        )
+        tstep = make_train_step(opt, compute_dtype=jnp.bfloat16)
+        timgs = jnp.asarray(
+            np.random.default_rng(0).random((bs, 256, 256, 1), np.float32)
+        )
+        tlbls = jnp.zeros((bs, 256, 256), jnp.int32)
+        t0 = time.perf_counter()
+        tstate, tl = tstep(tstate, timgs, tlbls)
+        assert np.isfinite(float(tl))
+        train_compile_s = time.perf_counter() - t0
+        ttimes = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            tstate, tl = tstep(tstate, timgs, tlbls)
+            float(tl)
+            ttimes.append(time.perf_counter() - t0)
+        train_stats = {
+            "batch": bs,
+            "compile_s": round(train_compile_s, 2),
+            "step_s_best": round(min(ttimes), 4),
+            "slices_per_sec": round(bs / min(ttimes), 1),
+            # fwd ~96.2 GFLOP/slice; bwd ≈ 2x fwd (no remat)
+            "mfu_vs_v5e_bf16_peak": round(
+                (bs / min(ttimes)) * 3 * 96.2e9 / 197e12, 3
+            ),
+        }
+
     # Host↔device link probe: throughput numbers on remote-attached TPUs track
     # the tunnel bandwidth, which fluctuates run to run — record it.
     blob = np.zeros((16, 1024, 1024), dtype=np.uint8)  # 16 MB
@@ -449,6 +491,7 @@ def main():
                     ),
                     "link_upload_MBps": round(up_mbps, 1),
                     "link_download_MBps": round(down_mbps, 1),
+                    "train_step": train_stats,  # LM_BENCH_TRAIN=1 to measure
                 },
             }
         )

@@ -98,6 +98,7 @@ def fit(
     log_every: int = 10,
     compute_dtype=jnp.bfloat16,
     dice_weight: float = 0.5,
+    remat: bool = False,
 ) -> FitResult:
     """Fine-tune ``params`` on ``dataset``.
 
@@ -118,7 +119,7 @@ def fit(
         optimizer = default_optimizer(n_batches)
     step_fn = make_train_step(
         optimizer, mesh=mesh, compute_dtype=compute_dtype,
-        dice_weight=dice_weight,
+        dice_weight=dice_weight, remat=remat,
     )
     state = init_train_state(params, optimizer)
     rng = np.random.default_rng(seed)
@@ -154,9 +155,12 @@ def fit(
         if checkpoint_path and checkpoint_every and step_no % checkpoint_every == 0:
             save_train_state(checkpoint_path, state)
 
-    if eval_pairs is not None:
+    # final eval/checkpoint, unless the last step already triggered them
+    if eval_pairs is not None and not (eval_every and step_no % eval_every == 0):
         run_eval(step_no)
-    if checkpoint_path:
+    if checkpoint_path and not (
+        checkpoint_every and step_no % checkpoint_every == 0
+    ):
         save_train_state(checkpoint_path, state)
     if best_params is None:
         best_dice, best_params = float("nan"), state.params

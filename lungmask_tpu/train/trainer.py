@@ -66,10 +66,17 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     compute_dtype=jnp.bfloat16,
     dice_weight: float = 0.5,
-    remat: bool = True,
+    remat: bool = False,
 ):
     """Returns jitted ``step(state, images(N,H,W,1), labels(N,H,W)) →
-    (state, loss)``; sharded over the mesh when one is given."""
+    (state, loss)``; sharded over the mesh when one is given.
+
+    ``remat`` wraps the forward in ``jax.checkpoint`` to trade recompute for
+    activation memory. Off by default: at this model size the full backward
+    fits v5e HBM up to at least batch 32 at 256², and remat costs measurable
+    throughput (v5e, bf16: 182 vs 156 slices/s at batch 32, 156 vs 137 at
+    batch 16). Turn it on for much larger per-device batches or resolutions.
+    """
 
     def loss_fn(params, images, labels):
         if remat:
