@@ -90,9 +90,9 @@ class TorchOracleUNet(nn.Module):
         return F.log_softmax(self.last(x), dim=1)
 
 
-def _randomized_oracle(n_classes, seed=0):
+def _randomized_oracle(n_classes, seed=0, wf=6):
     torch.manual_seed(seed)
-    model = TorchOracleUNet(n_classes)
+    model = TorchOracleUNet(n_classes, wf=wf)
     # Randomize BN running stats so folding is actually exercised.
     with torch.no_grad():
         for m in model.modules():
@@ -107,7 +107,10 @@ def _randomized_oracle(n_classes, seed=0):
 
 @pytest.fixture(scope="module")
 def oracle_and_params():
-    model = _randomized_oracle(n_classes=3)
+    # wf=4 keeps the smoke tier fast; parity is width-independent (the
+    # converter and forward are channel-count generic), and the full wf=6
+    # production width stays covered by the slow-tier tests below.
+    model = _randomized_oracle(n_classes=3, wf=4)
     sd = {k: v for k, v in model.state_dict().items()}
     params = convert.convert_state_dict(sd)
     return model, params
@@ -136,9 +139,11 @@ def test_forward_parity_small(oracle_and_params):
 
 
 @pytest.mark.slow  # production-resolution forward on 1 CPU core
-def test_argmax_parity_256(oracle_and_params):
-    """Class-decision parity at the production 256² resolution."""
-    model, params = oracle_and_params
+def test_argmax_parity_256():
+    """Class-decision parity at the production 256² resolution and the full
+    production width (wf=6)."""
+    model = _randomized_oracle(n_classes=3)
+    params = convert.convert_state_dict(dict(model.state_dict()))
     rng = np.random.default_rng(1)
     x = rng.uniform(0.0, 1.0, size=(1, 256, 256, 1)).astype(np.float32)
 
@@ -166,6 +171,20 @@ def test_npz_roundtrip(tmp_path, oracle_and_params):
         np.testing.assert_array_equal(flat_a[k], flat_b[k])
 
 
+def test_init_params_shapes_small():
+    """Structure/dtype checks on a narrow config (fast; wf-generic code)."""
+    params = unet.init_params(jax.random.PRNGKey(0), n_classes=6, wf=3)
+    assert unet.n_classes_of(params) == 6
+    assert params["down"][0]["conv1"]["w"].shape == (3, 3, 1, 8)
+    assert params["down"][4]["conv2"]["w"].shape == (3, 3, 128, 128)
+    assert params["up"][0]["proj"]["w"].shape == (1, 1, 128, 64)
+    assert params["last"]["w"].shape == (1, 1, 8, 6)
+    out = unet.unet_argmax(params, jnp.zeros((1, 64, 64, 1)))
+    assert out.shape == (1, 64, 64)
+    assert out.dtype == jnp.uint8
+
+
+@pytest.mark.slow  # full-width random init is ~25 s of PRNG compiles on 1 core
 def test_init_params_shapes():
     params = unet.init_params(jax.random.PRNGKey(0), n_classes=6)
     assert unet.n_classes_of(params) == 6

@@ -58,11 +58,15 @@ def _randomize(model, seed):
     return model
 
 
-def _build(ref_resunet, n_classes=3, residual=False, up_mode="upsample", seed=0):
+def _build(ref_resunet, n_classes=3, residual=False, up_mode="upsample", seed=0, wf=4):
+    """wf=4 by default: the parity claims are width-independent (converter and
+    forward are channel-count generic) and a narrow net keeps the smoke tier
+    fast; the slow-tier .pth roundtrip below runs the full production wf=6."""
     model = ref_resunet.UNet(
         n_classes=n_classes,
         padding=True,
         depth=5,
+        wf=wf,
         up_mode=up_mode,
         batch_norm=True,
         residual=residual,
@@ -104,7 +108,7 @@ def test_transcribed_oracle_matches_reference_source(ref_resunet):
     from test_unet import TorchOracleUNet
 
     ref = _build(ref_resunet, n_classes=3, seed=11)
-    oracle = TorchOracleUNet(n_classes=3)
+    oracle = TorchOracleUNet(n_classes=3, wf=4)
     oracle.load_state_dict(ref.state_dict(), strict=True)
     oracle.eval()
 
@@ -149,7 +153,7 @@ def test_pth_roundtrip_on_real_ct_slices(ref_resunet, tmp_path):
     from lungmask_tpu.io.loader import load_input_image
     from lungmask_tpu.transforms import host_pipeline
 
-    model = _build(ref_resunet, n_classes=3, seed=23)
+    model = _build(ref_resunet, n_classes=3, seed=23, wf=6)
     pth = str(tmp_path / "synthetic_r231_shaped.pth")
     torch.save(model.state_dict(), pth)
 
