@@ -508,7 +508,6 @@ struct CodeBlock {
   int numbps = 0;          // Mb - zero bitplanes (once known)
   int npasses = 0;         // total passes accumulated
   std::vector<uint8_t> segment;  // concatenated body bytes
-  std::vector<std::pair<int64_t, int64_t>> pending;  // (offset,len) this packet
 };
 
 struct PrecinctBand {
@@ -618,6 +617,7 @@ int32_t lm_j2k_decode(const uint8_t* src, int64_t n, int32_t* out,
         if (tm == 0x52 || tm == 0x5C || tm == 0x53 || tm == 0x5D)
           return -26;  // per-tile coding/quant overrides not supported
         if (tm == 0x61) return -23;  // PPT
+        if (tm == 0x5F) return -24;  // POC in a tile-part header (A.6.6)
         q += 2 + tl;
       }
       (void)data_start;
@@ -676,13 +676,28 @@ int32_t lm_j2k_decode(const uint8_t* src, int64_t n, int32_t* out,
         cod.cstyle = src[seg + 8];
         cod.wavelet = src[seg + 9] == 1 ? 1 : 0;
         if (src[seg + 9] == 0) return -20;  // 9/7 irreversible
-        if (cod.cstyle & (0x01 | 0x04 | 0x08))
-          return -22;  // bypass / termall / vertically causal
+        // 0x01 bypass, 0x02 per-pass context reset, 0x04 termall, 0x08
+        // vertically causal: each changes MQ decoding in ways this T1 does
+        // not implement — decoding anyway would desynchronize silently.
+        // (0x10 predictable termination is an encoder-side constraint and
+        // 0x20 segmentation symbols ARE implemented — both decode normally.)
+        if (cod.cstyle & (0x01 | 0x02 | 0x04 | 0x08))
+          return -22;  // bypass / reset / termall / vertically causal
         if (cod.prog > 2) return -24;  // PCRL / CPRL
         if (cod.levels > 32) return -1;  // T.800 allows at most 32 levels
+        // T.800 B.7: code-block dims are 2^xcb with xcb in [2,10] and the
+        // block area capped at 4096 (xcb+ycb <= 12); larger values would
+        // also overflow the T1 flag grids and shift counts below.
+        if (cod.xcb > 10 || cod.ycb > 10 || cod.xcb + cod.ycb > 12) return -1;
         if (cod.have_precincts) {
           if ((int64_t)l - 2 < 10 + cod.levels + 1) return -1;
           cod.prec_sizes.assign(src + seg + 10, src + seg + 10 + cod.levels + 1);
+          // PPx/PPy = 0 is only legal at resolution 0 (T.800 Table A.21);
+          // at r > 0 the band precinct is PPx-1 wide, so 0 would turn the
+          // geometry below into shifts by -1 (UB) on a corrupt stream.
+          for (size_t r = 1; r < cod.prec_sizes.size(); ++r)
+            if ((cod.prec_sizes[r] & 0xF) == 0 || (cod.prec_sizes[r] >> 4) == 0)
+              return -1;
         }
         have_cod = true;
         break;
@@ -711,6 +726,14 @@ int32_t lm_j2k_decode(const uint8_t* src, int64_t n, int32_t* out,
       }
       case 0x60: {  // PPM
         return -23;
+      }
+      case 0x53:    // COC: per-component coding-style override
+      case 0x5D: {  // QCC: per-component quantization override
+        // Single-component streams may still carry these to override COD/
+        // QCD (different code-block size, levels, or even the 9/7 wavelet,
+        // which would bypass the -20 lossy gate). Decoding with the stale
+        // COD/QCD parameters would desynchronize silently — refuse instead.
+        return -26;
       }
       default:
         break;  // COM, TLM, PLM, POC(!) etc. — POC would alter progression
@@ -905,6 +928,11 @@ int32_t lm_j2k_decode(const uint8_t* src, int64_t n, int32_t* out,
                 int zbp = P.imsb.decode_value(br, cx, cy);
                 if (zbp < 0) return false;
                 C.numbps = R.bands[b].numbps - zbp;
+                // A corrupt imsb tree (zbp can reach 128) or hostile QCD
+                // (Mb up to 37) would otherwise reach T1 with a negative
+                // start bit-plane or int32-overflowing shifts. numbps == 0
+                // (all bit-planes zero) is tolerated and skipped at T1.
+                if (C.numbps < 0 || C.numbps > 31) return false;
                 C.included = true;
               }
               // Number of new passes (B.10.6).
@@ -984,7 +1012,7 @@ int32_t lm_j2k_decode(const uint8_t* src, int64_t n, int32_t* out,
           for (int pidx = 0; pidx < R.npw * R.nph; ++pidx) {
             PrecinctBand& P = R.pband[(size_t)b * R.npw * R.nph + pidx];
             for (auto& C : P.cblks) {
-              if (!C.included || C.npasses == 0) continue;
+              if (!C.included || C.npasses == 0 || C.numbps <= 0) continue;
               t1.w = C.x1 - C.x0;
               t1.h = C.y1 - C.y0;
               if (t1.w <= 0 || t1.h <= 0) continue;

@@ -260,7 +260,7 @@ _J2K_ERRORS = {
     -23: "packed packet headers (PPM/PPT)",
     -24: "PCRL/CPRL progression or POC marker",
     -25: "ROI shift (RGN marker)",
-    -26: "per-tile COD/QCD overrides",
+    -26: "per-tile or per-component COD/QCD overrides (COC/QCC)",
 }
 
 

@@ -514,6 +514,45 @@ def test_j2k_fuzz_bitflips(j2k_stream):
             pass
 
 
+def test_j2k_rejects_context_reset_style(j2k_stream):
+    """SPcod code-block style 0x02 (reset context probabilities each pass) is
+    not implemented by the T1; decoding anyway would desynchronize the MQ
+    decoder and return silently wrong pixels — it must be refused up front."""
+    data = bytearray(j2k_stream)
+    i = data.find(b"\xff\x52")  # COD marker
+    assert i >= 0
+    data[i + 12] |= 0x02  # SPcod code-block style byte (seg + 8)
+    with pytest.raises(ValueError, match="reset|bypass"):
+        codecs.j2k_decode(bytes(data))
+
+
+def test_j2k_rejects_main_header_coc(j2k_stream):
+    """A COC in the MAIN header overrides COD (possibly selecting the 9/7
+    wavelet, bypassing the lossy gate); decoding with the stale COD would be
+    silently wrong, so it must be refused like the tile-part variant."""
+    data = bytearray(j2k_stream)
+    i = data.find(b"\xff\x52")
+    assert i >= 0
+    lcod = int.from_bytes(data[i + 2 : i + 4], "big")
+    coc = b"\xff\x53\x00\x04\x00\x00"  # COC, Lcoc=4, comp 0, Scoc 0
+    data[i + 2 + lcod : i + 2 + lcod] = coc
+    with pytest.raises(ValueError, match="COC|per-component|overrides"):
+        codecs.j2k_decode(bytes(data))
+
+
+def test_j2k_rejects_tile_part_poc(j2k_stream):
+    """A POC in a tile-part header (legal per T.800 A.6.6) changes packet
+    progression mid-stream; parsing with the COD order would desync."""
+    data = bytearray(j2k_stream)
+    i = data.find(b"\xff\x90")  # SOT
+    assert i >= 0
+    # Minimal 1-component POC: RSpoc CSpoc LYEpoc(2) REpoc CEpoc Ppoc.
+    poc = b"\xff\x5f\x00\x09" + bytes([0, 0, 0, 1, 6, 1, 0])
+    data[i + 12 : i + 12] = poc  # right after the 12-byte SOT segment
+    with pytest.raises(ValueError, match="POC"):
+        codecs.j2k_decode(bytes(data))
+
+
 @pytest.mark.parametrize(
     "codec", ["rle", "jpegll", "jpegls"]
 )
