@@ -282,10 +282,12 @@ def _warmup(args, batchsize) -> None:
 
     n = int(args.warmup)
     logger.info(f"Warmup: compiling device programs for a {n}-slice volume")
-    zz, yy, xx = np.mgrid[0:n, 0:512, 0:512]
+    # ogrid (broadcast axes) — dense int64 mgrid would transiently cost
+    # 3 x n x 512 x 512 x 8 bytes (~1.2 GB at the default n) for nothing.
+    zz, yy, xx = np.ogrid[0:n, 0:512, 0:512]
     vol = np.full((n, 512, 512), -1000, dtype=np.int16)
-    body = ((yy - 256) / 200.0) ** 2 + ((xx - 256) / 230.0) ** 2 < 1
-    vol[body] = 40
+    body2d = ((yy[0] - 256) / 200.0) ** 2 + ((xx[0] - 256) / 230.0) ** 2 < 1
+    vol[:, body2d] = 40
     for cx in (160, 352):
         lung = (
             ((zz - n / 2) / (n * 0.45)) ** 2

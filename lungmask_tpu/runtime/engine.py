@@ -281,9 +281,12 @@ class UNetRunner:
         return volume_argmax(self.params, slices, self.batch_size, self.compute_dtype)[:n]
 
     def _packing(self, width: int):
-        if width % 4 == 0 and self.n_classes <= 4:
+        # Single source of truth for the packing policy: pack_bits_for (the
+        # fused path uses it directly).
+        bits = pack_bits_for(self.n_classes, width)
+        if bits == 2:
             return volume_argmax_packed2, unpack_crumbs
-        if width % 2 == 0 and self.n_classes <= 16:
+        if bits == 4:
             return volume_argmax_packed, unpack_nibbles
         return volume_argmax, lambda x: x
 

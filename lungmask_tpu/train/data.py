@@ -38,6 +38,33 @@ def slices_from_pair(
     return images.astype(np.float32), labels
 
 
+def iter_shuffled_batches(
+    n: int,
+    batch_size: int,
+    gather,
+    *,
+    seed: int = 0,
+    epochs: int = 1,
+    drop_last: bool = True,
+    what: str = "dataset",
+) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Shared shuffle/epoch/drop_last loop for slice pools (``SliceDataset``
+    and the memmap ``SliceStore`` differ only in how a batch is gathered).
+    ``gather(idx)`` maps an index array to the yielded batch."""
+    rng = np.random.default_rng(seed)
+    if drop_last and n < batch_size:
+        raise ValueError(
+            f"batch_size={batch_size} exceeds the {what} ({n} slices); "
+            "every epoch would yield zero batches — lower batch_size or "
+            "pass drop_last=False"
+        )
+    for _ in range(epochs):
+        order = rng.permutation(n)
+        stop = n - (n % batch_size) if drop_last else n
+        for i in range(0, stop, batch_size):
+            yield gather(order[i : i + batch_size])
+
+
 class SliceDataset:
     """In-memory pool of preprocessed slices with shuffled batch iteration."""
 
@@ -57,17 +84,12 @@ class SliceDataset:
         self, batch_size: int, *, seed: int = 0, epochs: int = 1, drop_last: bool = True
     ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         """Yields (images (B,256,256,1) f32, labels (B,256,256) i32)."""
-        rng = np.random.default_rng(seed)
-        n = len(self)
-        if drop_last and n < batch_size:
-            raise ValueError(
-                f"batch_size={batch_size} exceeds the dataset ({n} slices); "
-                "every epoch would yield zero batches — lower batch_size or "
-                "pass drop_last=False"
-            )
-        for _ in range(epochs):
-            order = rng.permutation(n)
-            stop = n - (n % batch_size) if drop_last else n
-            for i in range(0, stop, batch_size):
-                idx = order[i : i + batch_size]
-                yield self.images[idx][..., None], self.labels[idx]
+        return iter_shuffled_batches(
+            len(self),
+            batch_size,
+            lambda idx: (self.images[idx][..., None], self.labels[idx]),
+            seed=seed,
+            epochs=epochs,
+            drop_last=drop_last,
+            what="dataset",
+        )

@@ -23,7 +23,7 @@ from typing import Iterable, Iterator, Sequence, Tuple
 import numpy as np
 
 from lungmask_tpu.logger import logger
-from lungmask_tpu.train.data import Pair, slices_from_pair
+from lungmask_tpu.train.data import Pair, iter_shuffled_batches, slices_from_pair
 
 _META = "store.json"
 _IMAGES = "images.f16"
@@ -54,6 +54,15 @@ def build_store(
             fi.write(np.ascontiguousarray(images, np.float16).tobytes())
             fl.write(np.ascontiguousarray(labels, np.int16).tobytes())
             n += images.shape[0]
+    if n == 0:
+        # np.memmap cannot map an empty file — a 0-slice store would crash
+        # cryptically at load; fail here and don't leave broken files behind.
+        os.remove(os.path.join(out_dir, _IMAGES))
+        os.remove(os.path.join(out_dir, _LABELS))
+        raise ValueError(
+            f"build_store: no slices produced (empty `pairs`?); {out_dir} "
+            "left without a store"
+        )
     with open(os.path.join(out_dir, _META), "w") as f:
         json.dump({"n": n, "h": h, "w": w, "version": 1}, f)
     logger.info(f"SliceStore: wrote {n} slices ({h}x{w}) to {out_dir}")
@@ -111,21 +120,19 @@ class SliceStore:
         Batch gathers sort the shuffled indices before touching the memmap
         (sequential page reads) and restore the shuffled order after.
         """
-        rng = np.random.default_rng(seed)
-        n = len(self)
-        if drop_last and n < batch_size:
-            raise ValueError(
-                f"batch_size={batch_size} exceeds the store ({n} slices); "
-                "every epoch would yield zero batches — lower batch_size or "
-                "pass drop_last=False"
-            )
-        for _ in range(epochs):
-            order = rng.permutation(n)
-            stop = n - (n % batch_size) if drop_last else n
-            for i in range(0, stop, batch_size):
-                idx = order[i : i + batch_size]
-                take = np.sort(idx)
-                undo = np.argsort(np.argsort(idx))
-                images = np.asarray(self.images[take], np.float32)[undo]
-                labels = np.asarray(self.labels[take], np.int32)[undo]
-                yield images[..., None], labels
+        def gather(idx):
+            take = np.sort(idx)
+            undo = np.argsort(np.argsort(idx))
+            images = np.asarray(self.images[take], np.float32)[undo]
+            labels = np.asarray(self.labels[take], np.int32)[undo]
+            return images[..., None], labels
+
+        return iter_shuffled_batches(
+            len(self),
+            batch_size,
+            gather,
+            seed=seed,
+            epochs=epochs,
+            drop_last=drop_last,
+            what="store",
+        )

@@ -75,3 +75,14 @@ def test_store_drives_fit(tmp_path):
 def test_store_missing_dir_raises(tmp_path):
     with pytest.raises(FileNotFoundError, match="not a slice store"):
         SliceStore(str(tmp_path / "nope"))
+
+
+def test_build_store_empty_pairs_raises(tmp_path):
+    """Zero slices (e.g. a glob that matched nothing) must fail clearly at
+    build time, not as np.memmap's cryptic empty-file ValueError at load,
+    and must not leave broken data files behind."""
+    out = tmp_path / "empty_store"
+    with pytest.raises(ValueError, match="no slices"):
+        build_store(str(out), [])
+    assert not (out / "images.f16").exists()
+    assert not (out / "store.json").exists()
