@@ -441,8 +441,11 @@ int lm_jpegdct_decode(const uint8_t* src, int64_t n, uint16_t* out,
       int ncomp = src[p + 9];
       if (ncomp != 1) return -3;  // CT is monochrome
       comp_qt = src[p + 12] & 0x0F;
-    } else if (m == 0xC2 || (m >= 0xC5 && m <= 0xCF && m != 0xC8 &&
-                             m != 0xCC && m != 0xC4)) {
+    } else if (m == 0xC2 ||
+               (m >= 0xC5 && m <= 0xCF && m != 0xC8 && m != 0xCC)) {
+      // (0xC4/DHT and 0xC8/JPG are outside or excluded; 0xCC/DAC is skipped
+      // — harmless, since the SOF9-SOFB gate above rejects the arithmetic
+      // SOFs that could reference it.)
       return -12;  // progressive/hierarchical/arithmetic: not supported
     } else if (m == 0xDB) {  // DQT (possibly several tables per marker)
       int64_t q = p + 4, end = p + 2 + seg;
@@ -502,7 +505,10 @@ int lm_jpegdct_decode(const uint8_t* src, int64_t n, uint16_t* out,
   const int center = 1 << (prec - 1);
   const int maxval = (1 << prec) - 1;
   const int bh = (rows + 7) / 8, bw = (cols + 7) / 8;
-  int dc_pred = 0;
+  // int64: a corrupt stream can emit max-magnitude DC diffs for every block,
+  // overflowing an int32 accumulator (signed-overflow UB). The dequantized
+  // value is clamped back into int32 for the (int64-internal) IDCT.
+  int64_t dc_pred = 0;
   int64_t count_in_interval = 0;
   int32_t coef[64], pix[64];
 
@@ -514,7 +520,10 @@ int lm_jpegdct_decode(const uint8_t* src, int64_t n, uint16_t* out,
       int v = br.get(ssss);
       if (v < 0) return -11;
       dc_pred += extend(v, ssss);
-      coef[0] = dc_pred * qnat[0];
+      int64_t dc = dc_pred * (int64_t)qnat[0];
+      if (dc > INT32_MAX) dc = INT32_MAX;
+      if (dc < INT32_MIN) dc = INT32_MIN;
+      coef[0] = (int32_t)dc;
       int k = 1;
       while (k < 64) {
         int rs = ach.decode(br);
@@ -838,6 +847,8 @@ int32_t lm_jpegls_decode(const uint8_t* src, int64_t n, uint16_t* out,
     } else if (m == 0xDD) {
       return -4;  // restart intervals unsupported
     } else if (m == 0xDA) {  // SOS
+      if (seg < 3) return -5;  // s[0] below needs a payload byte: a seg==2
+                               // SOS ending at the buffer end would over-read
       const int32_t ns = s[0];
       if (ns != 1 || ncomp != 1) return -5;  // single component only
       if (seg < 2 + 1 + 2 * ns + 3) return -5;

@@ -374,11 +374,13 @@ def _peek_siz_dims(data: bytes):
 # ---------------------------------------------------------------------------
 
 
-def jpegls_decode(data: bytes) -> np.ndarray:
+def jpegls_decode(data: bytes, with_near: bool = False):
     """Decode a single-component JPEG-LS codestream → uint16 (rows, cols).
 
     Lossless and near-lossless, LSE presets honored; validated bit-for-bit
-    against CharLS in tests/test_codecs.py."""
+    against CharLS in tests/test_codecs.py. ``with_near=True`` also returns
+    the stream's NEAR parameter (0 = lossless; N = samples may deviate by up
+    to ±N) so callers can surface HU-accuracy warnings."""
     lib = get_lib()
     if lib is None:
         raise ValueError(
@@ -404,7 +406,8 @@ def jpegls_decode(data: bytes) -> np.ndarray:
     )
     if rc != 0:
         raise ValueError(f"JPEG-LS decode failed (rc={rc})")
-    return out.reshape(r.value, c.value)
+    decoded = out.reshape(r.value, c.value)
+    return (decoded, near.value) if with_near else decoded
 
 
 def _peek_jpegls_dims(data: bytes):

@@ -124,7 +124,12 @@ class DicomFile:
         parts = raw.split("\\")
         if len(parts) != 3:
             return None
-        return tuple(float(p) for p in parts)
+        try:
+            return tuple(float(p) for p in parts)
+        except ValueError:
+            # Malformed IPP must not crash the z-sort of a whole series
+            # (scan_directory sorts on this property); treat as absent.
+            return None
 
 
 class DicomError(Exception):
@@ -309,17 +314,57 @@ def read_file(
     skip-bad-files tolerance (utils.py:187-189) at the per-file level.
     """
     try:
-        return _read_file_impl(path, stop_before_pixels)
+        if stop_before_pixels:
+            # Header-only scans read a prefix first: headers precede
+            # (7FE0,0010), so directory scans need not read pixel bytes at
+            # all (they are re-read only at volume assembly).
+            try:
+                return _read_file_impl(path, True, _prefix=_HEADER_SCAN_BYTES)
+            except _PrefixInsufficient:
+                return _read_file_impl(path, True)
+        return _read_file_impl(path, False)
     except DicomError:
         raise
     except (struct.error, IndexError, KeyError, OverflowError,
-            UnicodeDecodeError, EOFError) as e:
+            UnicodeDecodeError, EOFError, ValueError) as e:
+        # ValueError covers int()/float()/reshape on corrupt tag values and
+        # codec rejections — without it, one such file broke the documented
+        # one-type contract (and aborted directory scans that catch DicomError).
         raise DicomError(f"{path}: malformed DICOM stream ({e})") from e
 
 
-def _read_file_impl(path: str, stop_before_pixels: bool) -> DicomFile:
+# Initial read size for header-only scans. CT headers are a few KB; private
+# payloads (icon images etc.) occasionally push the pixel-data tag further,
+# which the _PrefixInsufficient fallback covers with one full re-read.
+_HEADER_SCAN_BYTES = 1 << 18
+
+
+class _PrefixInsufficient(Exception):
+    """Internal: a header-prefix read did not provably reach pixel data."""
+
+
+def _read_file_impl(
+    path: str, stop_before_pixels: bool, _prefix: Optional[int] = None
+) -> DicomFile:
     with open(path, "rb") as f:
-        data = f.read()
+        data = f.read() if _prefix is None else f.read(_prefix)
+    complete = _prefix is None or len(data) < _prefix
+    if complete:
+        return _parse_dataset(path, data, stop_before_pixels, complete=True)
+    try:
+        return _parse_dataset(path, data, stop_before_pixels, complete=False)
+    except _PrefixInsufficient:
+        raise
+    except Exception:
+        # Any failure on a truncated prefix may be the truncation's fault
+        # (the parser cannot always tell) — retry full-size; genuine errors
+        # re-raise identically from the complete parse.
+        raise _PrefixInsufficient() from None
+
+
+def _parse_dataset(
+    path: str, data: bytes, stop_before_pixels: bool, complete: bool
+) -> DicomFile:
     buf = memoryview(data)
     pos = 0
     if len(data) > 132 and data[128:132] == b"DICM":
@@ -383,9 +428,11 @@ def _read_file_impl(path: str, stop_before_pixels: bool) -> DicomFile:
         )
 
     pixels = None
+    saw_pixel_data = False
     while pos + 8 <= len(buf):
         g, e, vr, voff, vlen, _ = _read_element(buf, pos, explicit, bo)
         if (g, e) == _TAG_PIXEL_DATA:
+            saw_pixel_data = True
             if stop_before_pixels:
                 break
             if vlen == 0xFFFFFFFF:
@@ -424,6 +471,11 @@ def _read_file_impl(path: str, stop_before_pixels: bool) -> DicomFile:
             )
         pos = voff + vlen
 
+    if not complete and not saw_pixel_data:
+        # A truncated prefix ends the loop SILENTLY mid-element; tags past
+        # the cut would be dropped without error. Only reaching (7FE0,0010)
+        # proves the prefix held the whole header.
+        raise _PrefixInsufficient()
     return DicomFile(path=path, tags=tags, pixels=pixels)
 
 
@@ -516,7 +568,15 @@ def _decode_encapsulated(
         if transfer_syntax == RLE_LOSSLESS:
             samples = codecs.rle_decode_frame(data, rows * cols, bits_alloc // 8)
         elif transfer_syntax in (JPEG_LS_LOSSLESS, JPEG_LS_NEAR_LOSSLESS):
-            decoded = codecs.jpegls_decode(data)
+            decoded, near = codecs.jpegls_decode(data, with_near=True)
+            if near > 0:
+                # .81 streams can be truly lossless (NEAR=0) or near-lossless;
+                # only the stream itself says which — warn like the lossy DCT
+                # syntaxes when HU values are approximate.
+                logger.warning(
+                    f"{path}: near-lossless JPEG-LS (NEAR={near}) — decoded "
+                    f"values may deviate from acquired HU by up to ±{near}"
+                )
             if decoded.shape != (rows, cols):
                 raise DicomError(
                     f"{path}: JPEG-LS frame is {decoded.shape}, header says "
@@ -594,7 +654,8 @@ def _encode_element(
     group: int, elem: int, vr: bytes, value: bytes, bo: str = "<"
 ) -> bytes:
     if len(value) % 2:
-        value += b"\x00" if vr != b"UI" else b"\x00"
+        # PS3.5 6.2: UI (and binary VRs) pad with NUL, text VRs with space.
+        value += b"\x00" if vr in (b"UI", b"OB", b"UN") else b" "
     head = struct.pack(bo + "HH", group, elem)
     if vr in _LONG_VRS:
         return head + vr + b"\x00\x00" + struct.pack(bo + "I", len(value)) + value

@@ -68,7 +68,14 @@ def _volume_from_series(
 
     first = slices[0]
     ps = first.get("0028|0030", "1\\1").split("\\")
-    sx, sy = float(ps[1]), float(ps[0])  # PixelSpacing is row\col = (y, x)
+    try:
+        sx, sy = float(ps[1]), float(ps[0])  # PixelSpacing is row\col = (y, x)
+    except (IndexError, ValueError):
+        logger.warning(
+            f"{first.path}: malformed PixelSpacing "
+            f"{first.get('0028|0030')!r}; assuming 1\\1 mm"
+        )
+        sx = sy = 1.0
     pos0 = first.position or (0.0, 0.0, 0.0)
     if len(slices) > 1 and slices[1].position is not None:
         dz_vec = np.asarray(slices[1].position) - np.asarray(pos0)
@@ -81,8 +88,18 @@ def _volume_from_series(
         zdir = None
 
     iop = first.get("0020|0037", "1\\0\\0\\0\\1\\0").split("\\")
-    row_cos = np.asarray([float(v) for v in iop[:3]])  # direction of +x (cols)
-    col_cos = np.asarray([float(v) for v in iop[3:6]])  # direction of +y (rows)
+    try:
+        row_cos = np.asarray([float(v) for v in iop[:3]])  # dir of +x (cols)
+        col_cos = np.asarray([float(v) for v in iop[3:6]])  # dir of +y (rows)
+        if row_cos.shape != (3,) or col_cos.shape != (3,):
+            raise ValueError("short IOP")
+    except ValueError:
+        logger.warning(
+            f"{first.path}: malformed ImageOrientationPatient "
+            f"{first.get('0020|0037')!r}; assuming axial"
+        )
+        row_cos = np.asarray([1.0, 0.0, 0.0])
+        col_cos = np.asarray([0.0, 1.0, 0.0])
     if zdir is None:
         zdir = np.cross(row_cos, col_cos)
     direction = np.stack([row_cos, col_cos, zdir], axis=1)
@@ -242,6 +259,41 @@ def load_input_image(
     return volumes[int(np.argmax([v.voxel_count() for v in volumes]))]
 
 
+# Tags write_slice computes fresh for the OUTPUT volume. Caller-supplied tags
+# override write_slice's own elements, so copying these from the input would
+# corrupt the mask: e.g. the CT's RescaleIntercept=-1024 would make mask value
+# 1 read back as -1023 HU, and a copied SOPInstanceUID would duplicate across
+# slices. Group 0002 (file meta) and 7FE0 (pixel data) are excluded wholesale.
+_SERIES_TAGS_NOT_COPIED = frozenset(
+    {
+        (0x0008, 0x0016),  # SOPClassUID
+        (0x0008, 0x0018),  # SOPInstanceUID (fresh per slice)
+        (0x0018, 0x0050),  # SliceThickness
+        (0x0018, 0x0088),  # SpacingBetweenSlices
+        (0x0020, 0x000D),  # StudyInstanceUID (carried via study_uid param)
+        (0x0020, 0x000E),  # SeriesInstanceUID (fresh)
+        (0x0020, 0x0013),  # InstanceNumber (per slice)
+        (0x0020, 0x0032),  # ImagePositionPatient (per slice)
+        (0x0020, 0x0037),  # ImageOrientationPatient
+        (0x0028, 0x0002),  # SamplesPerPixel
+        (0x0028, 0x0004),  # PhotometricInterpretation
+        (0x0028, 0x0008),  # NumberOfFrames
+        (0x0028, 0x0010),  # Rows
+        (0x0028, 0x0011),  # Columns
+        (0x0028, 0x0030),  # PixelSpacing
+        (0x0028, 0x0100),  # BitsAllocated
+        (0x0028, 0x0101),  # BitsStored
+        (0x0028, 0x0102),  # HighBit
+        (0x0028, 0x0103),  # PixelRepresentation
+        (0x0028, 0x1052),  # RescaleIntercept
+        (0x0028, 0x1053),  # RescaleSlope
+        (0x0028, 0x1054),  # RescaleType
+    }
+)
+# WindowCenter/Width (0028,1050/1051) are deliberately NOT excluded: the CLI
+# writes the reference's marker values through this path (__main__.py:142-143).
+
+
 def write_dicom_series(image: MedicalImage, path: str) -> None:
     """Write a volume as a DICOM series.
 
@@ -265,7 +317,7 @@ def write_dicom_series(image: MedicalImage, path: str) -> None:
             g, e = (int(p, 16) for p in key.split("|"))
         except ValueError:
             continue
-        if (g, e) in ((0x0020, 0x000D), (0x0020, 0x000E)):
+        if g in (0x0002, 0x7FE0) or (g, e) in _SERIES_TAGS_NOT_COPIED:
             continue
         extra[(g, e)] = value
     arr = image.array

@@ -660,8 +660,17 @@ def test_jpegdct_malformed_streams_error_cleanly(rng):
     arr = rng.integers(0, 4096, size=(16, 16)).astype(np.uint16)
     data = codecs.jpegdct_encode(arr, precision=12)
     for cut in range(0, len(data), max(1, len(data) // 32)):
-        with pytest.raises(ValueError):
-            codecs.jpegdct_decode(data[:cut])
+        # Decode-or-ValueError (same contract as the other codecs' fuzz
+        # tests): a cut that only drops the trailing EOI decodes fine — every
+        # MCU is already present — so success is legitimate there. Cuts into
+        # the entropy data or headers must raise, never crash.
+        try:
+            decoded = codecs.jpegdct_decode(data[:cut])
+        except ValueError:
+            continue
+        # Success is only acceptable for cuts that preserved all MCU data.
+        assert cut >= len(data) - 4, f"cut={cut} decoded from truncated data"
+        assert decoded.shape == arr.shape
     for off in range(2, min(len(data), 64)):
         mut = bytearray(data)
         mut[off] ^= 0xFF
@@ -701,3 +710,19 @@ def test_lossy_jpeg_dicom_roundtrip_and_warning(tmp_path):
     dicom.write_slice(p8, stored8, transfer_syntax=codecs.JPEG_BASELINE)
     f8 = dicom.read_file(p8)
     assert np.abs(f8.pixels.astype(int) - stored8.astype(int)).max() <= 2
+
+
+def test_jpegls_near_lossless_reports_near(rng):
+    """NEAR must surface to callers (the DICOM layer warns on lossy .81
+    streams based on it) and bound the reconstruction error."""
+    lib = codecs.get_lib()
+    if lib is None:
+        pytest.skip("native codec core unavailable")
+    arr = rng.integers(0, 4096, size=(32, 40)).astype(np.uint16)
+    data = codecs.jpegls_encode(arr, precision=12, near=2)
+    decoded, near = codecs.jpegls_decode(data, with_near=True)
+    assert near == 2
+    assert np.max(np.abs(decoded.astype(np.int64) - arr)) <= 2
+    lossless = codecs.jpegls_encode(arr, precision=12, near=0)
+    _, near0 = codecs.jpegls_decode(lossless, with_near=True)
+    assert near0 == 0

@@ -812,3 +812,95 @@ def test_nohu_multipage_tiff_and_natural_sort(tmp_path):
     # natural order 1, 2, 10, 11 — lexicographic would give 1, 10, 11, 2
     order = [int(v) for v in np.round((vol.array[:, 0, 0] + 1024) / 1624 * 255)]
     assert order == [1, 2, 10, 11]
+
+
+# ---------------------------------------------------------------------------
+# Malformed-tag tolerance and output-metadata hygiene (round-3 review fixes)
+# ---------------------------------------------------------------------------
+
+
+def test_scan_survives_malformed_image_position(tmp_path, rng):
+    """One file with a non-numeric ImagePositionPatient must not crash the
+    directory z-sort; it sorts with a neutral position instead."""
+    _write_series(tmp_path, rng, n_slices=3)
+    bad = str(tmp_path / "bad_ipp.dcm")
+    dicom.write_slice(
+        bad,
+        np.zeros((32, 32), dtype=np.int16),
+        tags={(0x0020, 0x0032): "1.0\\2.0\\abc"},
+    )
+    volumes = dicom.scan_directory(str(tmp_path))
+    assert sum(len(v) for v in volumes) == 4  # nothing dropped, no crash
+    assert dicom.read_file(bad, stop_before_pixels=True).position is None
+
+
+def test_read_file_translates_value_errors(tmp_path):
+    """Corrupt tag values that fail int()/float() must surface as DicomError
+    (the documented one-type contract), not raw ValueError."""
+    p = str(tmp_path / "zero_rows.dcm")
+    dicom.write_slice(p, np.zeros((8, 8), dtype=np.int16))
+    data = bytearray(open(p, "rb").read())
+    # Blank out the Rows value ("8" + pad) with spaces -> int('') ValueError.
+    marker = bytes.fromhex("28001000")  # (0028,0010) little-endian
+    i = data.find(marker)
+    assert i > 0
+    vlen = int.from_bytes(data[i + 6 : i + 8], "little")
+    data[i + 8 : i + 8 + vlen] = b" " * vlen
+    open(p, "wb").write(bytes(data))
+    with pytest.raises(dicom.DicomError):
+        dicom.read_file(p)
+
+
+def test_malformed_pixel_spacing_defaults(tmp_path, rng, caplog):
+    """A single-valued PixelSpacing must not IndexError volume assembly."""
+    _write_series(tmp_path, rng, n_slices=2, extra_per_slice={(0x0028, 0x0030): "0.7"})
+    images = loader.read_dicoms(str(tmp_path))
+    assert len(images) == 1
+    assert images[0].spacing[:2] == (1.0, 1.0)  # fell back with a warning
+
+
+def test_write_dicom_series_excludes_unsafe_metadata(tmp_path, rng):
+    """Input-volume tags that write_slice recomputes (rescale, geometry,
+    SOPInstanceUID, file-meta group) must not be copied into mask output —
+    a copied RescaleIntercept=-1024 would corrupt every mask value."""
+    vol, _ = _write_series(tmp_path, rng, n_slices=2)
+    src = loader.read_dicoms(str(tmp_path), read_metadata=True)[0]
+
+    meta = dict(src.metadata)
+    # Simulate the dangerous tags a real CT input carries.
+    meta["0028|1052"] = "-1024"  # RescaleIntercept: would shift mask values
+    meta["0028|0100"] = "8"      # BitsAllocated: would corrupt pixel layout
+    meta["0010|0010"] = "DOE^JANE"  # patient tag: MUST be carried
+    mask = image.MedicalImage(
+        array=(vol > 0).astype(np.int16),
+        spacing=src.spacing,
+        origin=src.origin,
+        direction=src.direction,
+        metadata=meta,
+    )
+    out = tmp_path / "out"
+    out.mkdir()
+    loader.write_dicom_series(mask, str(out / "mask.dcm"))
+    back = loader.read_dicoms(str(out), read_metadata=True)[0]
+    np.testing.assert_array_equal(back.array, mask.array)  # no stale rescale
+    assert back.metadata.get("0010|0010") == "DOE^JANE"  # keep-tags carried
+    files = sorted(out.glob("*.dcm"))
+    sops = [dicom.read_file(str(f), stop_before_pixels=True).get("0008|0018")
+            for f in files]
+    assert len(set(sops)) == len(sops)  # SOPInstanceUID fresh per slice
+
+
+def test_header_scan_prefix_fallback(tmp_path, rng):
+    """A header larger than the prefix read (big private payload before the
+    pixel data) must still scan completely via the full-read fallback."""
+    # Short-VR elements cap at 64 KB, so several of them push the pixel-data
+    # tag past the prefix window.
+    n_big = dicom._HEADER_SCAN_BYTES // 60000 + 2
+    big_tags = {(0x0009, i + 1): "X" * 60000 for i in range(n_big)}
+    arr = rng.integers(-1000, 500, size=(16, 16)).astype(np.int16)
+    p = str(tmp_path / "bighdr.dcm")
+    dicom.write_slice(p, arr, tags={**big_tags, (0x0041, 0x0001): "after-the-big-one"})
+    hdr = dicom.read_file(p, stop_before_pixels=True)
+    assert hdr.get("0041|0001") == "after-the-big-one"
+    full = dicom.read_file(p)
+    np.testing.assert_array_equal(full.pixels, arr)
