@@ -20,7 +20,7 @@ import struct
 
 import numpy as np
 
-from lungmask_tpu.io.image import MedicalImage
+from lungmask_tpu.io.image import MedicalImage, coerce_for_write
 
 _DTYPES = {
     2: np.uint8,
@@ -34,11 +34,13 @@ _CODES = {np.dtype(v): k for k, v in _DTYPES.items()}
 
 def _paths(path: str):
     base = path
-    for ext in (".hdr", ".img.gz", ".img"):
+    for ext in (".hdr.gz", ".hdr", ".img.gz", ".img"):
         if path.lower().endswith(ext):
             base = path[: -len(ext)]
             break
     hdr = base + ".hdr"
+    if not os.path.exists(hdr) and os.path.exists(hdr + ".gz"):
+        hdr = hdr + ".gz"
     img = base + ".img"
     if not os.path.exists(img) and os.path.exists(img + ".gz"):
         img = img + ".gz"
@@ -47,7 +49,8 @@ def _paths(path: str):
 
 def read(path: str) -> MedicalImage:
     hdr_path, img_path = _paths(path)
-    with open(hdr_path, "rb") as f:
+    hdr_opener = gzip.open if hdr_path.endswith(".gz") else open
+    with hdr_opener(hdr_path, "rb") as f:
         hdr = f.read()
     if len(hdr) < 348:
         raise ValueError(f"{hdr_path}: truncated Analyze header")
@@ -93,11 +96,7 @@ def read(path: str) -> MedicalImage:
 def write(image: MedicalImage, path: str) -> None:
     hdr_path, _ = _paths(path)
     img_path = hdr_path[:-4] + ".img"
-    arr = np.ascontiguousarray(image.array)
-    if arr.dtype == np.bool_:
-        arr = arr.astype(np.uint8)
-    if arr.dtype not in _CODES:
-        arr = arr.astype(np.float32)
+    arr = coerce_for_write(image.array, _CODES)
     nz, ny, nx = arr.shape
 
     hdr = bytearray(348)

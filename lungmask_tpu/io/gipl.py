@@ -28,7 +28,7 @@ import struct
 
 import numpy as np
 
-from lungmask_tpu.io.image import MedicalImage
+from lungmask_tpu.io.image import MedicalImage, coerce_for_write
 
 MAGIC = 719555000
 
@@ -78,11 +78,7 @@ def read(path: str) -> MedicalImage:
 def write(image: MedicalImage, path: str) -> None:
     if not np.allclose(image.direction, np.eye(3)):
         raise ValueError(f"{path}: GIPL cannot carry a direction matrix")
-    arr = np.ascontiguousarray(image.array)
-    if arr.dtype == np.bool_:
-        arr = arr.astype(np.uint8)
-    if arr.dtype not in _GIPL_CODES:
-        arr = arr.astype(np.float32)
+    arr = coerce_for_write(image.array, _GIPL_CODES)
     nz, ny, nx = arr.shape
     header = bytearray(256)
     struct.pack_into(">4H", header, 0, nx, ny, nz, 1)

@@ -49,6 +49,11 @@ class MedicalImage:
 
     def __post_init__(self):
         self.array = np.asarray(self.array)
+        if not self.array.flags.writeable:
+            # Readers hand in np.frombuffer views over immutable file bytes:
+            # read-only (callers following the sitk mutable-array model would
+            # crash) and pinning the entire file buffer. Own a writable copy.
+            self.array = np.array(self.array)
         if self.array.ndim != 3:
             raise ValueError(f"expected 3-D array, got shape {self.array.shape}")
         self.direction = np.asarray(self.direction, dtype=np.float64).reshape(3, 3)
@@ -88,6 +93,18 @@ class MedicalImage:
 
     def reoriented(self, target: str = "LPS") -> "MedicalImage":
         return reorient(self, target)
+
+
+def coerce_for_write(array: np.ndarray, supported, fallback=np.float32) -> np.ndarray:
+    """Shared writer preamble: contiguous array, bool → uint8, and any dtype
+    a format cannot represent → ``fallback``. ``supported`` is the format's
+    dtype table (anything ``dtype in supported`` works)."""
+    arr = np.ascontiguousarray(array)
+    if arr.dtype == np.bool_:
+        arr = arr.astype(np.uint8)
+    if arr.dtype not in supported:
+        arr = arr.astype(fallback)
+    return arr
 
 
 def orientation_code(direction: np.ndarray) -> str:

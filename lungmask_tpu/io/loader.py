@@ -131,10 +131,13 @@ def read_dicoms(
 
 def _read_hdr_img(path: str) -> MedicalImage:
     """Dispatch .hdr/.img pairs: detached NIfTI ("ni1" magic) vs Analyze 7.5."""
+    import gzip
+
     from lungmask_tpu.io import analyze
 
     hdr_path, _ = analyze._paths(path)
-    with open(hdr_path, "rb") as f:
+    opener = gzip.open if hdr_path.endswith(".gz") else open
+    with opener(hdr_path, "rb") as f:
         head = f.read(348)
     if len(head) >= 348 and head[344:348] == b"ni1\x00":
         return nifti.read(hdr_path)
@@ -185,6 +188,7 @@ _READERS = {
     ".nrrd": nrrd.read,
     ".nhdr": nrrd.read,
     ".hdr": _read_hdr_img,
+    ".hdr.gz": _read_hdr_img,
     ".img": _read_hdr_img,
     ".img.gz": _read_hdr_img,
     ".vtk": vtk.read,
@@ -217,8 +221,8 @@ def _format_of(path: str) -> Optional[str]:
     lower = path.lower()
     for ext in (
         ".nii.gz", ".nii", ".mha", ".mhd", ".nrrd", ".nhdr", ".img.gz",
-        ".hdr", ".img", ".vtk", ".gipl", ".png", ".jpg", ".jpeg", ".bmp",
-        ".tif", ".tiff",
+        ".hdr.gz", ".hdr", ".img", ".vtk", ".gipl", ".png", ".jpg", ".jpeg",
+        ".bmp", ".tif", ".tiff",
     ):
         if lower.endswith(ext):
             return ext

@@ -11,7 +11,7 @@ from typing import Dict
 
 import numpy as np
 
-from lungmask_tpu.io.image import MedicalImage
+from lungmask_tpu.io.image import MedicalImage, coerce_for_write
 
 _MET_TYPES = {
     "MET_CHAR": np.int8,
@@ -33,7 +33,9 @@ def read(path: str) -> MedicalImage:
     pos = 0
     while True:
         nl = data.index(b"\n", pos)
-        line = data[pos:nl].decode("ascii").strip()
+        # latin-1 never fails: headers written by other tools may carry
+        # non-ASCII metadata bytes (e.g. accented names in Comment fields).
+        line = data[pos:nl].decode("latin-1").strip()
         pos = nl + 1
         if "=" not in line:
             raise ValueError(f"{path}: malformed MetaImage header line {line!r}")
@@ -58,6 +60,14 @@ def read(path: str) -> MedicalImage:
     # HeaderSize = -1 (data at the tail) resolves after the size is known.
     if int(header.get("NDims", "3")) != 3:
         raise ValueError(f"{path}: only 3-D MetaImages supported")
+    channels = int(header.get("ElementNumberOfChannels", "1") or 1)
+    if channels != 1:
+        # Reading interleaved multi-channel bytes as scalar voxels would be
+        # silently wrong (the size check passes — the file is larger).
+        raise ValueError(
+            f"{path}: multi-channel MetaImage (ElementNumberOfChannels="
+            f"{channels}) is not supported; CT volumes are single-channel"
+        )
     dims = [int(v) for v in header["DimSize"].split()]
     dtype = _MET_TYPES[header["ElementType"]]
     spacing = [float(v) for v in header.get("ElementSpacing", "1 1 1").split()]
@@ -91,11 +101,7 @@ def read(path: str) -> MedicalImage:
 
 
 def write(image: MedicalImage, path: str, compressed: bool = False) -> None:
-    arr = np.ascontiguousarray(image.array)
-    if arr.dtype == np.bool_:
-        arr = arr.astype(np.uint8)
-    if arr.dtype not in _MET_NAMES:
-        arr = arr.astype(np.float32)
+    arr = coerce_for_write(image.array, _MET_NAMES)
     nz, ny, nx = arr.shape
     detached = path.lower().endswith(".mhd")
     if detached:

@@ -15,7 +15,7 @@ from typing import Tuple
 
 import numpy as np
 
-from lungmask_tpu.io.image import MedicalImage
+from lungmask_tpu.io.image import MedicalImage, coerce_for_write
 
 _DTYPES = {
     2: np.uint8,
@@ -132,11 +132,7 @@ def read(path: str) -> MedicalImage:
 
 
 def write(image: MedicalImage, path: str) -> None:
-    arr = np.ascontiguousarray(image.array)
-    if arr.dtype == np.bool_:
-        arr = arr.astype(np.uint8)
-    if arr.dtype not in _CODES:
-        arr = arr.astype(np.float32)
+    arr = coerce_for_write(image.array, _CODES)
     nz, ny, nx = arr.shape
 
     d = np.asarray(image.direction, dtype=np.float64)

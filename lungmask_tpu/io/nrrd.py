@@ -11,12 +11,13 @@ scaled by spacing — matching this framework's LPS convention directly.
 from __future__ import annotations
 
 import gzip
+import re
 import zlib
 from typing import Dict
 
 import numpy as np
 
-from lungmask_tpu.io.image import MedicalImage
+from lungmask_tpu.io.image import MedicalImage, coerce_for_write
 
 _NRRD_TYPES = {
     "signed char": np.int8, "int8": np.int8, "int8_t": np.int8,
@@ -91,6 +92,14 @@ def read(path: str) -> MedicalImage:
 
         with open(os.path.join(os.path.dirname(path) or ".", datafile), "rb") as df:
             payload = df.read()
+        # NRRD applies `line skip` before `byte skip`; ignoring it would
+        # silently shift every voxel by the skipped text's byte length.
+        line_skip = int(fields.get("line skip", fields.get("lineskip", "0")) or 0)
+        for _ in range(line_skip):
+            nl = payload.find(b"\n")
+            if nl == -1:
+                raise ValueError(f"{path}: line skip runs past the data file")
+            payload = payload[nl + 1 :]
         byte_skip = int(fields.get("byte skip", fields.get("byteskip", "0")) or 0)
         if byte_skip > 0:
             payload = payload[byte_skip:]
@@ -122,22 +131,35 @@ def read(path: str) -> MedicalImage:
     direction = np.eye(3)
     spacing = [1.0, 1.0, 1.0]
     if "space directions" in fields:
+        # Vectors are whitespace-separated "(a,b,c)" groups; any amount of
+        # whitespace (spaces, tabs) between them is spec-valid.
         vecs = [
             _parse_vector(v)
-            for v in fields["space directions"].replace(") (", ")|(").split("|")
+            for v in re.findall(r"\(([^)]*)\)", fields["space directions"])
         ]
+        if len(vecs) != 3:
+            raise ValueError(
+                f"{path}: expected 3 space-direction vectors, got {len(vecs)}"
+            )
         m = np.asarray(vecs, dtype=np.float64).T  # columns = image axes
         space = fields.get("space", "left-posterior-superior").lower()
         flip = _lps_flip(space)
         m = flip @ m
         spacing = list(np.linalg.norm(m, axis=0))
         direction = m / np.asarray(spacing)[None, :]
+    elif "spacings" in fields:
+        # teem/pynrrd-style per-axis spacings (no orientation information).
+        sp = [float(v) for v in fields["spacings"].split()[:3]]
+        spacing = [abs(s) if np.isfinite(s) and s != 0 else 1.0 for s in sp]
     origin = [0.0, 0.0, 0.0]
     if "space origin" in fields:
         origin = list(
             _lps_flip(fields.get("space", "left-posterior-superior").lower())
             @ np.asarray(_parse_vector(fields["space origin"]))
         )
+    elif "axis mins" in fields or "axismins" in fields:
+        mins = (fields.get("axis mins") or fields["axismins"]).split()[:3]
+        origin = [float(v) for v in mins]
     return MedicalImage(
         array=np.ascontiguousarray(arr),
         spacing=tuple(spacing),
@@ -157,11 +179,7 @@ def _lps_flip(space: str) -> np.ndarray:
 
 
 def write(image: MedicalImage, path: str, compressed: bool = True) -> None:
-    arr = np.ascontiguousarray(image.array)
-    if arr.dtype == np.bool_:
-        arr = arr.astype(np.uint8)
-    if arr.dtype not in _TYPE_NAMES:
-        arr = arr.astype(np.float32)
+    arr = coerce_for_write(image.array, _TYPE_NAMES)
     nz, ny, nx = arr.shape
     d = np.asarray(image.direction) * np.asarray(image.spacing)[None, :]
     sd = " ".join(

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from lungmask_tpu.io.image import MedicalImage
+from lungmask_tpu.io.image import MedicalImage, coerce_for_write
 
 _VTK_TYPES = {
     "char": np.int8,
@@ -77,8 +77,10 @@ def read(path: str) -> MedicalImage:
             ("DATASET", "DIMENSIONS", "SPACING", "ASPECT_RATIO", "ORIGIN",
              "POINT_DATA", "SCALARS")
         ):
-            key, _, rest = line.partition(" ")
-            fields[key.upper()] = rest.strip()
+            # split(None, 1): the legacy format is free-form — any run of
+            # whitespace (tabs included) separates keyword from values.
+            parts = line.split(None, 1)
+            fields[parts[0].upper()] = parts[1].strip() if len(parts) > 1 else ""
     if fmt is None:
         raise ValueError(f"{path}: missing BINARY/ASCII format line")
     if fields.get("DATASET", "").upper() != "STRUCTURED_POINTS":
@@ -129,11 +131,7 @@ def write(image: MedicalImage, path: str) -> None:
         raise ValueError(
             f"{path}: VTK structured points cannot carry a direction matrix"
         )
-    arr = np.ascontiguousarray(image.array)
-    if arr.dtype == np.bool_:
-        arr = arr.astype(np.uint8)
-    if arr.dtype not in _VTK_NAMES:
-        arr = arr.astype(np.float32)
+    arr = coerce_for_write(image.array, _VTK_NAMES)
     nz, ny, nx = arr.shape
     sx, sy, sz = image.spacing
     ox, oy, oz = image.origin

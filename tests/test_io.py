@@ -904,3 +904,129 @@ def test_header_scan_prefix_fallback(tmp_path, rng):
     assert hdr.get("0041|0001") == "after-the-big-one"
     full = dicom.read_file(p)
     np.testing.assert_array_equal(full.pixels, arr)
+
+
+# ---------------------------------------------------------------------------
+# Ancillary-format review fixes (round 3): NRRD line skip/spacings, MHA
+# channels/latin-1, VTK whitespace, writable arrays, .hdr.gz dispatch
+# ---------------------------------------------------------------------------
+
+
+def test_nrrd_line_skip_honored(tmp_path, rng):
+    from lungmask_tpu.io import nrrd
+
+    arr = rng.integers(-1000, 500, size=(2, 3, 4)).astype(np.int16)
+    (tmp_path / "d.raw").write_bytes(b"first line\nsecond\n" + arr.tobytes())
+    (tmp_path / "v.nhdr").write_text(
+        "NRRD0004\ntype: int16\ndimension: 3\nsizes: 4 3 2\n"
+        "encoding: raw\nendian: little\nline skip: 2\ndata file: d.raw\n"
+    )
+    img = nrrd.read(str(tmp_path / "v.nhdr"))
+    np.testing.assert_array_equal(img.array, arr)
+
+
+def test_nrrd_spacings_and_axis_mins(tmp_path, rng):
+    """teem-style per-axis `spacings`/`axis mins` (no space directions) must
+    carry through instead of silently defaulting to unit geometry."""
+    from lungmask_tpu.io import nrrd
+
+    arr = rng.integers(0, 100, size=(2, 3, 4)).astype(np.int16)
+    (tmp_path / "v.nrrd").write_bytes(
+        b"NRRD0004\ntype: int16\ndimension: 3\nsizes: 4 3 2\n"
+        b"encoding: raw\nendian: little\nspacings: 0.5 0.7 2.0\n"
+        b"axis mins: 1.0 2.0 3.0\n\n" + arr.tobytes()
+    )
+    img = nrrd.read(str(tmp_path / "v.nrrd"))
+    assert img.spacing == (0.5, 0.7, 2.0)
+    assert img.origin == (1.0, 2.0, 3.0)
+
+
+def test_nrrd_space_directions_any_whitespace(tmp_path, rng):
+    from lungmask_tpu.io import nrrd
+
+    arr = rng.integers(0, 100, size=(2, 3, 4)).astype(np.int16)
+    (tmp_path / "v.nrrd").write_bytes(
+        b"NRRD0004\ntype: int16\ndimension: 3\nsizes: 4 3 2\n"
+        b"encoding: raw\nendian: little\n"
+        b"space: left-posterior-superior\n"
+        b"space directions: (0.7,0,0)  (0,0.7,0)\t(0,0,2.5)\n\n" + arr.tobytes()
+    )
+    img = nrrd.read(str(tmp_path / "v.nrrd"))
+    assert img.spacing == (0.7, 0.7, 2.5)
+
+
+def test_mha_multichannel_rejected(tmp_path):
+    from lungmask_tpu.io import mha as mha_mod
+
+    raw = np.zeros((2, 2, 2, 3), np.uint8).tobytes()
+    (tmp_path / "rgb.mha").write_bytes(
+        b"ObjectType = Image\nNDims = 3\nBinaryData = True\n"
+        b"ElementNumberOfChannels = 3\nDimSize = 2 2 2\n"
+        b"ElementType = MET_UCHAR\nElementDataFile = LOCAL\n" + raw
+    )
+    with pytest.raises(ValueError, match="multi-channel"):
+        mha_mod.read(str(tmp_path / "rgb.mha"))
+
+
+def test_mha_latin1_header_tolerated(tmp_path, rng):
+    from lungmask_tpu.io import mha as mha_mod
+
+    arr = rng.integers(0, 100, size=(2, 2, 2)).astype(np.int16)
+    (tmp_path / "c.mha").write_bytes(
+        b"ObjectType = Image\nNDims = 3\nBinaryData = True\n"
+        b"Comment = M\xfcller\nDimSize = 2 2 2\n"
+        b"ElementType = MET_SHORT\nElementDataFile = LOCAL\n" + arr.tobytes()
+    )
+    img = mha_mod.read(str(tmp_path / "c.mha"))
+    np.testing.assert_array_equal(img.array, arr)
+
+
+def test_vtk_tab_separated_fields(tmp_path):
+    from lungmask_tpu.io import vtk as vtk_mod
+
+    arr = np.arange(24, dtype=np.uint8).reshape(2, 3, 4)
+    payload = arr.tobytes()
+    (tmp_path / "t.vtk").write_bytes(
+        b"# vtk DataFile Version 3.0\nt\nBINARY\n"
+        b"DATASET\tSTRUCTURED_POINTS\nDIMENSIONS\t4 3 2\n"
+        b"SPACING\t1 1 1\nORIGIN\t0 0 0\nPOINT_DATA\t24\n"
+        b"SCALARS\tscalars unsigned_char 1\nLOOKUP_TABLE default\n" + payload
+    )
+    img = vtk_mod.read(str(tmp_path / "t.vtk"))
+    np.testing.assert_array_equal(img.array, arr)
+
+
+def test_loaded_arrays_are_writable(tmp_path, rng):
+    """frombuffer views over file bytes are read-only; MedicalImage must own
+    a mutable array (sitk-like mental model) and not pin the file buffer."""
+    from lungmask_tpu.io import nifti
+
+    arr = rng.integers(-1000, 500, size=(2, 4, 4)).astype(np.int16)
+    p = str(tmp_path / "w.nii")
+    nifti.write(image.MedicalImage(arr), p)
+    img = loader.load_input_image(p)
+    img.array[0, 0, 0] = 42  # must not raise
+    assert img.array[0, 0, 0] == 42
+
+
+def test_hdr_gz_loader_dispatch(tmp_path, rng):
+    """.hdr.gz detached NIfTI pairs must be loadable through the public
+    loader (the nifti reader supported them; _format_of did not)."""
+    import gzip
+
+    from lungmask_tpu.io import nifti
+
+    arr = rng.integers(-1000, 500, size=(2, 4, 4)).astype(np.int16)
+    nii = str(tmp_path / "v.nii")
+    nifti.write(image.MedicalImage(arr), nii)
+    data = open(nii, "rb").read()
+    # Split single-file NIfTI into a detached ni1 pair with gzipped header.
+    hdr = bytearray(data[:348])
+    hdr[344:348] = b"ni1\x00"
+    hdr[108:112] = np.float32(0.0).tobytes()  # vox_offset 0 into .img
+    with gzip.open(str(tmp_path / "p.hdr.gz"), "wb") as f:
+        f.write(bytes(hdr))
+    vox_off = int(np.frombuffer(data[108:112], np.float32)[0])
+    (tmp_path / "p.img").write_bytes(data[vox_off:])
+    img = loader.load_input_image(str(tmp_path / "p.hdr.gz"))
+    np.testing.assert_array_equal(img.array, arr)
