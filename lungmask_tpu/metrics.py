@@ -94,6 +94,14 @@ def compare_masks(
     if pred.shape != ref.shape:
         raise ValueError(f"shape mismatch: pred {pred.shape} vs ref {ref.shape}")
     observed = int(max(int(np.max(pred)), int(np.max(ref)))) if pred.size else 0
+    lowest = int(min(int(np.min(pred)), int(np.min(ref)))) if pred.size else 0
+    if lowest < 0:
+        # Negative labels (e.g. -1 padding from a signed mask format) would
+        # wrap in the device scatter and count as bogus matches silently.
+        raise ValueError(
+            f"negative labels present (min {lowest}); masks must be "
+            "non-negative label maps"
+        )
     if n_classes is None:
         n_classes = observed + 1
     elif observed >= n_classes:

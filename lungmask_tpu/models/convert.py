@@ -36,6 +36,7 @@ nn.Sequential assembled at /root/reference/lungmask/resunet.py:86-106:
 from __future__ import annotations
 
 import json
+import os
 from typing import Any, Dict, Mapping, Tuple
 
 import numpy as np
@@ -262,7 +263,14 @@ def save_npz(path: str, params: Params, meta: Dict[str, Any] | None = None) -> N
     flat["__meta__"] = np.frombuffer(
         json.dumps(meta or {}).encode("utf-8"), dtype=np.uint8
     )
-    np.savez(path, **flat)
+    # Atomic write (tmp + rename), mirroring the .pth download: the registry
+    # cache can be shared (multi-host pods with a common home dir) and a
+    # crash mid-save must not leave a truncated .npz that poisons every
+    # subsequent load.
+    tmp = path + ".part"
+    np.savez(tmp, **flat)
+    saved = tmp if os.path.exists(tmp) else tmp + ".npz"  # savez may append
+    os.replace(saved, path)
 
 
 def load_npz(path: str) -> Tuple[Params, Dict[str, Any]]:

@@ -104,12 +104,12 @@ def regionprops(
 
     from lungmask_tpu.ops import native
 
-    # The native core computes integer max-intensity; float intensity images
-    # (a valid input per the signature, unused by in-repo callers) would be
-    # silently truncated — keep them on the exact scipy path.
+    # The native core computes int32 max-intensity; float intensity images
+    # and integer dtypes that don't fit int32 (int64/uint32/uint64 would
+    # wrap in the unconditional cast) stay on the exact scipy path.
     res = None
-    if intensity_image is None or np.issubdtype(
-        np.asarray(intensity_image).dtype, np.integer
+    if intensity_image is None or np.can_cast(
+        np.asarray(intensity_image).dtype, np.int32
     ):
         res = native.regionprops_arrays(label_image, intensity_image, nmax)
     if res is not None:

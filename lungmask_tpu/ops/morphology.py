@@ -113,8 +113,13 @@ def binary_closing(x: jnp.ndarray, structure: str = "cross") -> jnp.ndarray:
     return binary_erosion(binary_dilation(x, structure), structure)
 
 
-def binary_fill_holes(x: jnp.ndarray, structure: str = "full") -> jnp.ndarray:
+def binary_fill_holes(x: jnp.ndarray, structure: str = "cross") -> jnp.ndarray:
     """Fill holes not reachable from the border (scipy binary_fill_holes).
+
+    Default is the cross structure — matching the scipy function this
+    replicates, so it stays a drop-in (a "full" default would silently leave
+    diagonal-gap cavities unfilled that scipy fills). All in-repo callers
+    pass ``structure`` explicitly.
 
     The reference calls this with ``structure=np.ones((3,3))`` i.e. ``"full"``
     (/root/reference/lungmask/utils.py:71); the 3-D postprocessing hole fill

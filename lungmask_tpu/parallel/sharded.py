@@ -27,7 +27,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lungmask_tpu.models import unet
 from lungmask_tpu.parallel import mesh as mesh_lib
-from lungmask_tpu.runtime.engine import _cast_kernels, unpack_nibbles
+from lungmask_tpu.runtime.engine import (
+    _cast_kernels,
+    _pack_bits_device,
+    pack_bits_for,
+    unpack_bits_np,
+)
 
 
 def make_sharded_argmax(mesh: Mesh, compute_dtype=jnp.float32):
@@ -51,15 +56,21 @@ def make_sharded_argmax(mesh: Mesh, compute_dtype=jnp.float32):
     return step
 
 
-def make_sharded_volume_argmax(mesh: Mesh, compute_dtype=jnp.float32, packed=False):
+def make_sharded_volume_argmax(
+    mesh: Mesh, compute_dtype=jnp.float32, packed=False, bits: int = 8
+):
     """Compiled (params, chunks(C,B,H,W)) → uint8 (C·B, H, W), one dispatch.
 
     The chunk axis is mapped sequentially (``lax.map``, bounding activation
     memory exactly like the engine's single-device program); within a chunk
     the B slices shard over 'data' and H over 'space', so every device
     cooperates on every chunk and no device idles while another loops.
-    With ``packed`` the class map is nibble-packed on device (W/2 out).
+    ``bits`` packs the class map on device via the engine's shared packer
+    (2 bits/px for ≤4-class models, 4 for ≤16); ``packed=True`` is the
+    legacy spelling of ``bits=4``.
     """
+    if packed and bits == 8:
+        bits = 4
     chunks_sh = NamedSharding(mesh, P(None, "data", "space", None))
     out_sh = NamedSharding(mesh, P("data", "space", None))
     rep = NamedSharding(mesh, P())
@@ -78,10 +89,7 @@ def make_sharded_volume_argmax(mesh: Mesh, compute_dtype=jnp.float32, packed=Fal
             )
 
         dense = jax.lax.map(f, chunks).reshape(c * b, h, w)
-        if not packed:
-            return dense
-        pairs = dense.reshape(c * b, h, w // 2, 2)
-        return pairs[..., 0] | (pairs[..., 1] << 4)
+        return _pack_bits_device(dense, bits)
 
     return volume_step
 
@@ -147,10 +155,17 @@ class ShardedUNetRunner:
                 "(per-device activation memory is batch_size/ndata slices)"
             )
         self._volume_step = make_sharded_volume_argmax(self.mesh, compute_dtype)
-        self._volume_step_packed = make_sharded_volume_argmax(
-            self.mesh, compute_dtype, packed=True
-        )
+        # Packed variants share the engine's policy (pack_bits_for); built
+        # lazily per width so only the bits actually used ever compile.
+        self._packed_steps = {}
         self._chunks_sh = NamedSharding(self.mesh, P(None, "data", "space", None))
+
+    def _packed_step(self, bits: int):
+        if bits not in self._packed_steps:
+            self._packed_steps[bits] = make_sharded_volume_argmax(
+                self.mesh, self.compute_dtype, bits=bits
+            )
+        return self._packed_steps[bits]
 
     def _to_chunks(self, slices):
         """Pad to a bucketed chunk count and shard onto the mesh."""
@@ -168,7 +183,14 @@ class ShardedUNetRunner:
                 if isinstance(slices, np.ndarray)
                 else jnp.pad(slices, pad)
             )
-        chunks = jnp.reshape(jnp.asarray(slices), (n_chunks, b) + slices.shape[1:])
+        shape = (n_chunks, b) + slices.shape[1:]
+        if isinstance(slices, np.ndarray):
+            # Shard DIRECTLY from the host: jnp.asarray first would commit
+            # the whole padded stack to device 0 (a redundant full-volume
+            # transfer and an HBM spike the chunking exists to bound).
+            chunks = slices.reshape(shape)
+        else:
+            chunks = jnp.reshape(slices, shape)
         return jax.device_put(chunks, self._chunks_sh), n
 
     def run(self, slices) -> jnp.ndarray:
@@ -179,19 +201,21 @@ class ShardedUNetRunner:
 
     def run_numpy(self, slices) -> np.ndarray:
         """Host-fetched :meth:`run` with the download overlapped: the padded
-        stack splits into two dispatches, nibble-packed on device (2 px/byte),
-        and the first half downloads while the second half computes."""
+        stack splits into two dispatches, bit-packed on device by the
+        engine's shared policy (2 bits/px for ≤4-class models like R231,
+        4 bits for ≤16), and the first half downloads while the second half
+        computes."""
         chunks, n = self._to_chunks(slices)
         n_chunks = chunks.shape[0]
-        packed_ok = chunks.shape[3] % 2 == 0 and self.n_classes <= 16
-        step = self._volume_step_packed if packed_ok else self._volume_step
+        bits = pack_bits_for(self.n_classes, int(chunks.shape[3]))
+        step = self._packed_step(bits) if bits != 8 else self._volume_step
         if n_chunks < 2:
             out = np.asarray(step(self.params, chunks))
-            return (unpack_nibbles(out) if packed_ok else out)[:n]
+            return unpack_bits_np(out, bits)[:n]
         half = n_chunks // 2
         o1 = step(self.params, chunks[:half])
         o2 = step(self.params, chunks[half:])
         a1 = np.asarray(o1)
         a2 = np.asarray(o2)
         out = np.concatenate([a1, a2], axis=0)
-        return (unpack_nibbles(out) if packed_ok else out)[:n]
+        return unpack_bits_np(out, bits)[:n]

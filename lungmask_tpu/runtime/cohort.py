@@ -109,7 +109,14 @@ def run_cohort(
     split_phase = hasattr(inferer, "preprocess_image") and hasattr(
         inferer, "apply_preprocessed"
     )
-    split_finish = split_phase and hasattr(inferer, "forward_preprocessed")
+    # Both halves of the forward/finish protocol must exist — the finisher
+    # thread calls finish_forward, and gating on forward_preprocessed alone
+    # would fail every volume of a partial duck-typed implementation.
+    split_finish = (
+        split_phase
+        and hasattr(inferer, "forward_preprocessed")
+        and hasattr(inferer, "finish_forward")
+    )
 
     def loader_thread():
         it = enumerate(sources)

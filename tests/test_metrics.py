@@ -53,3 +53,15 @@ def test_absent_label_scores_perfect():
 def test_shape_mismatch_raises():
     with pytest.raises(ValueError, match="shape mismatch"):
         metrics.compare_masks(np.zeros((1, 2, 2)), np.zeros((1, 2, 3)))
+
+
+def test_negative_labels_rejected():
+    """Negative labels would wrap in the device scatter and count as bogus
+    background matches silently (review find)."""
+    import pytest
+
+    a = np.zeros((4, 4), np.int32)
+    b = np.zeros((4, 4), np.int32)
+    b[0, 0] = -1
+    with pytest.raises(ValueError, match="negative"):
+        metrics.compare_masks(a, b)

@@ -73,7 +73,7 @@ def test_fill_holes_full_structure(shape, rng):
     """The bodymask's fill (utils.py:71): structure=np.ones((3,3))."""
     x = _rand_mask(rng, shape, 0.55)
     ref = ndimage.binary_fill_holes(x, structure=np.ones((3, 3)))
-    got = np.asarray(morphology.binary_fill_holes(jnp.asarray(x)))
+    got = np.asarray(morphology.binary_fill_holes(jnp.asarray(x), structure="full"))
     np.testing.assert_array_equal(got, ref)
 
 
@@ -82,7 +82,7 @@ def test_fill_holes_ring(rng):
     x[5:25, 5:25] = True
     x[10:20, 10:20] = False  # a hole
     ref = ndimage.binary_fill_holes(x, structure=np.ones((3, 3)))
-    got = np.asarray(morphology.binary_fill_holes(jnp.asarray(x)))
+    got = np.asarray(morphology.binary_fill_holes(jnp.asarray(x), structure="full"))
     np.testing.assert_array_equal(got, ref)
     assert got[15, 15]
 
@@ -92,5 +92,21 @@ def test_fill_holes_3d(rng):
     x[2:10, 2:10, 2:10] = True
     x[5:7, 5:7, 5:7] = False
     ref = ndimage.binary_fill_holes(x, structure=np.ones((3, 3, 3)))
+    got = np.asarray(morphology.binary_fill_holes(jnp.asarray(x), structure="full"))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_fill_holes_default_matches_scipy_default(rng):
+    """The default structure must be scipy's (cross): a cavity whose only
+    outside connection is a diagonal gap distinguishes the two."""
+    x = np.ones((7, 7), dtype=bool)
+    x[3, 3] = False          # cavity
+    x[2, 2] = False          # diagonal gap chain to the border
+    x[1, 1] = False
+    x[0, 0] = False
+    ref = ndimage.binary_fill_holes(x)  # cross: cavity is sealed -> filled
     got = np.asarray(morphology.binary_fill_holes(jnp.asarray(x)))
     np.testing.assert_array_equal(got, ref)
+    assert got[3, 3]
+    full = np.asarray(morphology.binary_fill_holes(jnp.asarray(x), structure="full"))
+    assert not full[3, 3]  # full flood escapes through the diagonal
