@@ -30,22 +30,24 @@ def test_cached_pth_with_bad_sha_rejected(cache):
 # The sha-gate tests exercise cache metadata policy, not the network; a tiny
 # architecture keeps them in the smoke tier (get_model's npz path reads
 # whatever pytree is stored and takes n_classes from the final bias).
-def _tiny_params():
+# Module-scoped: the PRNG-init compiles are paid once for the file.
+@pytest.fixture(scope="module")
+def tiny_params():
     return unet.init_params(jax.random.PRNGKey(0), 3, depth=2, wf=2)
 
 
-def test_npz_meta_sha_mismatch_rejected(cache):
+def test_npz_meta_sha_mismatch_rejected(cache, tiny_params):
     """A converted cache whose recorded source sha disagrees with the registry
     must be refused."""
-    params = _tiny_params()
+    params = tiny_params
     npz = registry._npz_cache_path("R231")
     convert.save_npz(npz, params, meta={"source_sha256": "feedface" * 8})
     with pytest.raises(RuntimeError, match="sha256"):
         registry.get_model("R231")
 
 
-def test_npz_meta_sha_match_accepted(cache):
-    params = _tiny_params()
+def test_npz_meta_sha_match_accepted(cache, tiny_params):
+    params = tiny_params
     npz = registry._npz_cache_path("R231")
     # The registry pins only the 8-hex-char prefix from the filename.
     convert.save_npz(npz, params, meta={"source_sha256": "d5d2fc3d" + "0" * 56})
@@ -56,9 +58,9 @@ def test_npz_meta_sha_match_accepted(cache):
     )
 
 
-def test_npz_without_meta_still_loads(cache):
+def test_npz_without_meta_still_loads(cache, tiny_params):
     """Round-1 caches carry no sha; they must keep working."""
-    params = _tiny_params()
+    params = tiny_params
     convert.save_npz(registry._npz_cache_path("R231"), params, meta={})
     _, n = registry.get_model("R231")
     assert n == 3
