@@ -137,6 +137,10 @@ int32_t label_runs(const T* img, int64_t nz, int64_t ny, int64_t nx,
         if (v == 0) { ++x; continue; }
         int64_t e = x + 1;
         while (e < nx && static_cast<int32_t>(img[row + e]) == v) ++e;
+        // Provisional ids are int32; a billion-voxel worst-case (alternating)
+        // volume could overflow them. Fail cleanly (callers fall back to the
+        // Python/scipy path) instead of wrapping into UB.
+        if (runs.size() >= static_cast<size_t>(INT32_MAX) - 1) return -1;
         runs.push_back({static_cast<int32_t>(x), static_cast<int32_t>(e), v,
                         uf.make()});
         x = e;
@@ -388,6 +392,7 @@ int32_t lm_postprocess(const uint8_t* label_image, int64_t nz, int64_t ny,
   static thread_local CompStats st;
   const int32_t n_comp =
       label_runs<uint8_t>(label_image, nz, ny, nx, /*full*/ true, comp.data(), &st);
+  if (n_comp < 0) return -1;
   std::vector<int64_t>& areas = st.areas;
   std::vector<int32_t>& maxint = st.value;
   std::vector<int32_t>& bbox = st.bbox;
@@ -536,6 +541,7 @@ int32_t lm_postprocess(const uint8_t* label_image, int64_t nz, int64_t ny,
     }
     const int32_t n2 =
         label_runs<uint8_t>(out, nz, ny, nx, true, comp.data(), &st2);
+    if (n2 < 0) return -1;
     for (int32_t l = 1; l <= n2; ++l) {
       fin_label.push_back(l);
       fin_value.push_back(static_cast<uint8_t>(st2.value[l - 1]));

@@ -427,13 +427,13 @@ class LMInferer:
                     pred, pre["boxes"], inimg_raw.shape[1:], self.model.n_classes
                 )
                 return self._from_lps(outmask, pre["curr_orient"], pre["lps_image"])
-            results = []
-            for name, pred_np, runner in zip(
-                (self.modelname, self.fillmodel), pred, (self.model, self.fillmodelm)
-            ):
+            def finish_one(name, pred_np, runner):
                 logger.info(f"Apply: {name}")
-                results.append(
-                    self._from_lps(
+                # jax.default_device scoping is thread-local: re-enter it so a
+                # forced-CPU run stays forced if a pass dispatches device work
+                # (e.g. LUNGMASK_TPU_FUSED_THREADS=1 with device postprocessing).
+                with self._device_scope():
+                    return self._from_lps(
                         self._finish_volume(
                             pred_np,
                             pre["boxes"],
@@ -443,8 +443,22 @@ class LMInferer:
                         pre["curr_orient"],
                         pre["lps_image"],
                     )
-                )
-            res_l, res_r = results
+
+            jobs = list(
+                zip((self.modelname, self.fillmodel), pred, (self.model, self.fillmodelm))
+            )
+            if self._fused_finish_threads():
+                # The two per-model passes are independent and the native
+                # postprocessing core runs GIL-free (ctypes call, thread_local
+                # scratch — concurrency regression-tested in
+                # tests/test_native.py), so on multi-core hosts they overlap;
+                # results are deterministic either way.
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=2) as ex:
+                    res_l, res_r = list(ex.map(lambda j: finish_one(*j), jobs))
+            else:
+                res_l, res_r = [finish_one(*j) for j in jobs]
             logger.info("Fusing results... this may take up to several minutes!")
             with self.timings.stage("fusion_postprocess"):
                 # One native call folds the FN-fill/FP-removal passes into
@@ -489,6 +503,21 @@ class LMInferer:
         if self.fillmodel is None:
             return self._inference(image, self.model)
         return self.apply_preprocessed(self.preprocess_image(image))
+
+    def _fused_finish_threads(self) -> bool:
+        """Whether the fused path's two per-model finishing passes (host
+        postprocess + paste + reorient each) run on two threads. Default: only
+        when the host has more than one core AND postprocessing runs on the
+        host (device-mode dispatches stay single-threaded — overlapping device
+        programs just serializes on the accelerator). Override with
+        LUNGMASK_TPU_FUSED_THREADS=0/1."""
+        flag = os.environ.get("LUNGMASK_TPU_FUSED_THREADS")
+        if flag is not None:
+            return flag != "0"
+        return (
+            (os.cpu_count() or 1) > 1
+            and not (self.volume_postprocessing and self.postprocessing_mode == "device")
+        )
 
     def _device_scope(self):
         """Pin work to the forced device for the duration of a call (scoped —

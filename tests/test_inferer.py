@@ -115,6 +115,27 @@ def test_fused_path(weights6, weights3, testvol):
     assert res.dtype == np.uint8
 
 
+def test_fused_threaded_finish_matches_sequential(
+    weights6, weights3, testvol, monkeypatch
+):
+    """The two per-model finishing passes run on two threads on multi-core
+    hosts (LUNGMASK_TPU_FUSED_THREADS); results must be identical to the
+    sequential order."""
+    inferer = LMInferer(
+        modelname="LTRCLobes",
+        modelpath=weights6,
+        fillmodel="R231",
+        fillmodel_path=weights3,
+        tqdm_disable=True,
+        batch_size=2,
+    )
+    monkeypatch.setenv("LUNGMASK_TPU_FUSED_THREADS", "0")
+    seq = inferer.apply(testvol)
+    monkeypatch.setenv("LUNGMASK_TPU_FUSED_THREADS", "1")
+    thr = inferer.apply(testvol)
+    np.testing.assert_array_equal(seq, thr)
+
+
 def test_deprecated_apply_warns(weights3, testvol, monkeypatch):
     import lungmask_tpu.models.registry as registry
 
