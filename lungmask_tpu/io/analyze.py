@@ -94,8 +94,20 @@ def read(path: str) -> MedicalImage:
 
 
 def write(image: MedicalImage, path: str) -> None:
-    hdr_path, _ = _paths(path)
-    img_path = hdr_path[:-4] + ".img"
+    # Derive the pair from the REQUESTED name only (no existence probing like
+    # _paths does for reads — a stale .hdr.gz next to a plain .hdr request
+    # must not turn the output gzipped). A .gz request gzips both halves,
+    # matching the nibabel/ITK pairing convention.
+    base, gz = path, False
+    for ext in (".hdr.gz", ".img.gz", ".hdr", ".img"):
+        if path.lower().endswith(ext):
+            base = path[: -len(ext)]
+            gz = ext.endswith(".gz")
+            break
+    suffix = ".gz" if gz else ""
+    hdr_path = base + ".hdr" + suffix
+    img_path = base + ".img" + suffix
+    opener = gzip.open if gz else open
     arr = coerce_for_write(image.array, _CODES)
     nz, ny, nx = arr.shape
 
@@ -108,7 +120,7 @@ def write(image: MedicalImage, path: str) -> None:
                      1.0, 1.0, 1.0, 1.0)
     hdr[252] = 0  # transverse unflipped
 
-    with open(hdr_path, "wb") as f:
+    with opener(hdr_path, "wb") as f:
         f.write(bytes(hdr))
-    with open(img_path, "wb") as f:
+    with opener(img_path, "wb") as f:
         f.write(arr.tobytes())

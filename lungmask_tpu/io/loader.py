@@ -177,6 +177,10 @@ def _write_raster(image: MedicalImage, path: str) -> None:
                 f"{path}: raster formats hold one slice; got {arr.shape[0]}"
             )
         arr = arr[0]
+    if path.lower().endswith((".jpg", ".jpeg")):
+        # ITK's JPEGImageIO accepts label maps too; JPEG is lossy, so small
+        # label values can shift. Honor the request but say so.
+        logger.warning(f"{path}: JPEG is lossy — label values may not round-trip")
     Image.fromarray(arr.astype(np.uint8), mode="L").save(path)
 
 
@@ -206,11 +210,16 @@ _WRITERS = {
     ".mha": mha.write,
     ".mhd": mha.write,
     ".nrrd": nrrd.write,
+    ".nhdr": nrrd.write,
     ".hdr": _write_analyze,
+    ".hdr.gz": _write_analyze,
     ".img": _write_analyze,
+    ".img.gz": _write_analyze,
     ".vtk": vtk.write,
     ".gipl": gipl.write,
     ".png": _write_raster,
+    ".jpg": _write_raster,
+    ".jpeg": _write_raster,
     ".bmp": _write_raster,
     ".tif": _write_raster,
     ".tiff": _write_raster,
@@ -349,7 +358,8 @@ def write_image(image: MedicalImage, path: str) -> None:
     ext = _format_of(path)
     if ext is None or ext not in _WRITERS:
         raise ValueError(
-            f"{path}: unsupported output format (supported: .nii, .nii.gz, "
-            ".mha, .mhd, .nrrd, .hdr/.img, .png/.bmp/.tif, .dcm)"
+            f"{path}: unsupported output format (supported: .nii[.gz], .mha, "
+            ".mhd, .nrrd, .nhdr, .hdr/.img[.gz], .vtk, .gipl, "
+            ".png/.jpg/.bmp/.tif, .dcm)"
         )
     _WRITERS[ext](image, path)

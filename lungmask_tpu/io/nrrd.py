@@ -179,6 +179,13 @@ def _lps_flip(space: str) -> np.ndarray:
 
 
 def write(image: MedicalImage, path: str, compressed: bool = True) -> None:
+    """Write a single-file ``.nrrd`` or, when ``path`` ends in ``.nhdr``, a
+    detached header + ``<base>.raw[.gz]`` data file (the layout ITK's
+    NrrdImageIO produces for ``.nhdr`` outputs — reference writes via
+    ``sitk.ImageFileWriter``, /root/reference/lungmask/__main__.py:119-125)."""
+    import os
+
+    detached = path.lower().endswith(".nhdr")
     arr = coerce_for_write(image.array, _TYPE_NAMES)
     nz, ny, nx = arr.shape
     d = np.asarray(image.direction) * np.asarray(image.spacing)[None, :]
@@ -203,5 +210,17 @@ def write(image: MedicalImage, path: str, compressed: bool = True) -> None:
     payload = arr.tobytes()
     if compressed:
         payload = gzip.compress(payload)
+    if detached:
+        data_name = os.path.basename(path)[: -len(".nhdr")] + (
+            ".raw.gz" if compressed else ".raw"
+        )
+        lines.append(f"data file: {data_name}")
+        with open(os.path.join(os.path.dirname(path) or ".", data_name), "wb") as f:
+            f.write(payload)
+        # A detached header carries no payload after the fields; the trailing
+        # blank line is still required by the format.
+        with open(path, "wb") as f:
+            f.write(("\n".join(lines) + "\n\n").encode("ascii"))
+        return
     with open(path, "wb") as f:
         f.write(("\n".join(lines) + "\n\n").encode("ascii") + payload)

@@ -203,6 +203,25 @@ def test_nrrd_detached_header(tmp_path, rng, byte_skip):
 
 
 @pytest.mark.parametrize("compressed", [False, True])
+def test_nhdr_write_roundtrip(tmp_path, compressed, rng):
+    """Writing a .nhdr produces a detached header + <base>.raw[.gz] pair that
+    our own reader (and therefore ITK's) loads back voxel-identical."""
+    from lungmask_tpu.io import nrrd
+
+    arr = rng.integers(-1024, 600, size=(4, 6, 5)).astype(np.int16)
+    img = image.MedicalImage(
+        arr, spacing=(0.6, 0.7, 2.0), origin=(-10.0, 5.0, 3.0)
+    )
+    p = str(tmp_path / "vol.nhdr")
+    nrrd.write(img, p, compressed=compressed)
+    assert (tmp_path / ("vol.raw.gz" if compressed else "vol.raw")).exists()
+    back = loader.load_input_image(p)
+    np.testing.assert_array_equal(back.array, arr)
+    np.testing.assert_allclose(back.spacing, img.spacing)
+    np.testing.assert_allclose(back.origin, img.origin)
+
+
+@pytest.mark.parametrize("compressed", [False, True])
 def test_mhd_detached_roundtrip(tmp_path, compressed, rng):
     arr = rng.integers(-500, 500, size=(3, 6, 5)).astype(np.int16)
     img = image.MedicalImage(arr, spacing=(0.5, 0.6, 1.0), origin=(1.0, 2.0, 3.0))
@@ -579,6 +598,50 @@ def test_analyze_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(
         loader.load_input_image(str(tmp_path / "vol.img")).array, arr
     )
+
+
+def test_analyze_gz_roundtrip(tmp_path, rng):
+    """A .hdr.gz/.img.gz request gzips both halves of the pair (nibabel/ITK
+    pairing convention) and round-trips through the generic loader."""
+    import gzip as _gzip
+
+    from lungmask_tpu.io import analyze
+
+    arr = rng.integers(-1024, 600, size=(3, 5, 4)).astype(np.int16)
+    img = image.MedicalImage(arr, spacing=(0.7, 0.8, 2.5))
+    p = str(tmp_path / "vol.hdr.gz")
+    analyze.write(img, p)
+    assert (tmp_path / "vol.img.gz").exists()
+    with _gzip.open(p, "rb") as f:  # really gzipped, not just named .gz
+        assert len(f.read()) == 348
+    back = loader.load_input_image(p)
+    np.testing.assert_array_equal(back.array, arr)
+    np.testing.assert_allclose(back.spacing, img.spacing, rtol=1e-6)
+
+
+def test_analyze_write_ignores_stale_gz_neighbor(tmp_path, rng):
+    """A stale .hdr.gz next to a plain .hdr request must not switch the
+    output to gzip (the read-side existence probing must not leak in)."""
+    from lungmask_tpu.io import analyze
+
+    arr = rng.integers(0, 5, size=(2, 4, 4)).astype(np.int16)
+    (tmp_path / "vol.hdr.gz").write_bytes(b"stale")
+    p = str(tmp_path / "vol.hdr")
+    analyze.write(image.MedicalImage(arr), p)
+    with open(p, "rb") as f:
+        assert len(f.read()) == 348  # plain header, not gzipped
+
+
+def test_write_image_jpg_and_nhdr_dispatch(tmp_path, rng):
+    """write_image dispatches the extensions the reference reaches through
+    sitk.ImageFileWriter: .jpg (lossy, warned) and detached .nhdr."""
+    mask = rng.integers(0, 3, size=(1, 16, 16)).astype(np.uint8)
+    img = image.MedicalImage(mask)
+    loader.write_image(img, str(tmp_path / "m.jpg"))
+    assert (tmp_path / "m.jpg").exists()
+    loader.write_image(img, str(tmp_path / "m.nhdr"))
+    back = loader.load_input_image(str(tmp_path / "m.nhdr"))
+    np.testing.assert_array_equal(back.array, mask)
 
 
 def test_analyze_big_endian(tmp_path, rng):
