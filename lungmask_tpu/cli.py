@@ -12,7 +12,8 @@ marker tags (SeriesDescription "Created with lungmask", WC=1/WW=2).
 TPU-native extensions beyond the reference surface: ``--noHU``
 (reconstructed 8-bit stack mode), ``--warmup`` (AOT compile into the
 persistent cache), ``--cohort`` (stream a directory of volumes through the
-overlapped cohort pipeline), ``--postprocessing {exact,device}`` (host
+overlapped cohort pipeline), ``--serve`` (HTTP segmentation endpoint,
+lungmask_tpu.runtime.serve), ``--postprocessing {exact,device}`` (host
 C++ bit-faithful cleanup vs the all-on-accelerator lane).
 """
 
@@ -143,6 +144,16 @@ def main(argv=None) -> None:
         "(lungmask_tpu.runtime.cohort). The reference CLI handles one "
         "volume per invocation; this keeps the chip busy across a cohort.",
     )
+    parser.add_argument(
+        "--serve",
+        metavar="[HOST:]PORT",
+        default=None,
+        help="start an HTTP segmentation endpoint instead of processing one "
+        "volume (POST /v1/segment, GET /healthz|/v1/models|/metrics — "
+        "lungmask_tpu.runtime.serve). No input/output arguments needed; "
+        "honors --modelname/--modelpath/--batchsize/--cpu/--nopostprocess/"
+        "--postprocessing. Runs --warmup first if given.",
+    )
 
     args = parser.parse_args(sys.argv[1:] if argv is None else argv)
 
@@ -152,9 +163,20 @@ def main(argv=None) -> None:
 
     if args.warmup is not None:
         _warmup(args, batchsize)
+        if args.serve is None:
+            return
+    if args.serve is not None:
+        from lungmask_tpu.runtime.serve import serve_forever
+
+        host, _, port_s = args.serve.rpartition(":")
+        try:
+            port = int(port_s)
+        except ValueError:
+            parser.error(f"--serve expects [HOST:]PORT, got {args.serve!r}")
+        serve_forever(_build_inferer(args, batchsize), host or "127.0.0.1", port)
         return
     if args.input is None or args.output is None:
-        parser.error("input and output are required (or pass --warmup)")
+        parser.error("input and output are required (or pass --warmup/--serve)")
     if args.cohort:
         if args.noHU:
             parser.error("--cohort does not support --noHU stacks")

@@ -203,11 +203,26 @@ class LMInferer:
         geometry-carrying images reoriented to LPS."""
         numpy_mode = isinstance(image, np.ndarray)
         if numpy_mode:
-            return image.copy(), None, None
+            return self._hu_capable(image.copy()), None, None
         curr_orient = image.orientation()
         if curr_orient != "LPS":
             image = reorient(image, "LPS")
-        return image.array, curr_orient, image
+        return self._hu_capable(image.array), curr_orient, image
+
+    @staticmethod
+    def _hu_capable(arr: np.ndarray) -> np.ndarray:
+        """Voxels must be able to hold the HU window bounds: clipping to
+        [−1024, 600] on an unsigned (or sub-int16) array overflows under
+        numpy≥2. Unsigned and narrow inputs (e.g. uint8 stacks through the
+        numpy API) are promoted to the smallest signed type that covers both
+        their range and the window; int16/int32/float inputs pass untouched,
+        so real CT volumes pay nothing."""
+        kind, size = arr.dtype.kind, arr.dtype.itemsize
+        if kind == "u":
+            return arr.astype({1: np.int16, 2: np.int32}.get(size, np.int64))
+        if kind in "ib" and size < 2:
+            return arr.astype(np.int16)
+        return arr
 
     def _from_lps(self, outmask, curr_orient, lps_image) -> np.ndarray:
         """Reorient a result back to the input orientation (mask.py:204-208)."""

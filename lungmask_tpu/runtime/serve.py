@@ -1,0 +1,285 @@
+"""HTTP serving lane: segment CT volumes over a REST endpoint.
+
+The reference ships no serving surface at all (its only entry points are the
+CLI, /root/reference/lungmask/__main__.py, and the LMInferer library API) —
+this is a deployment extension for the TPU build, designed around the same
+split-phase pipeline the cohort runtime uses (runtime/cohort.py): request
+threads run host preprocessing/postprocessing concurrently while device
+forwards serialize through one lock, so the accelerator stays busy without
+ever interleaving programs.
+
+Stdlib only (``http.server``) — no new dependencies. Start from the CLI::
+
+    lungmask --serve 8080                       # or HOST:PORT
+    lungmask --serve 8080 --modelname LTRCLobes_R231 --postprocessing device
+
+Endpoints:
+
+``GET /healthz``
+    ``{"status": "ok", "model": ..., "backend": ...}`` — liveness + config.
+``GET /v1/models``
+    The model registry (name → n_classes), for clients picking a model.
+``GET /metrics``
+    JSON counters: requests, errors, volumes segmented, busy/total seconds.
+``POST /v1/segment?name=<filename>&out=<ext>``
+    Body is the volume file bytes. ``name`` names the upload (its extension
+    selects the reader; defaults to ``volume.nii.gz``); a ``.zip`` upload is
+    unpacked and scanned as a DICOM series directory. ``out`` selects the
+    response format (default ``.nii.gz``); ``out=.dcm`` returns a zip of the
+    output DICOM series. The response body is the mask file's bytes.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import shutil
+import tempfile
+import threading
+import time
+import zipfile
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional, Tuple
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from lungmask_tpu.logger import logger
+
+# Single-file response formats (pair-writing formats like .mhd/.nhdr/.hdr
+# would drop their data half; .dcm is special-cased to a zipped series).
+_SINGLE_FILE_OUT = (".nii", ".nii.gz", ".mha", ".nrrd", ".gipl", ".vtk")
+
+
+class InferenceService:
+    """Thread-safe segmentation service around one :class:`LMInferer`.
+
+    Host phases (decode, preprocess, postprocess, encode) run on the calling
+    thread; the device forward is serialized by ``_device_lock`` — the same
+    overlap structure as the cohort pipeline, driven by request threads
+    instead of a fixed 3-stage crew.
+    """
+
+    def __init__(self, inferer):
+        self.inferer = inferer
+        self._device_lock = threading.Lock()
+        self._stats_lock = threading.Lock()
+        self.stats = {
+            "requests": 0,
+            "errors": 0,
+            "volumes_segmented": 0,
+            "busy_seconds": 0.0,
+            "device_seconds": 0.0,
+        }
+
+    def _count(self, key, value=1):
+        with self._stats_lock:
+            self.stats[key] += value
+
+    def segment_bytes(
+        self, body: bytes, name: str, out_ext: str
+    ) -> Tuple[bytes, str]:
+        """Segment an uploaded volume; returns (response bytes, content type).
+
+        Raises ``ValueError`` for client errors (bad format/extension/bytes).
+        """
+        from lungmask_tpu.io import loader
+
+        out_ext = out_ext.lower()
+        if out_ext not in _SINGLE_FILE_OUT + (".dcm",):
+            raise ValueError(
+                f"out={out_ext!r} unsupported (supported: "
+                f"{', '.join(_SINGLE_FILE_OUT)}, .dcm)"
+            )
+        t0 = time.monotonic()
+        tmp = tempfile.mkdtemp(prefix="lungmask_serve_")
+        try:
+            src = self._materialize(body, name, tmp)
+            try:
+                image = loader.load_input_image(src)
+            except ValueError:
+                raise
+            except (OSError, EOFError, KeyError, IndexError) as e:
+                # Malformed upload bytes surface as format-specific errors
+                # (BadGzipFile, struct truncations, …) — client errors, not
+                # server faults.
+                raise ValueError(f"could not decode {name!r}: {e}") from e
+            pre = self.inferer.preprocess_image(image)
+            t_dev = time.monotonic()
+            with self._device_lock:
+                pred = self.inferer.forward_preprocessed(pre)
+            self._count("device_seconds", time.monotonic() - t_dev)
+            mask = self.inferer.finish_forward(pre, pred)
+            result = image.with_array(mask)
+            result.metadata = {}
+            payload = self._encode(result, out_ext, tmp)
+            self._count("volumes_segmented")
+            self._count("busy_seconds", time.monotonic() - t0)
+            return payload, (
+                "application/zip" if out_ext == ".dcm" else "application/octet-stream"
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def _materialize(self, body: bytes, name: str, tmp: str) -> str:
+        """Write the upload into ``tmp``; returns the path to load."""
+        base = os.path.basename(name) or "volume.nii.gz"
+        if base.lower().endswith(".zip"):
+            series_dir = os.path.join(tmp, "series")
+            os.makedirs(series_dir)
+            try:
+                with zipfile.ZipFile(io.BytesIO(body)) as zf:
+                    for info in zf.infolist():
+                        # Flatten + sanitize: member paths from the client are
+                        # untrusted; never let them escape the scratch dir.
+                        leaf = os.path.basename(info.filename)
+                        if not leaf or info.is_dir():
+                            continue
+                        with zf.open(info) as f, open(
+                            os.path.join(series_dir, leaf), "wb"
+                        ) as o:
+                            shutil.copyfileobj(f, o)
+            except zipfile.BadZipFile as e:
+                raise ValueError(f"bad zip upload: {e}") from e
+            return series_dir
+        path = os.path.join(tmp, base)
+        with open(path, "wb") as f:
+            f.write(body)
+        return path
+
+    def _encode(self, result, out_ext: str, tmp: str) -> bytes:
+        from lungmask_tpu.io import loader
+
+        if out_ext == ".dcm":
+            out_dir = os.path.join(tmp, "out")
+            os.makedirs(out_dir)
+            loader.write_dicom_series(result, os.path.join(out_dir, "mask.dcm"))
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+                for leaf in sorted(os.listdir(out_dir)):
+                    zf.write(os.path.join(out_dir, leaf), leaf)
+            return buf.getvalue()
+        out_path = os.path.join(tmp, "mask" + out_ext)
+        loader.write_image(result, out_path)
+        with open(out_path, "rb") as f:
+            return f.read()
+
+    def health(self) -> dict:
+        import jax
+
+        inf = self.inferer
+        return {
+            "status": "ok",
+            "model": inf.modelname,
+            "fillmodel": inf.fillmodel,
+            "postprocessing_mode": getattr(inf, "postprocessing_mode", "exact"),
+            "backend": jax.default_backend(),
+        }
+
+    def metrics(self) -> dict:
+        with self._stats_lock:
+            return dict(self.stats)
+
+
+def _make_handler(service: InferenceService):
+    class Handler(BaseHTTPRequestHandler):
+        # Uploads are whole CT volumes; bump the default rbufsize.
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # route to our logger, not stderr
+            logger.info("serve: " + fmt % args)
+
+        def _reply(self, code: int, body: bytes, ctype: str) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            if code >= 400:
+                # Error replies may be sent without the request body fully
+                # drained; keeping such a connection alive would desync the
+                # next pipelined request.
+                self.send_header("Connection", "close")
+                self.close_connection = True
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _reply_json(self, code: int, obj) -> None:
+            self._reply(code, json.dumps(obj).encode(), "application/json")
+
+        def do_GET(self):
+            path = urlparse(self.path).path
+            if path == "/healthz":
+                self._reply_json(200, service.health())
+            elif path == "/v1/models":
+                from lungmask_tpu.models.registry import MODEL_URLS
+
+                self._reply_json(
+                    200, {k: {"n_classes": v[1]} for k, v in MODEL_URLS.items()}
+                )
+            elif path == "/metrics":
+                self._reply_json(200, service.metrics())
+            else:
+                self._reply_json(404, {"error": f"no route {path}"})
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            if url.path != "/v1/segment":
+                self._reply_json(404, {"error": f"no route {url.path}"})
+                return
+            service._count("requests")
+            q = parse_qs(url.query)
+            name = q.get("name", ["volume.nii.gz"])[0]
+            out_ext = q.get("out", [".nii.gz"])[0]
+            if not out_ext.startswith("."):
+                out_ext = "." + out_ext
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                if length <= 0:
+                    raise ValueError("empty request body")
+                body = self.rfile.read(length)
+                if len(body) != length:
+                    raise ValueError(
+                        f"truncated upload ({len(body)} of {length} bytes)"
+                    )
+                payload, ctype = service.segment_bytes(body, name, out_ext)
+                self._reply(200, payload, ctype)
+            except ValueError as e:
+                service._count("errors")
+                logger.info(f"serve: rejected request: {e}")
+                self._reply_json(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 — a request must never kill the server
+                service._count("errors")
+                logger.warning(f"serve: internal error: {e!r}")
+                self._reply_json(500, {"error": f"internal error: {e!r}"})
+
+    return Handler
+
+
+def make_server(
+    inferer, host: str = "127.0.0.1", port: int = 8080
+) -> Tuple[ThreadingHTTPServer, InferenceService]:
+    """Build (but do not start) the HTTP server; port 0 picks a free port."""
+    service = InferenceService(inferer)
+    httpd = ThreadingHTTPServer((host, port), _make_handler(service))
+    return httpd, service
+
+
+def serve_forever(
+    inferer, host: str = "127.0.0.1", port: int = 8080, warmup: Optional[int] = None
+) -> None:
+    """Blocking entry point used by ``lungmask --serve``."""
+    if warmup:
+        # Compile every device program before accepting traffic (first cold
+        # compile on a fresh machine takes minutes — see docs/OPERATIONS.md).
+        phantom = np.full((warmup, 64, 64), -1024, dtype=np.int16)
+        phantom[:, 16:48, 16:48] = 40
+        inferer.apply(phantom)
+    httpd, _ = make_server(inferer, host, port)
+    actual = httpd.server_address
+    logger.info(f"serving on http://{actual[0]}:{actual[1]} (POST /v1/segment)")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        logger.info("shutting down")
+    finally:
+        httpd.server_close()

@@ -136,6 +136,19 @@ def test_fused_threaded_finish_matches_sequential(
     np.testing.assert_array_equal(seq, thr)
 
 
+def test_uint8_input_promoted(weights3, testvol):
+    """Unsigned input volumes (e.g. 8-bit stacks through the numpy API) must
+    not overflow the HU clip (numpy≥2 raises OverflowError assigning −1024
+    into a uint8 array); they are promoted to a signed dtype at entry and
+    produce the same mask as the equivalent int16 volume."""
+    inferer = LMInferer(modelpath=weights3, tqdm_disable=True, batch_size=2)
+    vol_u8 = np.clip(testvol, 0, 255).astype(np.uint8)
+    res_u8 = inferer.apply(vol_u8)
+    res_i16 = inferer.apply(vol_u8.astype(np.int16))
+    np.testing.assert_array_equal(res_u8, res_i16)
+    assert res_u8.shape == testvol.shape and res_u8.dtype == np.uint8
+
+
 def test_deprecated_apply_warns(weights3, testvol, monkeypatch):
     import lungmask_tpu.models.registry as registry
 
