@@ -33,7 +33,13 @@ def test_cached_pth_with_bad_sha_rejected(cache):
 # Module-scoped: the PRNG-init compiles are paid once for the file.
 @pytest.fixture(scope="module")
 def tiny_params():
-    return unet.init_params(jax.random.PRNGKey(0), 3, depth=2, wf=2)
+    # Registry tests only need a structurally-valid pytree (sha gates, cache
+    # round-trips) — materialize zeros from eval_shape instead of paying the
+    # PRNG-init compiles (~10 s on this host) for values nothing reads.
+    shapes = jax.eval_shape(
+        lambda: unet.init_params(jax.random.PRNGKey(0), 3, depth=2, wf=2)
+    )
+    return jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes)
 
 
 def test_npz_meta_sha_mismatch_rejected(cache, tiny_params):

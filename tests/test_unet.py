@@ -172,14 +172,21 @@ def test_npz_roundtrip(tmp_path, oracle_and_params):
 
 
 def test_init_params_shapes_small():
-    """Structure/dtype checks on a narrow config (fast; wf-generic code)."""
-    params = unet.init_params(jax.random.PRNGKey(0), n_classes=6, wf=3)
+    """Structure/dtype checks on a narrow config (wf-generic code).
+
+    Runs under jax.eval_shape — shape semantics are identical to a real
+    call but nothing compiles or executes, keeping this in the smoke tier
+    (the executed forward is covered by test_forward_parity_small and the
+    slow-tier full-width variant)."""
+    params = jax.eval_shape(
+        lambda: unet.init_params(jax.random.PRNGKey(0), n_classes=6, wf=3)
+    )
     assert unet.n_classes_of(params) == 6
     assert params["down"][0]["conv1"]["w"].shape == (3, 3, 1, 8)
     assert params["down"][4]["conv2"]["w"].shape == (3, 3, 128, 128)
     assert params["up"][0]["proj"]["w"].shape == (1, 1, 128, 64)
     assert params["last"]["w"].shape == (1, 1, 8, 6)
-    out = unet.unet_argmax(params, jnp.zeros((1, 64, 64, 1)))
+    out = jax.eval_shape(unet.unet_argmax, params, jnp.zeros((1, 64, 64, 1)))
     assert out.shape == (1, 64, 64)
     assert out.dtype == jnp.uint8
 
