@@ -61,8 +61,11 @@ class InferenceService:
     instead of a fixed 3-stage crew.
     """
 
-    def __init__(self, inferer):
+    def __init__(self, inferer, max_upload_mb: int = 2048):
         self.inferer = inferer
+        # A 512-slice 512x512 int16 series is ~260 MB; 2 GB covers any real
+        # CT upload while bounding what one request can make us buffer.
+        self.max_upload_bytes = max_upload_mb * 1024 * 1024
         self._device_lock = threading.Lock()
         self._stats_lock = threading.Lock()
         self.stats = {
@@ -130,14 +133,17 @@ class InferenceService:
             os.makedirs(series_dir)
             try:
                 with zipfile.ZipFile(io.BytesIO(body)) as zf:
-                    for info in zf.infolist():
+                    for i, info in enumerate(zf.infolist()):
                         # Flatten + sanitize: member paths from the client are
                         # untrusted; never let them escape the scratch dir.
+                        # An index prefix keeps same-named leaves from
+                        # different archive subdirectories distinct (the
+                        # DICOM scan keys slices by UID/position, not name).
                         leaf = os.path.basename(info.filename)
                         if not leaf or info.is_dir():
                             continue
                         with zf.open(info) as f, open(
-                            os.path.join(series_dir, leaf), "wb"
+                            os.path.join(series_dir, f"{i:05d}_{leaf}"), "wb"
                         ) as o:
                             shutil.copyfileobj(f, o)
             except zipfile.BadZipFile as e:
@@ -184,7 +190,8 @@ class InferenceService:
 
 def _make_handler(service: InferenceService):
     class Handler(BaseHTTPRequestHandler):
-        # Uploads are whole CT volumes; bump the default rbufsize.
+        # Keep-alive so one client can stream a cohort of volumes over a
+        # single connection (error replies opt out — see _reply).
         protocol_version = "HTTP/1.1"
 
         def log_message(self, fmt, *args):  # route to our logger, not stderr
@@ -236,6 +243,16 @@ def _make_handler(service: InferenceService):
                 length = int(self.headers.get("Content-Length", "0"))
                 if length <= 0:
                     raise ValueError("empty request body")
+                if length > service.max_upload_bytes:
+                    service._count("errors")
+                    self._reply_json(
+                        413,
+                        {
+                            "error": f"upload of {length} bytes exceeds the "
+                            f"{service.max_upload_bytes}-byte limit"
+                        },
+                    )
+                    return
                 body = self.rfile.read(length)
                 if len(body) != length:
                     raise ValueError(
@@ -256,10 +273,10 @@ def _make_handler(service: InferenceService):
 
 
 def make_server(
-    inferer, host: str = "127.0.0.1", port: int = 8080
+    inferer, host: str = "127.0.0.1", port: int = 8080, max_upload_mb: int = 2048
 ) -> Tuple[ThreadingHTTPServer, InferenceService]:
     """Build (but do not start) the HTTP server; port 0 picks a free port."""
-    service = InferenceService(inferer)
+    service = InferenceService(inferer, max_upload_mb=max_upload_mb)
     httpd = ThreadingHTTPServer((host, port), _make_handler(service))
     return httpd, service
 

@@ -156,7 +156,17 @@ def test_segment_client_errors(server, tmp_path):
     # Wrong route
     status, body, _ = _post(base + "/v2/segment", b"x")
     assert status == 404
-    assert service.metrics()["errors"] >= before + 4
+    # Oversized upload (cap the service low for the check, restore after)
+    orig_cap = service.max_upload_bytes
+    try:
+        service.max_upload_bytes = 16
+        status, body, _ = _post(
+            base + "/v1/segment?name=v.nii.gz", b"x" * 64
+        )
+        assert status == 413 and b"limit" in body
+    finally:
+        service.max_upload_bytes = orig_cap
+    assert service.metrics()["errors"] >= before + 5
 
 
 def test_concurrent_requests_identical(server, tmp_path):
