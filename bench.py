@@ -117,6 +117,61 @@ def _synthetic_volume(n_slices: int) -> np.ndarray:
     return vol
 
 
+def _bench_serve(inferer, vol: np.ndarray, n: int, threads: int):
+    """Volumes/hour through the HTTP lane (runtime/serve.py): n uploads of
+    ``vol`` as uncompressed .nii from ``threads`` concurrent clients against
+    an in-process server. Returns (volumes_per_hour, errors)."""
+    import tempfile
+    import threading as _threading
+    import urllib.request
+
+    from lungmask_tpu.io.image import MedicalImage
+    from lungmask_tpu.io.loader import write_image
+    from lungmask_tpu.runtime.serve import make_server
+
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "vol.nii")  # uncompressed: measure IO, not gzip
+        write_image(MedicalImage(vol), p)
+        with open(p, "rb") as f:
+            payload = f.read()
+
+    httpd, _service = make_server(inferer, port=0)
+    server_thread = _threading.Thread(target=httpd.serve_forever, daemon=True)
+    server_thread.start()
+    url = (
+        f"http://127.0.0.1:{httpd.server_address[1]}/v1/segment"
+        "?name=vol.nii&out=.nii"
+    )
+    errors = [0]
+    jobs = list(range(n))
+    jobs_lock = _threading.Lock()
+
+    def client():
+        while True:
+            with jobs_lock:
+                if not jobs:
+                    return
+                jobs.pop()
+            try:
+                req = urllib.request.Request(url, data=payload, method="POST")
+                with urllib.request.urlopen(req, timeout=600) as r:
+                    if r.status != 200 or not r.read():
+                        errors[0] += 1
+            except Exception:
+                errors[0] += 1
+
+    t0 = time.perf_counter()
+    workers = [_threading.Thread(target=client) for _ in range(threads)]
+    for w in workers:
+        w.start()
+    for w in workers:
+        w.join()
+    wall = time.perf_counter() - t0
+    httpd.shutdown()
+    httpd.server_close()
+    return round(n / wall * 3600.0, 1), errors[0]
+
+
 def main():
     import logging
 
@@ -292,6 +347,14 @@ def main():
         cohort_dev = run_cohort([e2e_vol] * (2 if small else 10), dev_inferer)
         cohort_dev_vph = round(cohort_dev.volumes_per_hour, 1)
 
+        # HTTP serving lane (runtime/serve.py): the same volumes through the
+        # REST endpoint — loopback upload, decode, device forward (serialized
+        # by the service lock), device postprocess, encode, download. The
+        # delta vs the cohort number is the serving overhead.
+        serve_vph, serve_errors = _bench_serve(
+            dev_inferer, e2e_vol, n=2 if small else 6, threads=3
+        )
+
         # Accuracy contract, measured per run: device-mode postprocessing vs
         # the exact path on the same prediction (lungmask_tpu.metrics).
         # CAVEAT with synthetic threshold weights: their classes are intensity
@@ -457,6 +520,8 @@ def main():
                     "e2e_preprocessing": inferer.preprocessing,
                     "cohort_volumes_per_hour": cohort_vph,
                     "cohort_volumes_per_hour_device_postproc": cohort_dev_vph,
+                    "serve_volumes_per_hour": serve_vph,
+                    "serve_errors": serve_errors,
                     "device_vs_exact_postproc_macro_dice": round(
                         postproc_cmp.macro_dice, 5
                     ),
