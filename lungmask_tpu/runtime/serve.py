@@ -239,6 +239,20 @@ def _make_handler(service: InferenceService):
             out_ext = q.get("out", [".nii.gz"])[0]
             if not out_ext.startswith("."):
                 out_ext = "." + out_ext
+            want_model = q.get("model", [None])[0]
+            have = service.inferer.modelname
+            if service.inferer.fillmodel:
+                have = f"{have}_{service.inferer.fillmodel}"
+            if want_model is not None and want_model != have:
+                # One server binds one (possibly fused) model — routing a
+                # request for another would silently return the wrong labels.
+                service._count("errors")
+                self._reply_json(
+                    400,
+                    {"error": f"this server runs model {have!r}, not "
+                     f"{want_model!r} (start one with --modelname)"},
+                )
+                return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 if length <= 0:

@@ -156,6 +156,11 @@ def test_segment_client_errors(server, tmp_path):
     # Wrong route
     status, body, _ = _post(base + "/v2/segment", b"x")
     assert status == 404
+    # Model mismatch: one server binds one model
+    status, body, _ = _post(
+        base + "/v1/segment?model=LTRCLobes", _nii_bytes(_testvol(), tmp_path)
+    )
+    assert status == 400 and b"this server runs" in body
     # Oversized upload (cap the service low for the check, restore after)
     orig_cap = service.max_upload_bytes
     try:
@@ -166,7 +171,7 @@ def test_segment_client_errors(server, tmp_path):
         assert status == 413 and b"limit" in body
     finally:
         service.max_upload_bytes = orig_cap
-    assert service.metrics()["errors"] >= before + 5
+    assert service.metrics()["errors"] >= before + 6
 
 
 def test_concurrent_requests_identical(server, tmp_path):
