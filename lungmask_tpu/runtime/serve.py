@@ -83,8 +83,17 @@ class InferenceService:
     def segment_bytes(
         self, body: bytes, name: str, out_ext: str
     ) -> Tuple[bytes, str]:
+        """Segment an in-memory upload (see :meth:`segment_stream`)."""
+        return self.segment_stream(io.BytesIO(body), len(body), name, out_ext)
+
+    def segment_stream(
+        self, stream, length: int, name: str, out_ext: str
+    ) -> Tuple[bytes, str]:
         """Segment an uploaded volume; returns (response bytes, content type).
 
+        ``stream`` is read exactly ``length`` bytes and spooled to disk — a
+        whole CT series never sits in request-buffer memory (2 GB cap ×
+        concurrent request threads would otherwise be the server's RSS).
         Raises ``ValueError`` for client errors (bad format/extension/bytes).
         """
         from lungmask_tpu.io import loader
@@ -98,7 +107,7 @@ class InferenceService:
         t0 = time.monotonic()
         tmp = tempfile.mkdtemp(prefix="lungmask_serve_")
         try:
-            src = self._materialize(body, name, tmp)
+            src = self._materialize(stream, length, name, tmp)
             try:
                 image = loader.load_input_image(src)
             except ValueError:
@@ -125,34 +134,44 @@ class InferenceService:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
-    def _materialize(self, body: bytes, name: str, tmp: str) -> str:
-        """Write the upload into ``tmp``; returns the path to load."""
-        base = os.path.basename(name) or "volume.nii.gz"
-        if base.lower().endswith(".zip"):
-            series_dir = os.path.join(tmp, "series")
-            os.makedirs(series_dir)
-            try:
-                with zipfile.ZipFile(io.BytesIO(body)) as zf:
-                    for i, info in enumerate(zf.infolist()):
-                        # Flatten + sanitize: member paths from the client are
-                        # untrusted; never let them escape the scratch dir.
-                        # An index prefix keeps same-named leaves from
-                        # different archive subdirectories distinct (the
-                        # DICOM scan keys slices by UID/position, not name).
-                        leaf = os.path.basename(info.filename)
-                        if not leaf or info.is_dir():
-                            continue
-                        with zf.open(info) as f, open(
-                            os.path.join(series_dir, f"{i:05d}_{leaf}"), "wb"
-                        ) as o:
-                            shutil.copyfileobj(f, o)
-            except zipfile.BadZipFile as e:
-                raise ValueError(f"bad zip upload: {e}") from e
-            return series_dir
-        path = os.path.join(tmp, base)
-        with open(path, "wb") as f:
-            f.write(body)
-        return path
+    def _materialize(self, stream, length: int, name: str, tmp: str) -> str:
+        """Spool the upload into ``tmp``; returns the path to load."""
+        base = os.path.basename(name)
+        if base in ("", ".", "..") or any(c in base for c in "/\\\x00"):
+            base = "volume.nii.gz"  # untrusted name must stay inside tmp
+        upload = os.path.join(tmp, "upload.bin" if base.lower().endswith(".zip") else base)
+        remaining = length
+        with open(upload, "wb") as f:
+            while remaining > 0:
+                chunk = stream.read(min(remaining, 1 << 20))
+                if not chunk:
+                    raise ValueError(
+                        f"truncated upload ({length - remaining} of {length} bytes)"
+                    )
+                f.write(chunk)
+                remaining -= len(chunk)
+        if not base.lower().endswith(".zip"):
+            return upload
+        series_dir = os.path.join(tmp, "series")
+        os.makedirs(series_dir)
+        try:
+            with zipfile.ZipFile(upload) as zf:
+                for i, info in enumerate(zf.infolist()):
+                    # Flatten + sanitize: member paths from the client are
+                    # untrusted; never let them escape the scratch dir.
+                    # An index prefix keeps same-named leaves from
+                    # different archive subdirectories distinct (the
+                    # DICOM scan keys slices by UID/position, not name).
+                    leaf = os.path.basename(info.filename)
+                    if not leaf or info.is_dir():
+                        continue
+                    with zf.open(info) as f, open(
+                        os.path.join(series_dir, f"{i:05d}_{leaf}"), "wb"
+                    ) as o:
+                        shutil.copyfileobj(f, o)
+        except zipfile.BadZipFile as e:
+            raise ValueError(f"bad zip upload: {e}") from e
+        return series_dir
 
     def _encode(self, result, out_ext: str, tmp: str) -> bytes:
         from lungmask_tpu.io import loader
@@ -267,12 +286,9 @@ def _make_handler(service: InferenceService):
                         },
                     )
                     return
-                body = self.rfile.read(length)
-                if len(body) != length:
-                    raise ValueError(
-                        f"truncated upload ({len(body)} of {length} bytes)"
-                    )
-                payload, ctype = service.segment_bytes(body, name, out_ext)
+                payload, ctype = service.segment_stream(
+                    self.rfile, length, name, out_ext
+                )
                 self._reply(200, payload, ctype)
             except ValueError as e:
                 service._count("errors")

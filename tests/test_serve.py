@@ -174,6 +174,27 @@ def test_segment_client_errors(server, tmp_path):
     assert service.metrics()["errors"] >= before + 6
 
 
+def test_hostile_name_and_truncated_stream(server, tmp_path):
+    """A traversal-shaped name must stay inside the scratch dir (falls back
+    to the default name → decode error, never an escape), and a stream
+    shorter than its declared length is a 400."""
+    base, service = server
+    status, body, _ = _post(base + "/v1/segment?name=..", b"\x00" * 64)
+    assert status == 400  # treated as volume.nii.gz → decode error
+
+    class Short:
+        def __init__(self, data):
+            self.data, self.pos = data, 0
+
+        def read(self, n):
+            chunk = self.data[self.pos : self.pos + n]
+            self.pos += len(chunk)
+            return chunk
+
+    with pytest.raises(ValueError, match="truncated"):
+        service.segment_stream(Short(b"abc"), 100, "v.nii.gz", ".nii.gz")
+
+
 def test_concurrent_requests_identical(server, tmp_path):
     """Two simultaneous uploads of the same volume return identical masks —
     the device lock serializes forwards; host phases overlap."""
