@@ -30,9 +30,11 @@ from lungmask_tpu.logger import logger
 
 
 def path(string: str) -> str:
-    if os.path.exists(string):
-        return string
-    sys.exit(f"File not found: {string}")
+    """argparse type for the input positional: exits (reference-faithful
+    sys.exit, not argparse error) when the path is absent."""
+    if not os.path.exists(string):
+        sys.exit(f"File not found: {string}")
+    return string
 
 
 def main(argv=None) -> None:
@@ -227,9 +229,10 @@ def main(argv=None) -> None:
 def _build_inferer(args, batchsize):
     mode = getattr(args, "postprocessing", "exact")
     if args.modelname == "LTRCLobes_R231":
-        assert (
-            args.modelpath is None
-        ), "Modelpath can not be specified for LTRCLobes_R231 mode"
+        assert args.modelpath is None, (
+            "the fused LTRCLobes_R231 mode resolves both models from the "
+            "registry; --modelpath is not accepted here"
+        )
         return LMInferer(
             modelname="LTRCLobes",
             force_cpu=args.cpu,
