@@ -175,7 +175,11 @@ def _bench_serve(inferer, vol: np.ndarray, n: int, threads: int):
 def main():
     import logging
 
-    logging.getLogger("lungmask_tpu").setLevel(logging.WARNING)  # keep stdout JSON-clean
+    # Keep stdout JSON-clean: quiet the package logger both ways — the env
+    # switch covers the first import (logger.py honors it), setLevel covers
+    # an already-imported package (e.g. when main() runs under pytest).
+    os.environ.setdefault("LUNGMASK_TPU_LOGLEVEL", "WARNING")
+    logging.getLogger("lungmask_tpu").setLevel(logging.WARNING)
 
     import jax
     import jax.numpy as jnp

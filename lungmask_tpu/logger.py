@@ -10,9 +10,15 @@ import sys
 
 logger = logging.getLogger("lungmask_tpu")
 # LUNGMASK_TPU_LOGLEVEL=DEBUG|INFO|WARNING|ERROR quiets or opens up the
-# pipeline logs (e.g. WARNING for cron-driven cohort jobs).
-_level = os.environ.get("LUNGMASK_TPU_LOGLEVEL", "INFO").upper()
-logger.setLevel(getattr(logging, _level, logging.INFO))
+# pipeline logs (e.g. WARNING for cron-driven cohort jobs). An explicit env
+# value always wins; otherwise a level a caller configured BEFORE this import
+# is respected (e.g. bench.py quieting stdout before its first package
+# import), and the default is the reference's INFO.
+_env_level = os.environ.get("LUNGMASK_TPU_LOGLEVEL")
+if _env_level is not None:
+    logger.setLevel(getattr(logging, _env_level.upper(), logging.INFO))
+elif logger.level == logging.NOTSET:
+    logger.setLevel(logging.INFO)
 logger.propagate = False
 if not logger.handlers:
     _formatter = logging.Formatter(
@@ -20,5 +26,6 @@ if not logger.handlers:
     )
     _handler = logging.StreamHandler(sys.stdout)
     _handler.setFormatter(_formatter)
-    _handler.setLevel(logger.level)
+    # No handler-level filter: the logger's level (which callers may change
+    # at any time) is the single gate.
     logger.addHandler(_handler)
