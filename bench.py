@@ -177,8 +177,11 @@ def main():
 
     # Keep stdout JSON-clean: quiet the package logger both ways — the env
     # switch covers the first import (logger.py honors it), setLevel covers
-    # an already-imported package (e.g. when main() runs under pytest).
-    os.environ.setdefault("LUNGMASK_TPU_LOGLEVEL", "WARNING")
+    # an already-imported package (e.g. when main() runs under pytest). The
+    # env var is FORCED (not setdefault): a user-exported INFO/DEBUG would
+    # otherwise win at first import and leak log lines ahead of the JSON
+    # stdout line the driver parses.
+    os.environ["LUNGMASK_TPU_LOGLEVEL"] = "WARNING"
     logging.getLogger("lungmask_tpu").setLevel(logging.WARNING)
 
     import jax

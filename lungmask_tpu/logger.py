@@ -16,7 +16,10 @@ logger = logging.getLogger("lungmask_tpu")
 # import), and the default is the reference's INFO.
 _env_level = os.environ.get("LUNGMASK_TPU_LOGLEVEL")
 if _env_level is not None:
-    logger.setLevel(getattr(logging, _env_level.upper(), logging.INFO))
+    # getLevelName returns an int only for real level names — a stray value
+    # (e.g. BASIC_FORMAT) must fall back to INFO, not crash the import.
+    _lvl = logging.getLevelName(_env_level.upper())
+    logger.setLevel(_lvl if isinstance(_lvl, int) else logging.INFO)
 elif logger.level == logging.NOTSET:
     logger.setLevel(logging.INFO)
 logger.propagate = False

@@ -82,14 +82,20 @@ def test_logger_level_contract(code, env, expect_out, forbid_out):
 
 
 def test_logger_shape():
-    """Named, non-propagating, single stdout handler — the reference's shape."""
-    from lungmask_tpu.logger import logger
+    """Named, non-propagating, single stdout handler — the reference's shape.
 
-    assert logger.name == "lungmask_tpu"
-    assert logger.propagate is False
-    streams = [
-        h.stream
-        for h in logger.handlers
-        if isinstance(h, logging.StreamHandler)
-    ]
-    assert sys.stdout in streams
+    Runs in a subprocess: under pytest --capture=sys (or any earlier
+    sys.stdout swap after the package was first imported) the in-process
+    handler holds the ORIGINAL stdout object, so an in-process
+    ``h.stream is sys.stdout`` check fails spuriously.
+    """
+    r = _run(
+        _LOAD
+        + "import sys, logging;"
+        "assert L.logger.name == 'lungmask_tpu';"
+        "assert L.logger.propagate is False;"
+        "streams = [h.stream for h in L.logger.handlers"
+        " if isinstance(h, logging.StreamHandler)];"
+        "assert sys.stdout in streams"
+    )
+    assert r.returncode == 0, r.stderr
