@@ -17,6 +17,7 @@
 
 #include <algorithm>
 #include <chrono>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -675,6 +676,72 @@ int32_t lm_unpack_bits(const uint8_t* packed, int64_t n_bytes, int32_t bits,
     return 0;
   }
   return -1;
+}
+
+// Batched mask paste-back: the reference's per-slice reshape_mask
+// (/root/reference/lungmask/utils.py:114-129) — nearest-neighbor zoom of each
+// (mh, mw) class map to its body bbox, pasted into a zero (H, W) canvas — for
+// the whole volume in one call. Bit-identical to ops/resample.paste_masks_host
+// (differential test in tests/test_resample.py): the gather plan uses scipy's
+// float64 arithmetic, cc = i * double(in-1)/(out-1), round half up, with
+// cc > in-1 treated as out of bounds (cval=0).
+//
+// Motivation: the numpy paste loop's per-slice fancy-indexing allocations made
+// this stage the e2e long pole under host contention (BENCH_r03: 0.137 s
+// quiet → 2.341 s contended). One pass of row-gather memcpy-like stores runs
+// at memory bandwidth and holds no GIL.
+//   masks: (n, mh, mw) uint8;  boxes: (n, 4) int32 half-open (r0, c0, r1, c1)
+//   out:   (n, H, W) uint8, fully overwritten. Returns 0 on success, -1 on a
+//   box outside the canvas (callers fall back to the numpy path).
+int32_t lm_paste_masks(const uint8_t* masks, int64_t n, int64_t mh, int64_t mw,
+                       const int32_t* boxes, int64_t H, int64_t W,
+                       uint8_t* out) {
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t* b = boxes + 4 * i;
+    if (b[0] < 0 || b[1] < 0 || b[2] > H || b[3] > W) return -1;
+  }
+  std::memset(out, 0, (size_t)(n * H * W));
+  std::vector<int64_t> cidx;
+  std::vector<uint8_t> row;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t r0 = boxes[4 * i], c0 = boxes[4 * i + 1];
+    const int64_t r1 = boxes[4 * i + 2], c1 = boxes[4 * i + 3];
+    const int64_t bh = r1 - r0, bw = c1 - c0;
+    if (bh <= 0 || bw <= 0) continue;
+    const uint8_t* mask = masks + i * mh * mw;
+    uint8_t* canvas = out + i * H * W;
+    // Column plan (shared by every row of this slice). oob → the sample
+    // stays 0 (canvas is pre-zeroed), marked with index -1.
+    cidx.assign(bw, -1);
+    double czoom = bw == 1 ? 0.0 : (double)(mw - 1) / (double)(bw - 1);
+    for (int64_t c = 0; c < bw; ++c) {
+      double cc = (double)c * czoom;
+      if (cc > (double)(mw - 1) || cc < 0.0) continue;
+      int64_t idx = (int64_t)std::floor(cc + 0.5);
+      cidx[c] = idx < 0 ? 0 : (idx > mw - 1 ? mw - 1 : idx);
+    }
+    double rzoom = bh == 1 ? 0.0 : (double)(mh - 1) / (double)(bh - 1);
+    row.resize(bw);
+    int64_t prev_src = -2;
+    for (int64_t r = 0; r < bh; ++r) {
+      double cc = (double)r * rzoom;
+      if (cc > (double)(mh - 1) || cc < 0.0) {
+        prev_src = -2;  // oob row: canvas stays 0
+        continue;
+      }
+      int64_t src = (int64_t)std::floor(cc + 0.5);
+      if (src < 0) src = 0;
+      if (src > mh - 1) src = mh - 1;
+      if (src != prev_src) {  // upsampled rows repeat: gather once, copy after
+        const uint8_t* mrow = mask + src * mw;
+        for (int64_t c = 0; c < bw; ++c)
+          row[c] = cidx[c] < 0 ? 0 : mrow[cidx[c]];
+        prev_src = src;
+      }
+      std::memcpy(canvas + (r0 + r) * W + c0, row.data(), (size_t)bw);
+    }
+  }
+  return 0;
 }
 
 }  // extern "C"

@@ -10,8 +10,11 @@ out; raw numpy volume → axis passthrough), and the same dual-model fusion
 
 TPU-native execution (see SURVEY §7): preprocessing and the U-Net run as
 batched device programs (transforms.preprocess + runtime.engine), volume
-postprocessing runs as the windowed host algorithm (transforms.postprocess),
-and the mask paste-back is one batched device gather per volume.
+postprocessing runs as the windowed host algorithm (transforms.postprocess,
+one native call), and the mask paste-back is one native batched gather pass
+per volume (ops.resample.paste_masks_host → csrc lm_paste_masks; in
+device-postprocessing mode the mask alternatively stays on device through
+the CC/hole-fill program).
 """
 
 from __future__ import annotations

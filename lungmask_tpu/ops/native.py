@@ -156,6 +156,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             u8p, u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int32, u8p,
         ]
+    if hasattr(lib, "lm_paste_masks"):
+        lib.lm_paste_masks.restype = ctypes.c_int32
+        lib.lm_paste_masks.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i32p, ctypes.c_int64, ctypes.c_int64, u8p,
+        ]
     if hasattr(lib, "lm_crop_resize_norm_i16"):
         i16p = ctypes.POINTER(ctypes.c_int16)
         f32p = ctypes.POINTER(ctypes.c_float)
@@ -325,6 +331,36 @@ def fused_finish(
     rc = lib.lm_fused_finish(
         a.ctypes.data_as(u8p), b.ctypes.data_as(u8p), nz, ny, nx,
         int(skip_below), out.ctypes.data_as(u8p),
+    )
+    return out if rc == 0 else None
+
+
+def paste_masks(
+    masks: np.ndarray, boxes: np.ndarray, canvas_shape
+) -> Optional[np.ndarray]:
+    """Batched reshape_mask paste-back (lm_paste_masks) — bit-identical to
+    ``ops.resample.paste_masks_host``'s numpy loop but one GIL-free native
+    pass (that loop's per-slice allocations made paste the e2e long pole
+    under host contention, BENCH_r03). Returns None when the native core is
+    unavailable or the inputs need the numpy path (non-uint8 masks, boxes
+    outside the canvas)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "lm_paste_masks"):
+        return None
+    if masks.dtype != np.uint8 or masks.ndim != 3:
+        return None
+    m = np.ascontiguousarray(masks)
+    b = np.ascontiguousarray(boxes, dtype=np.int32)
+    n, mh, mw = m.shape
+    h, w = canvas_shape
+    if b.shape != (n, 4):
+        return None
+    out = np.empty((n, h, w), dtype=np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    rc = lib.lm_paste_masks(
+        m.ctypes.data_as(u8p), n, mh, mw,
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        h, w, out.ctypes.data_as(u8p),
     )
     return out if rc == 0 else None
 

@@ -235,8 +235,26 @@ def paste_masks_host(
     The postprocessed mask stack lives on the host (postprocessing is a host
     stage), so pasting there avoids an upload + full-resolution download per
     volume; on remote-attached TPUs that round trip costs more than the
-    gather itself.
+    gather itself. uint8 stacks dispatch to the native core (lm_paste_masks,
+    one GIL-free pass — the numpy loop below was the e2e long pole under
+    host contention); the numpy path is the differential oracle and the
+    fallback for exotic dtypes.
     """
+    masks = np.asarray(masks)
+    if masks.dtype == np.uint8 and masks.ndim == 3:
+        from lungmask_tpu.ops import native
+
+        out = native.paste_masks(masks, boxes, canvas_shape)
+        if out is not None:
+            return out
+    return paste_masks_numpy(masks, boxes, canvas_shape)
+
+
+def paste_masks_numpy(
+    masks: np.ndarray, boxes: np.ndarray, canvas_shape: Tuple[int, int]
+) -> np.ndarray:
+    """The numpy reference implementation of :func:`paste_masks_host` — the
+    differential oracle for the native and device paste paths."""
     masks = np.asarray(masks)
     boxes = np.asarray(boxes, dtype=np.int64)
     n, mh, mw = masks.shape

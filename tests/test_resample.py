@@ -102,6 +102,39 @@ def test_paste_masks_host_matches_device_plan(rng):
     np.testing.assert_array_equal(host, dev)
 
 
+def test_native_paste_matches_numpy_oracle(rng):
+    """The native lm_paste_masks (the default finish lane since round 4) must
+    be bit-identical to the numpy reference across degenerate and random box
+    geometries, including empty boxes, 1-pixel boxes, and the scipy last-sample
+    oob quirk surfaced by downscaling boxes."""
+    from lungmask_tpu.ops import native
+
+    if native.get_lib() is None or not hasattr(native.get_lib(), "lm_paste_masks"):
+        pytest.skip("native core unavailable")
+    for _ in range(50):
+        n = int(rng.integers(1, 5))
+        mh, mw = int(rng.integers(1, 64)), int(rng.integers(1, 64))
+        h, w = int(rng.integers(1, 96)), int(rng.integers(1, 96))
+        masks = rng.integers(0, 6, size=(n, mh, mw)).astype(np.uint8)
+        boxes = np.stack(
+            [
+                (lambda r0, r1, c0, c1: np.asarray([r0, c0, r1, c1]))(
+                    *sorted(rng.integers(0, h + 1, 2)),
+                    *sorted(rng.integers(0, w + 1, 2)),
+                )
+                for _ in range(n)
+            ]
+        )
+        got = native.paste_masks(masks, boxes, (h, w))
+        assert got is not None
+        np.testing.assert_array_equal(
+            got, resample.paste_masks_numpy(masks, boxes, (h, w))
+        )
+    # Out-of-canvas boxes must be refused (caller falls back to numpy).
+    bad = np.asarray([[0, 0, 10, 200]], dtype=np.int64)
+    assert native.paste_masks(np.zeros((1, 8, 8), np.uint8), bad, (16, 16)) is None
+
+
 def test_paste_plan_matches_reshape_mask(rng):
     """Exact-path oracle: the reference reshape_mask recipe (utils.py:114-129)."""
     masks = rng.integers(0, 4, size=(len(_BOXES), 256, 256)).astype(np.uint8)
