@@ -1,9 +1,11 @@
-"""Self-contained NIfTI-1 reader/writer (.nii / .nii.gz).
+"""Self-contained NIfTI reader/writer (.nii / .nii.gz).
 
 Replaces the reference's SimpleITK/ITK NIfTI path
 (/root/reference/lungmask/utils.py:244-253, __main__.py:119-144) for the
-formats the test-suite and CLI exercise. Geometry: NIfTI affines are RAS;
-conversion to/from this framework's LPS direction/origin negates the x/y rows.
+formats the test-suite and CLI exercise. Reads NIfTI-1 and NIfTI-2 in either
+byte order (ITK's ImageFileReader accepts all four); writes little-endian
+NIfTI-1. Geometry: NIfTI affines are RAS; conversion to/from this framework's
+LPS direction/origin negates the x/y rows.
 """
 
 from __future__ import annotations
@@ -50,37 +52,86 @@ def _quaternion_to_rotation(b: float, c: float, d: float, qfac: float) -> np.nda
     return r
 
 
+def _parse_header(path: str, data: bytes):
+    """Parse a NIfTI-1 or NIfTI-2 header in either byte order into the common
+    field set the assembly below needs. Returns a dict plus the endian prefix
+    ("<" or ">") so voxel decode can byteswap to native order."""
+    if len(data) < 348:
+        raise ValueError(f"{path}: truncated NIfTI header")
+    (hdr_le,) = struct.unpack_from("<i", data, 0)
+    (hdr_be,) = struct.unpack_from(">i", data, 0)
+    if hdr_le in (348, 540):
+        bo, sizeof_hdr = "<", hdr_le
+    elif hdr_be in (348, 540):
+        bo, sizeof_hdr = ">", hdr_be
+    else:
+        raise ValueError(f"{path}: not a NIfTI-1 or NIfTI-2 file")
+
+    if sizeof_hdr == 348:  # NIfTI-1
+        magic = data[344:348]
+        if magic not in (b"n+1\x00", b"ni1\x00"):
+            raise ValueError(f"{path}: bad NIfTI-1 magic {magic!r}")
+        dim = struct.unpack_from(f"{bo}8h", data, 40)
+        datatype, _bitpix = struct.unpack_from(f"{bo}2h", data, 70)
+        pixdim = struct.unpack_from(f"{bo}8f", data, 76)
+        (vox_offset,) = struct.unpack_from(f"{bo}f", data, 108)
+        scl_slope, scl_inter = struct.unpack_from(f"{bo}2f", data, 112)
+        qform_code, sform_code = struct.unpack_from(f"{bo}2h", data, 252)
+        quatern = struct.unpack_from(f"{bo}3f", data, 256)
+        qoffset = struct.unpack_from(f"{bo}3f", data, 268)
+        srow = struct.unpack_from(f"{bo}12f", data, 280)
+        detached = magic == b"ni1\x00"
+    else:  # NIfTI-2 (sizeof_hdr 540, magic right after it at offset 4)
+        if len(data) < 540:
+            raise ValueError(f"{path}: truncated NIfTI-2 header")
+        magic = data[4:8]
+        if magic not in (b"n+2\x00", b"ni2\x00") or data[8:12] != b"\r\n\x1a\n":
+            raise ValueError(f"{path}: bad NIfTI-2 magic {data[4:12]!r}")
+        datatype, _bitpix = struct.unpack_from(f"{bo}2h", data, 12)
+        dim = struct.unpack_from(f"{bo}8q", data, 16)
+        pixdim = struct.unpack_from(f"{bo}8d", data, 104)
+        (vox_offset,) = struct.unpack_from(f"{bo}q", data, 168)
+        scl_slope, scl_inter = struct.unpack_from(f"{bo}2d", data, 176)
+        qform_code, sform_code = struct.unpack_from(f"{bo}2i", data, 344)
+        quatern = struct.unpack_from(f"{bo}3d", data, 352)
+        qoffset = struct.unpack_from(f"{bo}3d", data, 376)
+        srow = struct.unpack_from(f"{bo}12d", data, 400)
+        detached = magic == b"ni2\x00"
+    return {
+        "bo": bo,
+        "dim": dim,
+        "datatype": datatype,
+        "pixdim": pixdim,
+        "vox_offset": int(vox_offset),
+        "scl_slope": float(scl_slope),
+        "scl_inter": float(scl_inter),
+        "qform_code": qform_code,
+        "sform_code": sform_code,
+        "quatern": quatern,
+        "qoffset": qoffset,
+        "srow": np.array(srow, dtype=np.float64).reshape(3, 4),
+        "detached": detached,
+    }
+
+
 def read(path: str) -> MedicalImage:
     with _open(path, "rb") as f:
         data = f.read()
-    if len(data) < 348:
-        raise ValueError(f"{path}: truncated NIfTI header")
-    (sizeof_hdr,) = struct.unpack_from("<i", data, 0)
-    if sizeof_hdr != 348:
-        raise ValueError(f"{path}: not a little-endian NIfTI-1 file")
-    magic = data[344:348]
-    if magic not in (b"n+1\x00", b"ni1\x00"):
-        raise ValueError(f"{path}: bad NIfTI magic {magic!r}")
+    h = _parse_header(path, data)
 
-    dim = struct.unpack_from("<8h", data, 40)
+    dim = h["dim"]
     ndim = dim[0]
     nx, ny, nz = dim[1], max(dim[2], 1), max(dim[3], 1)
     if ndim > 3 and any(d > 1 for d in dim[4 : 1 + ndim]):
         raise ValueError(f"{path}: >3-D NIfTI not supported")
-    (datatype, bitpix) = struct.unpack_from("<2h", data, 70)
-    if datatype not in _DTYPES:
-        raise ValueError(f"{path}: unsupported NIfTI datatype {datatype}")
-    pixdim = struct.unpack_from("<8f", data, 76)
-    (vox_offset,) = struct.unpack_from("<f", data, 108)
-    scl_slope, scl_inter = struct.unpack_from("<2f", data, 112)
-    qform_code, sform_code = struct.unpack_from("<2h", data, 252)
-    quatern = struct.unpack_from("<3f", data, 256)
-    qoffset = struct.unpack_from("<3f", data, 268)
-    srow = np.array(struct.unpack_from("<12f", data, 280), dtype=np.float64).reshape(3, 4)
+    if h["datatype"] not in _DTYPES:
+        raise ValueError(f"{path}: unsupported NIfTI datatype {h['datatype']}")
+    pixdim = h["pixdim"]
+    scl_slope, scl_inter = h["scl_slope"], h["scl_inter"]
 
-    dtype = _DTYPES[datatype]
+    dtype = np.dtype(_DTYPES[h["datatype"]]).newbyteorder(h["bo"])
     count = nx * ny * nz
-    if magic == b"ni1\x00":
+    if h["detached"]:
         # Detached header/data pair: voxels live in the sibling .img file.
         base = path[:-7] if path.endswith(".hdr.gz") else path.rsplit(".", 1)[0]
         img_path = base + ".img"
@@ -88,12 +139,14 @@ def read(path: str) -> MedicalImage:
             img_path += ".gz"
         with _open(img_path, "rb") as f:
             data = f.read()
-        # For 'ni1' pairs, vox_offset is the byte offset INTO the .img file
-        # (NIfTI-1 spec) — keep it, unlike the 'n+1' case where it offsets
-        # into this same buffer past the header.
+        # For detached pairs, vox_offset is the byte offset INTO the .img
+        # file (NIfTI spec) — keep it, unlike the single-file case where it
+        # offsets into this same buffer past the header.
     arr = np.frombuffer(
-        data, dtype=dtype, count=count, offset=int(vox_offset)
+        data, dtype=dtype, count=count, offset=h["vox_offset"]
     ).reshape(nz, ny, nx)
+    if not arr.dtype.isnative:
+        arr = arr.astype(arr.dtype.newbyteorder("="))
     # NIfTI-1: scl_slope == 0 means "no scaling" (intercept ignored too);
     # NaN slope/intercept likewise disable scaling (nibabel semantics).
     if (
@@ -104,13 +157,13 @@ def read(path: str) -> MedicalImage:
     ):
         arr = arr.astype(np.float32) * scl_slope + scl_inter
 
-    if sform_code > 0:
-        affine = srow
-    elif qform_code > 0:
+    if h["sform_code"] > 0:
+        affine = h["srow"]
+    elif h["qform_code"] > 0:
         qfac = -1.0 if pixdim[0] == -1.0 else 1.0
-        rot = _quaternion_to_rotation(*quatern, qfac)
+        rot = _quaternion_to_rotation(*h["quatern"], qfac)
         affine = np.concatenate(
-            [rot * np.asarray(pixdim[1:4])[None, :], np.asarray(qoffset)[:, None]],
+            [rot * np.asarray(pixdim[1:4])[None, :], np.asarray(h["qoffset"])[:, None]],
             axis=1,
         )
     else:

@@ -128,6 +128,104 @@ def test_nifti_rejects_garbage(tmp_path):
         nifti.read(p)
 
 
+def _write_nifti1_be(path, arr, srow):
+    """Big-endian NIfTI-1 fixture: same layout as nifti.write but all fields
+    and voxels byteswapped (the reference's ITK reader accepts BE NIfTI-1,
+    /root/reference/lungmask/utils.py:244-249)."""
+    import struct
+
+    nz, ny, nx = arr.shape
+    hdr = bytearray(348)
+    struct.pack_into(">i", hdr, 0, 348)
+    struct.pack_into(">8h", hdr, 40, 3, nx, ny, nz, 1, 1, 1, 1)
+    code = {np.dtype(np.int16): 4, np.dtype(np.uint8): 2}[arr.dtype]
+    struct.pack_into(">2h", hdr, 70, code, arr.dtype.itemsize * 8)
+    struct.pack_into(">8f", hdr, 76, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0)
+    struct.pack_into(">f", hdr, 108, 352.0)  # vox_offset
+    struct.pack_into(">2f", hdr, 112, 1.0, 0.0)  # scl
+    struct.pack_into(">2h", hdr, 252, 0, 1)  # qform=0, sform=1
+    struct.pack_into(">12f", hdr, 280, *srow.reshape(-1))
+    hdr[344:348] = b"n+1\x00"
+    with open(path, "wb") as f:
+        f.write(bytes(hdr) + b"\x00" * 4 + arr.byteswap().tobytes())
+
+
+def _write_nifti2(path, arr, srow, bo):
+    """NIfTI-2 fixture (540-byte header, 64-bit dims/offsets, double affine)
+    in the requested byte order."""
+    import struct
+
+    nz, ny, nx = arr.shape
+    hdr = bytearray(540)
+    struct.pack_into(f"{bo}i", hdr, 0, 540)
+    hdr[4:8] = b"n+2\x00"
+    hdr[8:12] = b"\r\n\x1a\n"
+    code = {np.dtype(np.int16): 4, np.dtype(np.uint8): 2}[arr.dtype]
+    struct.pack_into(f"{bo}2h", hdr, 12, code, arr.dtype.itemsize * 8)
+    struct.pack_into(f"{bo}8q", hdr, 16, 3, nx, ny, nz, 1, 1, 1, 1)
+    struct.pack_into(f"{bo}8d", hdr, 104, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0)
+    struct.pack_into(f"{bo}q", hdr, 168, 544)  # vox_offset
+    struct.pack_into(f"{bo}2d", hdr, 176, 1.0, 0.0)  # scl
+    struct.pack_into(f"{bo}2i", hdr, 344, 0, 1)  # qform=0, sform=1
+    struct.pack_into(f"{bo}12d", hdr, 400, *srow.reshape(-1))
+    vox = arr.byteswap() if bo == ">" else arr
+    with open(path, "wb") as f:
+        f.write(bytes(hdr) + b"\x00" * 4 + vox.tobytes())
+
+
+def test_nifti_big_endian(tmp_path, rng):
+    """BE NIfTI-1 reads identically to the LE file with the same content."""
+    arr = rng.integers(-1024, 600, size=(3, 7, 5)).astype(np.int16)
+    img = image.MedicalImage(
+        arr, spacing=(0.6, 0.7, 2.0), origin=(-100.0, 50.0, 30.0)
+    )
+    le = str(tmp_path / "le.nii")
+    nifti.write(img, le)
+    # srow of the LE file (RAS) — reuse it verbatim in the BE fixture.
+    import struct
+
+    with open(le, "rb") as f:
+        srow = np.array(
+            struct.unpack_from("<12f", f.read(), 280), dtype=np.float64
+        ).reshape(3, 4)
+    be = str(tmp_path / "be.nii")
+    _write_nifti1_be(be, arr, srow.astype(np.float32))
+    a, b = nifti.read(le), nifti.read(be)
+    np.testing.assert_array_equal(b.array, a.array)
+    assert b.array.dtype == np.int16 and b.array.dtype.isnative
+    np.testing.assert_allclose(b.spacing, a.spacing, atol=1e-5)
+    np.testing.assert_allclose(b.origin, a.origin, atol=1e-4)
+    np.testing.assert_allclose(b.direction, a.direction, atol=1e-5)
+
+
+@pytest.mark.parametrize("bo", ["<", ">"])
+def test_nifti2_read(tmp_path, bo, rng):
+    """NIfTI-2 (sizeof_hdr 540, magic n+2) in both byte orders."""
+    arr = rng.integers(-1024, 600, size=(4, 6, 8)).astype(np.int16)
+    # RAS identity affine with spacing (1.3, 0.9, 2.5), origin RAS (4, -7, 9)
+    srow = np.array(
+        [[1.3, 0, 0, 4.0], [0, 0.9, 0, -7.0], [0, 0, 2.5, 9.0]], np.float64
+    )
+    p = str(tmp_path / "v2.nii")
+    _write_nifti2(p, arr, srow, bo)
+    back = nifti.read(p)
+    np.testing.assert_array_equal(back.array, arr)
+    np.testing.assert_allclose(back.spacing, (1.3, 0.9, 2.5), atol=1e-12)
+    np.testing.assert_allclose(back.origin, (-4.0, 7.0, 9.0), atol=1e-12)  # LPS
+    np.testing.assert_allclose(back.direction, np.diag([-1.0, -1.0, 1.0]))
+
+
+def test_nifti2_loader_dispatch(tmp_path, rng):
+    """NIfTI-2 files load through the public loader path too."""
+    arr = rng.integers(0, 9, size=(2, 4, 4)).astype(np.uint8)
+    srow = np.diag([1.0, 1.0, 1.0]).astype(np.float64)
+    srow = np.concatenate([srow, np.zeros((3, 1))], axis=1)
+    p = str(tmp_path / "v2.nii")
+    _write_nifti2(p, arr, srow, "<")
+    back = loader.load_input_image(p)
+    np.testing.assert_array_equal(back.array, arr)
+
+
 def test_dicom_rejects_truncated(tmp_path):
     p = str(tmp_path / "bad.dcm")
     with open(p, "wb") as f:
