@@ -188,9 +188,16 @@ def main():
     import jax.numpy as jnp
 
     from lungmask_tpu.models import registry
-    from lungmask_tpu.runtime import enable_compile_cache
+    from lungmask_tpu.runtime import enable_compile_cache, tune_host_allocator
 
     enable_compile_cache()
+    # Must run BEFORE the first large host buffer: this VM faults fresh pages
+    # at ~30 MB/s (measured), and glibc mmap/munmaps any allocation >32 MB, so
+    # untuned repeat allocations of mask-sized buffers cost seconds each (the
+    # round-3 kbatch=4 cliff: an 84 MB unpack re-faulted every rep even under
+    # best-of-3). LMInferer tunes on construction, but the raw-engine sections
+    # here run first.
+    tune_host_allocator()
 
     from lungmask_tpu.runtime.engine import DEFAULT_CHUNK
 

@@ -253,6 +253,15 @@ class UNetRunner:
         (DEFAULT_CHUNK); an explicit value is honored exactly — it is the
         user's activation-memory bound, like the reference's batch size
         (/root/reference/lungmask/mask.py:79,173)."""
+        # Host allocator policy matters here, not just in LMInferer: the
+        # mask downloads/unpacks allocate tens-of-MB host buffers per call,
+        # and glibc's default mmap-above-32MB policy re-faults every page on
+        # every call — measured ~30 MB/s first-touch fault bandwidth on the
+        # bench VM, which turned the k=4 stacked-volume unpack (84 MB) into
+        # a 3.7 s stall. Retaining the heap makes repeat calls reuse pages.
+        from lungmask_tpu.runtime import tune_host_allocator
+
+        tune_host_allocator()
         self.params = _cast_kernels(
             jax.tree_util.tree_map(jnp.asarray, params), compute_dtype
         )
