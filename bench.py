@@ -188,16 +188,18 @@ def main():
     import jax.numpy as jnp
 
     from lungmask_tpu.models import registry
-    from lungmask_tpu.runtime import enable_compile_cache, tune_host_allocator
+    from lungmask_tpu.runtime import enable_compile_cache, prefault_host_heap
 
     enable_compile_cache()
-    # Must run BEFORE the first large host buffer: this VM faults fresh pages
-    # at ~30 MB/s (measured), and glibc mmap/munmaps any allocation >32 MB, so
-    # untuned repeat allocations of mask-sized buffers cost seconds each (the
-    # round-3 kbatch=4 cliff: an 84 MB unpack re-faulted every rep even under
-    # best-of-3). LMInferer tunes on construction, but the raw-engine sections
-    # here run first.
-    tune_host_allocator()
+    # Must run BEFORE the first large host buffer: this VM backs guest pages
+    # lazily (first touch of a fresh page measured ~100 µs), and glibc
+    # mmap/munmaps any allocation >32 MB, so untuned repeat allocations of
+    # mask-sized buffers cost seconds each (the round-3 kbatch=4 cliff: an
+    # 84 MB unpack re-faulted every rep even under best-of-3). Retain the
+    # heap (mallopt) AND pre-touch a working-set-sized pool once, outside the
+    # timed regions. LMInferer does the same on construction, but the
+    # raw-engine sections here run first.
+    prefault_host_heap()
 
     from lungmask_tpu.runtime.engine import DEFAULT_CHUNK
 
@@ -348,6 +350,7 @@ def main():
         cohort = run_cohort([e2e_vol] * (2 if small else 10), inferer)
         cohort_vph = round(cohort.volumes_per_hour, 1)
         cohort_errors = sum(1 for r in cohort.results if r.error)
+        cohort_stage_seconds = dict(cohort.stage_seconds)
 
         # Cohort again with device-side postprocessing: the host has ONE core
         # shared by decode/preprocess/postprocess/paste, so moving the
@@ -533,6 +536,10 @@ def main():
                     "e2e_volume_shape": list(e2e_vol.shape),
                     "e2e_preprocessing": inferer.preprocessing,
                     "cohort_volumes_per_hour": cohort_vph,
+                    # Pipeline diagnosis for the exact lane: busy vs queue-wait
+                    # seconds per stage (loader incl. preprocess/upload, device
+                    # forward, host finish). See runtime/cohort.py CohortStats.
+                    "cohort_stage_seconds": cohort_stage_seconds,
                     "cohort_volumes_per_hour_device_postproc": cohort_dev_vph,
                     "serve_volumes_per_hour": serve_vph,
                     "serve_errors": serve_errors,

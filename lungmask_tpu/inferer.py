@@ -32,7 +32,11 @@ from lungmask_tpu.io.image import MedicalImage, reorient
 from lungmask_tpu.logger import logger
 from lungmask_tpu.models.registry import MODEL_URLS, get_model
 from lungmask_tpu.ops import resample
-from lungmask_tpu.runtime import enable_compile_cache, tune_host_allocator
+from lungmask_tpu.runtime import (
+    enable_compile_cache,
+    prefault_host_heap,
+    tune_host_allocator,
+)
 from lungmask_tpu.runtime.engine import UNetRunner
 from lungmask_tpu.transforms import host_pipeline, postprocess, preprocess
 from lungmask_tpu.utils.profiling import StageTimer, trace
@@ -115,6 +119,11 @@ class LMInferer:
         self._sharded_post = {}  # n_classes -> compiled mesh-sharded program
         enable_compile_cache()
         tune_host_allocator()
+        # Pre-touch the heap once so mask-sized host buffers (paste canvas,
+        # unpack output, postprocess scratch) never first-fault inside a
+        # timed stage — on lazily-backed VMs that fault costs seconds per
+        # volume (see runtime.prefault_host_heap).
+        prefault_host_heap()
 
         if modelpath is not None:
             modelname = os.path.basename(modelpath)

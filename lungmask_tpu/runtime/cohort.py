@@ -47,6 +47,12 @@ class CohortResult:
 class CohortStats:
     results: List[CohortResult] = field(default_factory=list)
     wall_seconds: float = 0.0
+    # Pipeline diagnosis (seconds summed over the run): `*_busy` is time a
+    # stage spent working, `*_wait` time it spent blocked on its queue. A
+    # healthy pipeline has the bottleneck stage ~100% busy and the others
+    # waiting; every stage busy-dominated on a 1-core host means the stages
+    # are fighting for the core, not overlapping.
+    stage_seconds: dict = field(default_factory=dict)
 
     @property
     def volumes_per_hour(self) -> float:
@@ -118,6 +124,21 @@ def run_cohort(
         and hasattr(inferer, "finish_forward")
     )
 
+    waits = {
+        "load_busy": 0.0,
+        "load_wait": 0.0,
+        "forward_busy": 0.0,
+        "forward_wait": 0.0,
+        "finish_busy": 0.0,
+        "finish_wait": 0.0,
+    }
+    stats.stage_seconds = waits
+
+    def _timed_put(q, item, key):
+        t0 = time.perf_counter()
+        q.put(item)
+        waits[key] += time.perf_counter() - t0
+
     def loader_thread():
         it = enumerate(sources)
         try:
@@ -127,29 +148,37 @@ def run_cohort(
                 except StopIteration:
                     break
                 except Exception as e:  # the iterable itself failed
-                    in_q.put((f"cohort-source-{len(used_names)}", None, None,
-                              f"source iteration failed: {e}"))
+                    _timed_put(in_q, (f"cohort-source-{len(used_names)}", None,
+                                      None, f"source iteration failed: {e}"),
+                               "load_wait")
                     break
                 try:
+                    t0 = time.perf_counter()
                     img = _load(src)
                     pre = inferer.preprocess_image(img) if split_phase else None
-                    in_q.put((name_of(i, src), img, pre, None))
+                    waits["load_busy"] += time.perf_counter() - t0
+                    _timed_put(in_q, (name_of(i, src), img, pre, None),
+                               "load_wait")
                 # SystemExit included: load_input_image sys.exit()s on empty
                 # DICOM dirs (reference semantics) — here that skips the volume.
                 except (Exception, SystemExit) as e:
-                    in_q.put((name_of(i, src), None, None, str(e)))
+                    _timed_put(in_q, (name_of(i, src), None, None, str(e)),
+                               "load_wait")
         finally:
             in_q.put(None)
 
     def finisher_thread():
         while True:
+            t0 = time.perf_counter()
             item = out_q.get()
+            waits["finish_wait"] += time.perf_counter() - t0
             if item is None:
                 break
             name, img, pre, payload, t0, err = item
             mask = None
             if err is None:
                 try:
+                    tb = time.perf_counter()
                     mask = (
                         inferer.finish_forward(pre, payload)
                         if split_finish
@@ -160,6 +189,7 @@ def run_cohort(
                         loader.write_image(
                             out, os.path.join(output_dir, f"{name}_mask.nii.gz")
                         )
+                    waits["finish_busy"] += time.perf_counter() - tb
                 except Exception as e:
                     logger.error(f"cohort: finishing failed for {name}: {e}")
                     err, mask = str(e), None
@@ -183,14 +213,16 @@ def run_cohort(
     ft.start()
 
     while True:
+        tw = time.perf_counter()
         item = in_q.get()
+        waits["forward_wait"] += time.perf_counter() - tw
         if item is None:
             break
         name, img, pre, err = item
         t0 = time.perf_counter()
         if err is not None:
             logger.warning(f"cohort: skipping {name}: {err}")
-            out_q.put((name, None, None, None, t0, err))
+            _timed_put(out_q, (name, None, None, None, t0, err), "forward_wait")
             continue
         try:
             if split_finish:
@@ -199,13 +231,17 @@ def run_cohort(
                 payload = inferer.apply_preprocessed(pre)
             else:
                 payload = inferer.apply(img)
-            out_q.put((name, img, pre, payload, t0, None))
+            waits["forward_busy"] += time.perf_counter() - t0
+            _timed_put(out_q, (name, img, pre, payload, t0, None),
+                       "forward_wait")
         except Exception as e:
             logger.error(f"cohort: inference failed for {name}: {e}")
-            out_q.put((name, img, None, None, t0, str(e)))
+            _timed_put(out_q, (name, img, None, None, t0, str(e)),
+                       "forward_wait")
 
     out_q.put(None)
     lt.join()
     ft.join()
     stats.wall_seconds = time.perf_counter() - t_start
+    stats.stage_seconds = {k: round(v, 3) for k, v in waits.items()}
     return stats
