@@ -385,6 +385,28 @@ def main():
         exact_mask = inferer.apply(e2e_vol)
         postproc_cmp = lm_metrics.compare_masks(dev_mask, exact_mask)
 
+        # The same contract with LATERALITY-shaped synthetic weights
+        # (models/synthetic.laterality_params): background 0 and one dominant
+        # component per lung class — the prediction shape real R231 produces —
+        # so exact-vs-device divergence is confined to small satellites and
+        # the number is meaningful without real weights (expected >= 0.99;
+        # with real weights the threshold-weights number above converges to
+        # this one). Same architecture/shapes, so no extra compiles.
+        if weights.startswith("synthetic"):
+            from lungmask_tpu.models import synthetic as _synth_lat
+
+            wlat = os.path.join(td, "wlat.npz")
+            convert.save_npz(wlat, _synth_lat.laterality_params(n_classes=3))
+            lat_exact = LMInferer(modelpath=wlat, tqdm_disable=True)
+            lat_dev = LMInferer(
+                modelpath=wlat, tqdm_disable=True, postprocessing_mode="device"
+            )
+            lat_cmp = lm_metrics.compare_masks(
+                lat_dev.apply(e2e_vol), lat_exact.apply(e2e_vol)
+            )
+        else:
+            lat_cmp = postproc_cmp  # real weights: the headline pair IS it
+
         # Fused dual-model path (BASELINE config 4 — LTRCLobes_R231): both
         # nets in one dispatch over shared preprocessing, three postprocessing
         # passes (reference: "up to several minutes" extra, README.md:9).
@@ -548,6 +570,12 @@ def main():
                     ),
                     "device_vs_exact_postproc_voxel_agreement": round(
                         postproc_cmp.voxel_accuracy, 6
+                    ),
+                    "device_vs_exact_postproc_macro_dice_laterality": round(
+                        lat_cmp.macro_dice, 5
+                    ),
+                    "device_vs_exact_postproc_voxel_agreement_laterality": round(
+                        lat_cmp.voxel_accuracy, 6
                     ),
                     "device_vs_exact_note": (
                         "synthetic threshold weights: exact-path neighbor-merge"

@@ -44,12 +44,17 @@ def threshold_params(
     t2_hu: float = -400.0,
     slope: float = 16.0,
     hinge_k: float = 32.0,
+    wf: int = unet.WF,
 ):
-    """Band-threshold parameters (production shapes, numpy float32 pytree)."""
+    """Band-threshold parameters (production shapes, numpy float32 pytree).
+
+    ``wf`` narrows the channel widths (production 6) for cheap CPU tests —
+    the crafted construction only needs channels 0-1.
+    """
     assert n_classes >= 3
     import jax
 
-    params = unet.init_params(jax.random.PRNGKey(0), n_classes=n_classes)
+    params = unet.init_params(jax.random.PRNGKey(0), n_classes=n_classes, wf=wf)
     params = jax.tree_util.tree_map(lambda a: np.zeros(a.shape, np.float32), params)
 
     def ident(w, cin=0, cout=0):
@@ -91,6 +96,91 @@ def threshold_params(
     # logit2 (deep air):     a·(t1 − v)
     last_w[0, 0, 0, 2] = -a
     last_b[2] = a * t1
+    # any further classes never win
+    last_b[3:] = -100.0
+    return params
+
+
+def laterality_params(
+    n_classes: int = 3,
+    t0_hu: float = -925.0,
+    t1_hu: float = -650.0,
+    t2_hu: float = -400.0,
+    slope: float = 16.0,
+    hinge_k: float = 32.0,
+    wf: int = unet.WF,
+):
+    """Crafted parameters whose MASKS look like R231's laterality output.
+
+    :func:`threshold_params` is monotone in intensity, so outside air (same HU
+    as lung air) lands in a lung class — its connected component dwarfs the
+    lung, and the exact postprocessing path's largest-CC bookkeeping then
+    relabels a whole lung (the round-3 bench's macro-dice ~0.5 artifact).
+    Real R231 predictions never do that: background is class 0 and each lung
+    is one dominant component of its own class.
+
+    This variant produces that *shape* of prediction on the bench phantom by
+    adding a fourth band below the lung-air bands (v the normalized input,
+    h_θ := ReLU(v − θ)):
+
+        class 0  for v < t0            (outside air, −1000 HU)
+        class 2  for t0 ≤ v < t1       (deep lung air: the LEFT lung phantom)
+        class 1  for t1 ≤ v < t2       (moderate lung air: the RIGHT lung)
+        class 0  for v ≥ t2            (soft tissue / body)
+
+    as logits  l0 = 0,  l1 = a·(v − t1) − K·h_{t2},  l2 = a·(v − t0) − K·h_{t1}
+    (each band's winner checked in tests/test_synthetic.py; band edges blur by
+    (band width)/hinge_k ≈ 8 HU — far from every phantom intensity). On the
+    phantom the left/right lungs carry distinct HU bands, so the resulting
+    mask assigns LATERALITY classes with background 0 — the prediction shape
+    the reference's neighbor-merge was designed for
+    (/root/reference/lungmask/utils.py:310-339) — which makes the
+    device-vs-exact postprocessing contract measurable without real weights:
+    divergence confined to small satellites, macro-dice ≥ 0.99 expected.
+    """
+    assert n_classes >= 3
+    import jax
+
+    params = unet.init_params(jax.random.PRNGKey(0), n_classes=n_classes, wf=wf)
+    params = jax.tree_util.tree_map(lambda a: np.zeros(a.shape, np.float32), params)
+
+    def ident(w, cin=0, cout=0):
+        w[w.shape[0] // 2, w.shape[1] // 2, cin, cout] = 1.0
+
+    t0, t1, t2 = _norm(t0_hu), _norm(t1_hu), _norm(t2_hu)
+    a, k = float(slope), float(hinge_k * slope)
+
+    for i, block in enumerate(params["down"]):
+        ident(block["conv1"]["w"])  # carry v in channel 0
+        ident(block["conv2"]["w"])
+        for bn in ("bn1", "bn2"):
+            block[bn]["scale"][:] = 1.0
+        if i == 0:
+            # level-0 skip channels 1/2: hinges at the two upper band edges
+            ident(block["conv2"]["w"], cin=0, cout=1)
+            block["conv2"]["b"][1] = -t1
+            ident(block["conv2"]["w"], cin=0, cout=2)
+            block["conv2"]["b"][2] = -t2
+
+    for up in params["up"]:
+        # proj stays zero: kill the deep path, keep only the skip.
+        cout = up["conv_block"]["conv2"]["w"].shape[2]
+        for c in range(3):
+            ident(up["conv_block"]["conv1"]["w"], cin=cout + c, cout=c)
+            ident(up["conv_block"]["conv2"]["w"], cin=c, cout=c)
+        for bn in ("bn1", "bn2"):
+            up["conv_block"][bn]["scale"][:] = 1.0
+
+    last_w, last_b = params["last"]["w"], params["last"]["b"]
+    # logit0 (background, wins below t0 and above t2): constant 0.
+    # logit1 (moderate air):  a·(v − t1) − K·h_{t2}
+    last_w[0, 0, 0, 1] = a
+    last_w[0, 0, 2, 1] = -k
+    last_b[1] = -a * t1
+    # logit2 (deep air):      a·(v − t0) − K·h_{t1}
+    last_w[0, 0, 0, 2] = a
+    last_w[0, 0, 1, 2] = -k
+    last_b[2] = -a * t0
     # any further classes never win
     last_b[3:] = -100.0
     return params
