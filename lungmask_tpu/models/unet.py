@@ -198,6 +198,56 @@ def _upconv2(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, *, precision) -> jn
     return y.reshape(n, 2 * h, 2 * wd, cout) + b.astype(jnp.float32)
 
 
+# Bilinear ×2 phase stencil (half-pixel centers): output row 2i interpolates
+# inputs (i-1, i) with weights (1/4, 3/4); row 2i+1 interpolates (i, i+1) with
+# (3/4, 1/4). Axis taps live on a 3-wide window {-1, 0, +1} per phase.
+_BILERP_TAPS = np.zeros((2, 3), np.float32)  # [phase, tap(-1,0,+1)]
+_BILERP_TAPS[0, 0], _BILERP_TAPS[0, 1] = 0.25, 0.75
+_BILERP_TAPS[1, 1], _BILERP_TAPS[1, 2] = 0.75, 0.25
+# [ky, kx, phase(py*2+px)] separable product stencil for the fused kernel.
+_BILERP_STENCIL = np.einsum(
+    "pk,ql->klpq", _BILERP_TAPS, _BILERP_TAPS
+).reshape(3, 3, 4)
+
+
+def _up_proj_fused(
+    x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, *, precision
+) -> jnp.ndarray:
+    """Bilinear ×2 upsample + 1×1 projection as ONE MXU convolution.
+
+    ``_bilinear_up2`` lowers to VPU gather/lerp passes plus an HBM round-trip
+    of the upsampled (2h, 2w, Cin) tensor before the projection conv reads it
+    back; a per-op device trace (FUTURE.md §2) shows resize among the ~40% of
+    device time spent on VPU work while the MXU convs sit at their roofline
+    only half the time. Because the ×2 half-pixel-center resample is a fixed
+    separable [1/4, 3/4] stencil, upsample∘proj is exactly a stride-1 3×3
+    convolution producing the 4 output phases as channel groups::
+
+        out(2i+py, 2j+px, o) = Σ_{dy,dx,c} S[dy,dx,(py,px)]·P[c,o]·x(i+dy, j+dx, c)
+
+    followed by a depth-to-space interleave (the same pattern as
+    :func:`_upconv2`). Edge taps replicate the border pixel (torch/`
+    ``jax.image.resize`` clamp semantics), handled by an edge-pad + VALID.
+    2.25× the projection's FLOPs (proj is ~4.5% of the net), but all of it on
+    the MXU as one fused kernel instead of resize + conv. Numerics: identical
+    math with f32 accumulation — only the weight-product rounding differs
+    from the two-step path, so the f32 bit-parity configuration keeps the
+    two-step form (see ``_up_block``).
+    """
+    n, h, wd, cin = x.shape
+    cout = w.shape[-1]
+    stencil = jnp.asarray(_BILERP_STENCIL, jnp.float32)
+    proj = w.astype(jnp.float32).reshape(cin, cout)
+    # K[ky, kx, c, phase*cout + o]
+    kern = jnp.einsum("klp,co->klcpo", stencil, proj).reshape(3, 3, cin, 4 * cout)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    # _conv_acc32 (not a raw conv call) so the bf16 training path keeps its
+    # differentiable f32-accumulating custom VJP.
+    y = _conv_acc32(xp, kern.astype(x.dtype), "VALID", precision)
+    y = y.reshape(n, h, wd, 2, 2, cout).transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(n, 2 * h, 2 * wd, cout) + b.astype(jnp.float32)
+
+
 def _center_crop(skip: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     """The reference's UNetUpBlock.center_crop (resunet.py:136-142): static
     center crop of the skip tensor to the upsampled tensor's spatial size.
@@ -229,11 +279,17 @@ def _up_block(
         up = _upconv2(
             x, p["upconv"]["w"], p["upconv"]["b"], precision=precision
         ).astype(compute_dtype)
-    else:
+    elif compute_dtype == jnp.float32:
+        # Bit-parity configuration: keep the reference's two-step form
+        # (resize then project) so logits match torch to float32 rounding.
         up = _bilinear_up2(x)
         up = _conv(up, p["proj"]["w"], p["proj"]["b"], precision=precision).astype(
             compute_dtype
         )
+    else:
+        up = _up_proj_fused(
+            x, p["proj"]["w"], p["proj"]["b"], precision=precision
+        ).astype(compute_dtype)
     skip = _center_crop(skip, up.shape[1], up.shape[2])
     x = jnp.concatenate([up, skip], axis=-1)
     out = _conv_block(

@@ -213,3 +213,24 @@ def test_bfloat16_path_agrees():
     a = np.asarray(unet.unet_argmax(params, x))
     b = np.asarray(unet.unet_argmax(params, x, compute_dtype=jnp.bfloat16))
     assert np.mean(a != b) < 0.02
+
+
+def test_up_proj_fused_matches_two_step():
+    """The fused bilinear-upsample+projection conv (models/unet._up_proj_fused,
+    the bf16 production path) must match resize-then-1x1-conv to f32 rounding,
+    including the edge-replication taps (constant input stays constant)."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 16, 12, 8)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((1, 1, 8, 4)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((4,)), jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
+    two = np.asarray(unet._conv(unet._bilinear_up2(x), w, b, precision=hi))
+    fused = np.asarray(unet._up_proj_fused(x, w, b, precision=hi))
+    assert fused.shape == two.shape
+    np.testing.assert_allclose(fused, two, atol=5e-6, rtol=1e-5)
+
+    xc = jnp.full((1, 8, 8, 3), 2.5, jnp.float32)
+    wc = jnp.asarray(rng.standard_normal((1, 1, 3, 2)), jnp.float32)
+    fc = np.asarray(unet._up_proj_fused(xc, wc, jnp.zeros((2,), jnp.float32), precision=hi))
+    # edge clamp: constant in -> spatially constant out (per channel)
+    assert float(np.ptp(fc, axis=(0, 1, 2)).max()) < 1e-5
