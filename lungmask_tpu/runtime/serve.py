@@ -74,6 +74,16 @@ class InferenceService:
             "volumes_segmented": 0,
             "busy_seconds": 0.0,
             "device_seconds": 0.0,
+            # Per-stage request breakdown (summed seconds) — the serving
+            # lane's equivalent of CohortStats.stage_seconds: where a request
+            # actually spends its time, and how long requests queue on the
+            # device lock (lock_wait vs device = queueing vs compute).
+            "spool_seconds": 0.0,
+            "decode_seconds": 0.0,
+            "preprocess_seconds": 0.0,
+            "lock_wait_seconds": 0.0,
+            "finish_seconds": 0.0,
+            "encode_seconds": 0.0,
         }
 
     def _count(self, key, value=1):
@@ -108,6 +118,8 @@ class InferenceService:
         tmp = tempfile.mkdtemp(prefix="lungmask_serve_")
         try:
             src = self._materialize(stream, length, name, tmp)
+            t1 = time.monotonic()
+            self._count("spool_seconds", t1 - t0)
             try:
                 image = loader.load_input_image(src)
             except ValueError:
@@ -117,15 +129,24 @@ class InferenceService:
                 # (BadGzipFile, struct truncations, …) — client errors, not
                 # server faults.
                 raise ValueError(f"could not decode {name!r}: {e}") from e
+            t2 = time.monotonic()
+            self._count("decode_seconds", t2 - t1)
             pre = self.inferer.preprocess_image(image)
             t_dev = time.monotonic()
+            self._count("preprocess_seconds", t_dev - t2)
             with self._device_lock:
+                t_lock = time.monotonic()
+                self._count("lock_wait_seconds", t_lock - t_dev)
                 pred = self.inferer.forward_preprocessed(pre)
-            self._count("device_seconds", time.monotonic() - t_dev)
+            t3 = time.monotonic()
+            self._count("device_seconds", t3 - t_lock)
             mask = self.inferer.finish_forward(pre, pred)
             result = image.with_array(mask)
             result.metadata = {}
+            t4 = time.monotonic()
+            self._count("finish_seconds", t4 - t3)
             payload = self._encode(result, out_ext, tmp)
+            self._count("encode_seconds", time.monotonic() - t4)
             self._count("volumes_segmented")
             self._count("busy_seconds", time.monotonic() - t0)
             return payload, (
