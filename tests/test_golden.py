@@ -164,48 +164,55 @@ def synthetic_w3(tmp_path_factory):
     return p
 
 
-@pytest.mark.slow  # full-pipeline runs on the real CT series (~40-85 s each on this 1-core host)
+@pytest.fixture(scope="module")
+def synthetic_masks(refvol, synthetic_w3):
+    """The three full-pipeline masks every synthetic golden gate needs,
+    computed ONCE per module: each apply costs a wf=6 forward on the real
+    512² CT series on this 1-core host (~1-3 min with compiles), and the
+    round-3 review measured the previous one-apply-per-test layout at
+    160-324 s PER TEST. Tests below assert on these cached results."""
+    masks = {}
+    for key, kwargs in (
+        ("host_f32", dict(preprocessing="host", precision="float32")),
+        ("hybrid_f32", dict(preprocessing="hybrid", precision="float32")),
+        ("hybrid_bf16", dict()),  # the product default config
+    ):
+        masks[key] = LMInferer(
+            modelpath=synthetic_w3, tqdm_disable=True, **kwargs
+        ).apply(refvol)
+    return masks
+
+
+@pytest.mark.slow  # one full-pipeline apply per config, shared module fixture
 @needs_refdata
-@pytest.mark.parametrize("preprocessing", ["host", "hybrid"])
-def test_synthetic_golden_counts_f32(refvol, synthetic_w3, preprocessing):
-    inferer = LMInferer(
-        modelpath=synthetic_w3,
-        tqdm_disable=True,
-        preprocessing=preprocessing,
-        precision="float32",
-    )
-    res = inferer.apply(refvol)
+@pytest.mark.parametrize("config", ["host_f32", "hybrid_f32"])
+def test_synthetic_golden_counts_f32(synthetic_masks, config):
+    res = synthetic_masks[config]
     counts = [int((res == v).sum()) for v in range(3)]
     assert counts == SYNTHETIC_GOLDEN
 
 
-@pytest.mark.slow  # full-pipeline runs on the real CT series (~40-85 s each on this 1-core host)
+@pytest.mark.slow
 @needs_refdata
-def test_synthetic_golden_default_config_agreement(refvol, synthetic_w3):
+def test_synthetic_golden_default_config_agreement(synthetic_masks):
     """Default config (hybrid preprocessing, bfloat16): bf16 argmax flips vs
     the pinned f32 mask stay under 0.2% (measured 0.03% on this data)."""
-    res = LMInferer(modelpath=synthetic_w3, tqdm_disable=True).apply(refvol)
+    res = synthetic_masks["hybrid_bf16"]
     counts = np.array([int((res == v).sum()) for v in range(3)])
     delta = np.abs(counts - np.array(SYNTHETIC_GOLDEN)).sum()
     assert delta / res.size < 0.002, (counts.tolist(), SYNTHETIC_GOLDEN)
 
 
-@pytest.mark.slow  # full-pipeline runs on the real CT series (~40-85 s each on this 1-core host)
+@pytest.mark.slow
 @needs_refdata
-def test_synthetic_hybrid_host_masks_identical(refvol, synthetic_w3):
+def test_synthetic_hybrid_host_masks_identical(synthetic_masks):
     """Stronger than equal counts: the hybrid and host preprocessing configs
     must produce voxel-identical masks on the reference's real CT series
     (metrics.dice == 1.0 per label)."""
     from lungmask_tpu import metrics
 
-    masks = {}
-    for pre in ("host", "hybrid"):
-        masks[pre] = LMInferer(
-            modelpath=synthetic_w3,
-            tqdm_disable=True,
-            preprocessing=pre,
-            precision="float32",
-        ).apply(refvol)
-    cmp = metrics.compare_masks(masks["hybrid"], masks["host"])
+    cmp = metrics.compare_masks(
+        synthetic_masks["hybrid_f32"], synthetic_masks["host_f32"]
+    )
     assert cmp.voxel_accuracy == 1.0
     assert all(m.dice == 1.0 for m in cmp.per_label.values())
