@@ -52,6 +52,29 @@ from lungmask_tpu.logger import logger
 _SINGLE_FILE_OUT = (".nii", ".nii.gz", ".mha", ".nrrd", ".gipl", ".vtk")
 
 
+def _scratch_base(need_bytes: int) -> Optional[str]:
+    """Directory for a request's scratch files, preferring RAM over disk.
+
+    Spooling bounds RSS (a request's bytes live in files, not Python
+    buffers), but a disk-backed /tmp makes every request pay two full
+    write+read passes (upload spool + response encode). tmpfs keeps the
+    bound — the kernel accounts the pages and reclaims them on rmtree —
+    without the disk IO. Falls back to the default temp dir when /dev/shm
+    is absent (macOS, some containers) or too full for ~3x the upload.
+    ``LUNGMASK_TPU_SERVE_SPOOL_DIR`` overrides (e.g. force disk spooling
+    on RAM-tight hosts)."""
+    override = os.environ.get("LUNGMASK_TPU_SERVE_SPOOL_DIR")
+    if override:
+        return override
+    shm = "/dev/shm"
+    try:
+        if shutil.disk_usage(shm).free > need_bytes * 3 + (1 << 30):
+            return shm
+    except OSError:
+        pass
+    return None  # tempfile default
+
+
 class InferenceService:
     """Thread-safe segmentation service around one :class:`LMInferer`.
 
@@ -115,7 +138,9 @@ class InferenceService:
                 f"{', '.join(_SINGLE_FILE_OUT)}, .dcm)"
             )
         t0 = time.monotonic()
-        tmp = tempfile.mkdtemp(prefix="lungmask_serve_")
+        tmp = tempfile.mkdtemp(
+            prefix="lungmask_serve_", dir=_scratch_base(length)
+        )
         try:
             src = self._materialize(stream, length, name, tmp)
             t1 = time.monotonic()
