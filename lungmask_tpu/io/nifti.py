@@ -115,8 +115,19 @@ def _parse_header(path: str, data: bytes):
 
 
 def read(path: str) -> MedicalImage:
-    with _open(path, "rb") as f:
-        data = f.read()
+    if path.endswith(".gz"):
+        # gzip must decompress the whole stream anyway — keep the one-shot
+        # read; voxel decode below works off the in-memory buffer.
+        with _open(path, "rb") as f:
+            data = f.read()
+    else:
+        # Uncompressed: read only the header here and stream the voxels
+        # straight into a writable owned array (np.fromfile) — one memcpy
+        # for the whole file instead of read()->bytes->writable copy (the
+        # serving lane decodes one ~100 MB volume per request; the double
+        # pass was its second-largest host cost).
+        with open(path, "rb") as f:
+            data = f.read(544)  # covers NIfTI-1 (348) and NIfTI-2 (540)
     h = _parse_header(path, data)
 
     dim = h["dim"]
@@ -142,9 +153,17 @@ def read(path: str) -> MedicalImage:
         # For detached pairs, vox_offset is the byte offset INTO the .img
         # file (NIfTI spec) — keep it, unlike the single-file case where it
         # offsets into this same buffer past the header.
-    arr = np.frombuffer(
-        data, dtype=dtype, count=count, offset=h["vox_offset"]
-    ).reshape(nz, ny, nx)
+    if h["detached"] or path.endswith(".gz"):
+        arr = np.frombuffer(
+            data, dtype=dtype, count=count, offset=h["vox_offset"]
+        ).reshape(nz, ny, nx)
+    else:
+        with open(path, "rb") as f:
+            f.seek(h["vox_offset"])
+            arr = np.fromfile(f, dtype=dtype, count=count)
+        if arr.size != count:
+            raise ValueError(f"{path}: truncated NIfTI voxel data")
+        arr = arr.reshape(nz, ny, nx)
     if not arr.dtype.isnative:
         arr = arr.astype(arr.dtype.newbyteorder("="))
     # NIfTI-1: scl_slope == 0 means "no scaling" (intercept ignored too);
