@@ -58,6 +58,40 @@ def _largest_cc(mask: jnp.ndarray) -> jnp.ndarray:
     return cc.largest_component_mask_last_tie(labels)
 
 
+def _largest_cc_per_class(pred: jnp.ndarray, n_classes: int) -> jnp.ndarray:
+    """(n_classes-1, N, H, W) bool stack: largest 26-connected component of
+    each non-zero class, from ONE labeling of the multi-class map.
+
+    ``cc.label`` connects only same-value neighbors, so each class's
+    components are identical to labeling its binary mask alone — but the
+    fixpoint runs once over the volume instead of once per class (the
+    labeling fixpoint dominates device postprocessing; n_classes-1 passes
+    were the whole-volume cost × classes).
+
+    Per-root class lookup is free: a root label r is (linear index of the
+    component's first voxel) + 1, so ``pred.flat[r-1]`` IS the component's
+    class — realized as pred flattened with a zero prepended, no scatter.
+    Non-root entries of that vector are garbage, but their area is 0 so they
+    can never win the argmax. Tie-breaking matches
+    ``cc.largest_component_mask_last_tie`` (reference utils.py:402,
+    np.argsort(areas)[-1]: scan-order-LAST component wins area ties).
+    """
+    labels = cc.label(pred)
+    areas = cc.areas_by_root(labels).at[0].set(0)
+    root_class = jnp.concatenate(
+        [jnp.zeros((1,), pred.dtype), pred.reshape(-1)]
+    )
+    n = areas.shape[0]
+    keeps = []
+    for v in range(1, n_classes):
+        areas_v = jnp.where(root_class == v, areas, 0)
+        best_root = n - 1 - jnp.argmax(areas_v[::-1])
+        # Empty class: every masked area is 0 and argmax lands on an
+        # arbitrary root that may belong to another class — gate on its area.
+        keeps.append((labels == best_root) & (areas_v[best_root] > 0))
+    return jnp.stack(keeps)
+
+
 @functools.partial(jax.jit, static_argnames=("n_classes",))
 def postprocess_device_packed2(pred: jnp.ndarray, n_classes: int) -> jnp.ndarray:
     """:func:`postprocess_device` with the cleaned map crumb-packed on device
@@ -83,10 +117,16 @@ def postprocess_device(pred: jnp.ndarray, n_classes: int) -> jnp.ndarray:
     its holes; later labels overwrite earlier ones where components overlap
     after hole filling (matching the reference's final write order,
     utils.py:354-356).
+
+    One labeling fixpoint covers every class (see
+    :func:`_largest_cc_per_class`), and the per-class hole fills run as one
+    vmapped flood — iteration count is the max over classes instead of the
+    sum, and each round is one batched VPU program instead of per-class
+    dispatches.
     """
+    keeps = _largest_cc_per_class(pred, n_classes)
+    filled = jax.vmap(_fill_holes_3d)(keeps)
     out = jnp.zeros_like(pred)
-    for v in range(1, n_classes):
-        mask = pred == v
-        cleaned = _fill_holes_3d(_largest_cc(mask))
-        out = jnp.where(cleaned, jnp.uint8(v), out)
+    for i, v in enumerate(range(1, n_classes)):
+        out = jnp.where(filled[i], jnp.uint8(v), out)
     return out
