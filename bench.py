@@ -257,7 +257,11 @@ def main():
     runner.run_numpy(vol_dev)
     compile_s = time.perf_counter() - t0
 
-    reps = 2 if small else 3
+    # Best-of-5: the tunnel RPC latency to the remote TPU varies run to run
+    # (same program family measured 5.8 s vs 175 s COMPILE on different days,
+    # and per-dispatch latency swings with it) — 3 reps was not enough to
+    # ride out a slow-link burst in the driver's single capture.
+    reps = 2 if small else 5
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -369,7 +373,7 @@ def main():
         # by the service lock), device postprocess, encode, download. The
         # delta vs the cohort number is the serving overhead.
         serve_vph, serve_errors = _bench_serve(
-            dev_inferer, e2e_vol, n=2 if small else 6, threads=3
+            dev_inferer, e2e_vol, n=2 if small else 9, threads=3
         )
 
         # Accuracy contract, measured per run: device-mode postprocessing vs

@@ -33,6 +33,7 @@ see /root/reference/lungmask/resunet.py:39-70.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, List, Sequence
 
 import jax
@@ -210,6 +211,12 @@ _BILERP_STENCIL = np.einsum(
 ).reshape(3, 3, 4)
 
 
+# Opt-in only (LUNGMASK_TPU_FUSED_UPSAMPLE=1): measured SLOWER end-to-end on
+# TPU v5e (763 vs 961 slices/s) — see the rationale in _up_block. Kept for
+# re-evaluation on hardware where conv efficiency at these shapes differs.
+_FUSED_UPSAMPLE = os.environ.get("LUNGMASK_TPU_FUSED_UPSAMPLE") == "1"
+
+
 def _up_proj_fused(
     x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, *, precision
 ) -> jnp.ndarray:
@@ -228,11 +235,17 @@ def _up_proj_fused(
     followed by a depth-to-space interleave (the same pattern as
     :func:`_upconv2`). Edge taps replicate the border pixel (torch/`
     ``jax.image.resize`` clamp semantics), handled by an edge-pad + VALID.
-    2.25× the projection's FLOPs (proj is ~4.5% of the net), but all of it on
-    the MXU as one fused kernel instead of resize + conv. Numerics: identical
-    math with f32 accumulation — only the weight-product rounding differs
-    from the two-step path, so the f32 bit-parity configuration keeps the
-    two-step form (see ``_up_block``).
+
+    **Measured SLOWER than the two-step path on TPU v5e** (961 → 763
+    slices/s end-to-end) and therefore opt-in via
+    ``LUNGMASK_TPU_FUSED_UPSAMPLE=1``: the dense 3×3×Cin×4Cout kernel pays
+    9× the projection's MXU FLOPs (per output phase only a 2×2 subset of
+    the 3×3 stencil is non-zero, but a dense conv cannot exploit that), and
+    at these channel counts the extra MXU time exceeds the HBM round-trip
+    it saves. Numerics: identical math with f32 accumulation — only the
+    weight-product rounding differs from the two-step path, so the f32
+    bit-parity configuration always keeps the two-step form (see
+    ``_up_block``).
     """
     n, h, wd, cin = x.shape
     cout = w.shape[-1]
@@ -279,17 +292,22 @@ def _up_block(
         up = _upconv2(
             x, p["upconv"]["w"], p["upconv"]["b"], precision=precision
         ).astype(compute_dtype)
-    elif compute_dtype == jnp.float32:
-        # Bit-parity configuration: keep the reference's two-step form
-        # (resize then project) so logits match torch to float32 rounding.
+    elif _FUSED_UPSAMPLE and compute_dtype != jnp.float32:
+        up = _up_proj_fused(
+            x, p["proj"]["w"], p["proj"]["b"], precision=precision
+        ).astype(compute_dtype)
+    else:
+        # Default (and the float32 bit-parity configuration): the reference's
+        # two-step form — resize then project — so f32 logits match torch to
+        # float32 rounding. This is ALSO the measured-fastest bf16 path: the
+        # fused 3×3 phase-conv (_up_proj_fused) pays 9× the projection's
+        # MXU FLOPs (the dense stencil can't exploit its per-phase 2×2
+        # sparsity), and the end-to-end stream measured 763 vs 961 slices/s
+        # on TPU v5e with fusion on — the VPU resize + 1×1 conv wins.
         up = _bilinear_up2(x)
         up = _conv(up, p["proj"]["w"], p["proj"]["b"], precision=precision).astype(
             compute_dtype
         )
-    else:
-        up = _up_proj_fused(
-            x, p["proj"]["w"], p["proj"]["b"], precision=precision
-        ).astype(compute_dtype)
     skip = _center_crop(skip, up.shape[1], up.shape[2])
     x = jnp.concatenate([up, skip], axis=-1)
     out = _conv_block(
