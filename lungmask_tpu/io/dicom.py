@@ -72,6 +72,14 @@ _ENCAPSULATED = {
 }
 CT_STORAGE_UID = "1.2.840.10008.5.1.4.1.1.2"
 
+# Part-15 High-Throughput JPEG 2000 — recognized so the rejection names the
+# codec (see the dispatch below and FUTURE.md's HTJ2K entry).
+_HTJ2K_SYNTAXES = {
+    "1.2.840.10008.1.2.4.201",  # HTJ2K Lossless
+    "1.2.840.10008.1.2.4.202",  # HTJ2K with RPCL options (lossless)
+    "1.2.840.10008.1.2.4.203",  # HTJ2K (lossy permitted)
+}
+
 # VRs whose explicit encoding uses a 2-byte reserved field + 4-byte length.
 _LONG_VRS = {b"OB", b"OW", b"OF", b"OL", b"OD", b"SQ", b"UC", b"UR", b"UT", b"UN"}
 
@@ -420,6 +428,18 @@ def _parse_dataset(
         bo = ">"
     elif transfer_syntax == EXPLICIT_VR_LE or transfer_syntax in _ENCAPSULATED:
         explicit = True  # encapsulated syntaxes encode the dataset explicit LE
+    elif transfer_syntax in _HTJ2K_SYNTAXES:
+        # Part-15 High-Throughput JPEG 2000. Deliberately unimplemented: no
+        # HT codec exists in this environment to generate or cross-check
+        # fixtures, and a block decoder written blind against T.814 would
+        # ship unverified (see FUTURE.md). Fail loudly with a name, not a
+        # generic "unsupported" — transcoding to classic J2K is lossless.
+        raise DicomError(
+            f"{path}: transfer syntax {transfer_syntax} is High-Throughput "
+            "JPEG 2000 (HTJ2K), which this build does not decode; transcode "
+            "the series to classic JPEG 2000 lossless (1.2.840.10008.1.2.4.90)"
+            " or an uncompressed syntax"
+        )
     else:
         raise DicomError(
             f"{path}: transfer syntax {transfer_syntax} not supported "

@@ -38,6 +38,49 @@ def _norm(hu: float) -> float:
     return (min(hu, 600.0) + 1024.0) / 1624.0
 
 
+def _scaffold(n_classes: int, wf: int, hinges: dict):
+    """Zeroed production-shape pytree that carries the input v in channel 0
+    through every level and adds hinge channels h_θ := ReLU(v − θ) on the
+    level-0 skip.
+
+    ``hinges`` maps a level-0 skip channel (≥1; channel 0 stays the identity
+    carry) to its threshold θ. The decoder's 1×1 projections stay zero (the
+    deep path dies, only the full-resolution skip survives — concat order is
+    [up, skip], models/unet._up_block, so skip channel c sits at index
+    cout + c), classes ≥3 are suppressed, and the head is left zero for the
+    caller to fill with its band logits.
+    """
+    import jax
+
+    params = unet.init_params(jax.random.PRNGKey(0), n_classes=n_classes, wf=wf)
+    params = jax.tree_util.tree_map(lambda a: np.zeros(a.shape, np.float32), params)
+
+    def ident(w, cin=0, cout=0):
+        w[w.shape[0] // 2, w.shape[1] // 2, cin, cout] = 1.0
+
+    carried = 1 + len(hinges)
+    for i, block in enumerate(params["down"]):
+        ident(block["conv1"]["w"])  # carry v in channel 0
+        ident(block["conv2"]["w"])
+        for bn in ("bn1", "bn2"):
+            block[bn]["scale"][:] = 1.0
+        if i == 0:
+            for c, theta in hinges.items():
+                ident(block["conv2"]["w"], cin=0, cout=c)
+                block["conv2"]["b"][c] = -theta
+
+    for up in params["up"]:
+        cout = up["conv_block"]["conv2"]["w"].shape[2]
+        for c in range(carried):
+            ident(up["conv_block"]["conv1"]["w"], cin=cout + c, cout=c)
+            ident(up["conv_block"]["conv2"]["w"], cin=c, cout=c)
+        for bn in ("bn1", "bn2"):
+            up["conv_block"][bn]["scale"][:] = 1.0
+
+    params["last"]["b"][3:] = -100.0  # any further classes never win
+    return params
+
+
 def threshold_params(
     n_classes: int = 3,
     t1_hu: float = -650.0,
@@ -52,39 +95,11 @@ def threshold_params(
     the crafted construction only needs channels 0-1.
     """
     assert n_classes >= 3
-    import jax
-
-    params = unet.init_params(jax.random.PRNGKey(0), n_classes=n_classes, wf=wf)
-    params = jax.tree_util.tree_map(lambda a: np.zeros(a.shape, np.float32), params)
-
-    def ident(w, cin=0, cout=0):
-        w[w.shape[0] // 2, w.shape[1] // 2, cin, cout] = 1.0
-
     t1, t2 = _norm(t1_hu), _norm(t2_hu)
     a, k = float(slope), float(hinge_k * slope)
 
-    for i, block in enumerate(params["down"]):
-        ident(block["conv1"]["w"])  # carry v in channel 0
-        ident(block["conv2"]["w"])
-        for bn in ("bn1", "bn2"):
-            block[bn]["scale"][:] = 1.0
-        if i == 0:
-            # channel 1 of the level-0 skip: hinge ReLU(v - t2)
-            ident(block["conv2"]["w"], cin=0, cout=1)
-            block["conv2"]["b"][1] = -t2
-
-    for up in params["up"]:
-        # proj stays zero: kill the deep path, keep only the skip.
-        cout = up["conv_block"]["conv2"]["w"].shape[2]
-        # concat order is [up, skip] (models/unet._up_block), so skip
-        # channel c sits at index cout + c.
-        ident(up["conv_block"]["conv1"]["w"], cin=cout + 0, cout=0)
-        ident(up["conv_block"]["conv1"]["w"], cin=cout + 1, cout=1)
-        ident(up["conv_block"]["conv2"]["w"], cin=0, cout=0)
-        ident(up["conv_block"]["conv2"]["w"], cin=1, cout=1)
-        for bn in ("bn1", "bn2"):
-            up["conv_block"][bn]["scale"][:] = 1.0
-
+    # channel 1 of the level-0 skip: hinge ReLU(v - t2)
+    params = _scaffold(n_classes, wf, {1: t2})
     last_w, last_b = params["last"]["w"], params["last"]["b"]
     # logit0 (background):   a·(v − t2)
     last_w[0, 0, 0, 0] = a
@@ -96,8 +111,6 @@ def threshold_params(
     # logit2 (deep air):     a·(t1 − v)
     last_w[0, 0, 0, 2] = -a
     last_b[2] = a * t1
-    # any further classes never win
-    last_b[3:] = -100.0
     return params
 
 
@@ -139,38 +152,11 @@ def laterality_params(
     divergence confined to small satellites, macro-dice ≥ 0.99 expected.
     """
     assert n_classes >= 3
-    import jax
-
-    params = unet.init_params(jax.random.PRNGKey(0), n_classes=n_classes, wf=wf)
-    params = jax.tree_util.tree_map(lambda a: np.zeros(a.shape, np.float32), params)
-
-    def ident(w, cin=0, cout=0):
-        w[w.shape[0] // 2, w.shape[1] // 2, cin, cout] = 1.0
-
     t0, t1, t2 = _norm(t0_hu), _norm(t1_hu), _norm(t2_hu)
     a, k = float(slope), float(hinge_k * slope)
 
-    for i, block in enumerate(params["down"]):
-        ident(block["conv1"]["w"])  # carry v in channel 0
-        ident(block["conv2"]["w"])
-        for bn in ("bn1", "bn2"):
-            block[bn]["scale"][:] = 1.0
-        if i == 0:
-            # level-0 skip channels 1/2: hinges at the two upper band edges
-            ident(block["conv2"]["w"], cin=0, cout=1)
-            block["conv2"]["b"][1] = -t1
-            ident(block["conv2"]["w"], cin=0, cout=2)
-            block["conv2"]["b"][2] = -t2
-
-    for up in params["up"]:
-        # proj stays zero: kill the deep path, keep only the skip.
-        cout = up["conv_block"]["conv2"]["w"].shape[2]
-        for c in range(3):
-            ident(up["conv_block"]["conv1"]["w"], cin=cout + c, cout=c)
-            ident(up["conv_block"]["conv2"]["w"], cin=c, cout=c)
-        for bn in ("bn1", "bn2"):
-            up["conv_block"][bn]["scale"][:] = 1.0
-
+    # level-0 skip channels 1/2: hinges at the two upper band edges
+    params = _scaffold(n_classes, wf, {1: t1, 2: t2})
     last_w, last_b = params["last"]["w"], params["last"]["b"]
     # logit0 (background, wins below t0 and above t2): constant 0.
     # logit1 (moderate air):  a·(v − t1) − K·h_{t2}
@@ -181,6 +167,4 @@ def laterality_params(
     last_w[0, 0, 0, 2] = a
     last_w[0, 0, 1, 2] = -k
     last_b[2] = -a * t0
-    # any further classes never win
-    last_b[3:] = -100.0
     return params

@@ -129,6 +129,10 @@ def run_cohort(
         "load_wait": 0.0,
         "forward_busy": 0.0,
         "forward_wait": 0.0,
+        # Time the main thread spent blocked handing results to the finisher
+        # (out_q full) — kept separate from forward_wait (in_q starvation) so
+        # the bench's bottleneck diagnosis points at the right neighbor.
+        "forward_backpressure": 0.0,
         "finish_busy": 0.0,
         "finish_wait": 0.0,
     }
@@ -152,8 +156,8 @@ def run_cohort(
                                       None, f"source iteration failed: {e}"),
                                "load_wait")
                     break
+                t0 = time.perf_counter()
                 try:
-                    t0 = time.perf_counter()
                     img = _load(src)
                     pre = inferer.preprocess_image(img) if split_phase else None
                     waits["load_busy"] += time.perf_counter() - t0
@@ -162,6 +166,10 @@ def run_cohort(
                 # SystemExit included: load_input_image sys.exit()s on empty
                 # DICOM dirs (reference semantics) — here that skips the volume.
                 except (Exception, SystemExit) as e:
+                    # Time burned before the failure is still loader work —
+                    # without it, a cohort of failing volumes reports an
+                    # all-idle loader and the diagnosis blames the wrong stage.
+                    waits["load_busy"] += time.perf_counter() - t0
                     _timed_put(in_q, (name_of(i, src), None, None, str(e)),
                                "load_wait")
         finally:
@@ -177,8 +185,8 @@ def run_cohort(
             name, img, pre, payload, t0, err = item
             mask = None
             if err is None:
+                tb = time.perf_counter()
                 try:
-                    tb = time.perf_counter()
                     mask = (
                         inferer.finish_forward(pre, payload)
                         if split_finish
@@ -189,10 +197,11 @@ def run_cohort(
                         loader.write_image(
                             out, os.path.join(output_dir, f"{name}_mask.nii.gz")
                         )
-                    waits["finish_busy"] += time.perf_counter() - tb
                 except Exception as e:
                     logger.error(f"cohort: finishing failed for {name}: {e}")
                     err, mask = str(e), None
+                finally:
+                    waits["finish_busy"] += time.perf_counter() - tb
             res = CohortResult(
                 name=name,
                 mask=mask if keep_masks else None,
@@ -222,7 +231,8 @@ def run_cohort(
         t0 = time.perf_counter()
         if err is not None:
             logger.warning(f"cohort: skipping {name}: {err}")
-            _timed_put(out_q, (name, None, None, None, t0, err), "forward_wait")
+            _timed_put(out_q, (name, None, None, None, t0, err),
+                       "forward_backpressure")
             continue
         try:
             if split_finish:
@@ -233,11 +243,12 @@ def run_cohort(
                 payload = inferer.apply(img)
             waits["forward_busy"] += time.perf_counter() - t0
             _timed_put(out_q, (name, img, pre, payload, t0, None),
-                       "forward_wait")
+                       "forward_backpressure")
         except Exception as e:
             logger.error(f"cohort: inference failed for {name}: {e}")
+            waits["forward_busy"] += time.perf_counter() - t0
             _timed_put(out_q, (name, img, None, None, t0, str(e)),
-                       "forward_wait")
+                       "forward_backpressure")
 
     out_q.put(None)
     lt.join()

@@ -52,7 +52,7 @@ from lungmask_tpu.logger import logger
 _SINGLE_FILE_OUT = (".nii", ".nii.gz", ".mha", ".nrrd", ".gipl", ".vtk")
 
 
-def _scratch_base(need_bytes: int) -> Optional[str]:
+def _scratch_base(need_bytes: int, reserved_bytes: int = 0) -> Optional[str]:
     """Directory for a request's scratch files, preferring RAM over disk.
 
     Spooling bounds RSS (a request's bytes live in files, not Python
@@ -61,14 +61,24 @@ def _scratch_base(need_bytes: int) -> Optional[str]:
     bound — the kernel accounts the pages and reclaims them on rmtree —
     without the disk IO. Falls back to the default temp dir when /dev/shm
     is absent (macOS, some containers) or too full for ~3x the upload.
+    ``reserved_bytes`` is space already promised to in-flight requests
+    (the free-space probe alone is check-then-use racy under concurrency).
     ``LUNGMASK_TPU_SERVE_SPOOL_DIR`` overrides (e.g. force disk spooling
     on RAM-tight hosts)."""
     override = os.environ.get("LUNGMASK_TPU_SERVE_SPOOL_DIR")
     if override:
-        return override
+        try:
+            os.makedirs(override, exist_ok=True)
+            return override
+        except OSError as e:
+            logger.warning(
+                f"serve: LUNGMASK_TPU_SERVE_SPOOL_DIR={override!r} unusable "
+                f"({e}); falling back to the default temp dir"
+            )
+            return None
     shm = "/dev/shm"
     try:
-        if shutil.disk_usage(shm).free > need_bytes * 3 + (1 << 30):
+        if shutil.disk_usage(shm).free - reserved_bytes > need_bytes * 3 + (1 << 30):
             return shm
     except OSError:
         pass
@@ -91,6 +101,10 @@ class InferenceService:
         self.max_upload_bytes = max_upload_mb * 1024 * 1024
         self._device_lock = threading.Lock()
         self._stats_lock = threading.Lock()
+        # tmpfs bytes promised to in-flight requests (see _scratch_base):
+        # concurrent 2 GB uploads must not all pass the same free-space
+        # probe and then ENOSPC each other mid-spool.
+        self._scratch_reserved = 0
         self.stats = {
             "requests": 0,
             "errors": 0,
@@ -138,9 +152,12 @@ class InferenceService:
                 f"{', '.join(_SINGLE_FILE_OUT)}, .dcm)"
             )
         t0 = time.monotonic()
-        tmp = tempfile.mkdtemp(
-            prefix="lungmask_serve_", dir=_scratch_base(length)
-        )
+        need = length * 3 + (1 << 30)
+        with self._stats_lock:
+            base = _scratch_base(length, self._scratch_reserved)
+            reserved = need if base == "/dev/shm" else 0
+            self._scratch_reserved += reserved
+        tmp = tempfile.mkdtemp(prefix="lungmask_serve_", dir=base)
         try:
             src = self._materialize(stream, length, name, tmp)
             t1 = time.monotonic()
@@ -179,6 +196,9 @@ class InferenceService:
             )
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+            if reserved:
+                with self._stats_lock:
+                    self._scratch_reserved -= reserved
 
     def _materialize(self, stream, length: int, name: str, tmp: str) -> str:
         """Spool the upload into ``tmp``; returns the path to load."""

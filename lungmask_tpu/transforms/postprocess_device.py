@@ -51,13 +51,6 @@ def _fill_holes_3d(mask: jnp.ndarray) -> jnp.ndarray:
     return morphology.binary_fill_holes(mask, structure="cross")
 
 
-def _largest_cc(mask: jnp.ndarray) -> jnp.ndarray:
-    """Largest 26-connected component, reference tie-breaking
-    (utils.py:390-404: last-scan-order on area ties)."""
-    labels = cc.label(mask)
-    return cc.largest_component_mask_last_tie(labels)
-
-
 def _largest_cc_per_class(pred: jnp.ndarray, n_classes: int) -> jnp.ndarray:
     """(n_classes-1, N, H, W) bool stack: largest 26-connected component of
     each non-zero class, from ONE labeling of the multi-class map.

@@ -49,42 +49,82 @@ _TIMEOUT_SLOW = 900
 _TIMEOUT_GLACIAL = 3600
 
 
-@pytest.hookimpl(hookwrapper=True)
-def pytest_runtest_protocol(item, nextitem):
+def _timeout_budget(item) -> int:
+    override = os.environ.get("LUNGMASK_TPU_TEST_TIMEOUT")
+    if override is not None:
+        try:
+            return int(override)
+        except ValueError:
+            import warnings
+
+            warnings.warn(
+                f"LUNGMASK_TPU_TEST_TIMEOUT={override!r} is not an integer; "
+                "using the marker-based default",
+                stacklevel=1,
+            )
+    if item.get_closest_marker("glacial"):
+        return _TIMEOUT_GLACIAL
+    if item.get_closest_marker("slow"):
+        return _TIMEOUT_SLOW
+    return _TIMEOUT_SMOKE
+
+
+def _alarm_guard(budget: int):
+    """Context manager arming SIGALRM for one runtest *phase*.
+
+    Each phase (setup/call/teardown) gets its own alarm so the TimeoutError
+    always surfaces inside that phase's CallInfo — raising during pytest's
+    own protocol/reporting machinery would abort the whole session as
+    INTERNALERROR instead of failing one test."""
+    import contextlib
     import signal
     import threading
 
-    override = os.environ.get("LUNGMASK_TPU_TEST_TIMEOUT")
-    if override is not None:
-        budget = int(override)
-    elif item.get_closest_marker("glacial"):
-        budget = _TIMEOUT_GLACIAL
-    elif item.get_closest_marker("slow"):
-        budget = _TIMEOUT_SLOW
-    else:
-        budget = _TIMEOUT_SMOKE
     usable = (
         budget > 0
         and hasattr(signal, "SIGALRM")
         and threading.current_thread() is threading.main_thread()
     )
     if not usable:
-        yield
-        return
+        return contextlib.nullcontext()
 
-    def _on_alarm(signum, frame):
-        raise TimeoutError(
-            f"test exceeded its {budget}s wall-clock cap "
-            "(tests/conftest.py; LUNGMASK_TPU_TEST_TIMEOUT overrides)"
-        )
+    @contextlib.contextmanager
+    def guard():
+        def _on_alarm(signum, frame):
+            raise TimeoutError(
+                f"test phase exceeded its {budget}s wall-clock cap "
+                "(tests/conftest.py; LUNGMASK_TPU_TEST_TIMEOUT overrides)"
+            )
 
-    old = signal.signal(signal.SIGALRM, _on_alarm)
-    signal.alarm(budget)
-    try:
+        old = signal.signal(signal.SIGALRM, _on_alarm)
+        signal.alarm(budget)
+        try:
+            yield
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
+
+    return guard()
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_setup(item):
+    # Module/session fixtures front-load a whole file's work and are charged
+    # to the first test's setup phase — give setup twice the call budget.
+    with _alarm_guard(2 * _timeout_budget(item)):
         yield
-    finally:
-        signal.alarm(0)
-        signal.signal(signal.SIGALRM, old)
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_call(item):
+    with _alarm_guard(_timeout_budget(item)):
+        yield
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_teardown(item, nextitem):
+    with _alarm_guard(_timeout_budget(item)):
+        yield
 
 
 def pytest_report_header(config):

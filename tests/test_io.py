@@ -249,6 +249,35 @@ def test_dicom_rejects_compressed_syntax(tmp_path, rng):
         dicom.read_file(p)
 
 
+@pytest.mark.parametrize(
+    "uid",
+    [
+        "1.2.840.10008.1.2.4.201",
+        "1.2.840.10008.1.2.4.202",
+        "1.2.840.10008.1.2.4.203",
+    ],
+)
+def test_dicom_htj2k_rejected_by_name(tmp_path, uid):
+    """HTJ2K syntaxes (Part 15) are recognized and rejected with an error
+    that names the codec and the transcode path — not the generic message."""
+    import struct
+
+    meta = b""
+    for (g, e), vr, v in [
+        ((0x0002, 0x0001), b"OB", b"\x00\x01"),
+        ((0x0002, 0x0010), b"UI", uid.encode() + (b"\x00" if len(uid) % 2 else b"")),
+    ]:
+        meta += dicom._encode_element(g, e, vr, v)
+    group_len = dicom._encode_element(
+        0x0002, 0x0000, b"UL", struct.pack("<I", len(meta))
+    )
+    p = str(tmp_path / "ht.dcm")
+    with open(p, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM" + group_len + meta)
+    with pytest.raises(dicom.DicomError, match="HTJ2K"):
+        dicom.read_file(p)
+
+
 @pytest.mark.parametrize("compressed", [False, True])
 def test_nrrd_roundtrip(tmp_path, compressed, rng):
     from lungmask_tpu.io import nrrd
