@@ -10,6 +10,7 @@ input, keep-listed DICOM tags propagated.
 
 from __future__ import annotations
 
+import gzip
 import os
 import sys
 from typing import List, Optional
@@ -224,6 +225,43 @@ _WRITERS = {
     ".tif": _write_raster,
     ".tiff": _write_raster,
 }
+
+
+# Formats with an in-memory decode/encode path (serving-lane fast lane — no
+# temp-file spool). NIfTI is the lane's dominant wire format; other formats
+# keep the spool-to-scratch path.
+_MEMORY_FORMATS = (".nii", ".nii.gz")
+
+
+def supports_memory_io(name: str) -> bool:
+    """True if ``name``'s format can be decoded from / encoded to a single
+    in-memory buffer (load_input_bytes / encode_image_bytes)."""
+    return _format_of(name) in _MEMORY_FORMATS
+
+
+def load_input_bytes(data, name: str) -> MedicalImage:
+    """Decode a whole in-memory upload whose format is given by ``name``'s
+    extension. Only :data:`_MEMORY_FORMATS` are supported — callers should
+    check :func:`supports_memory_io` and fall back to a spooled
+    :func:`load_input_image`. ``data`` may be bytes/bytearray/memoryview; a
+    writable buffer is aliased zero-copy."""
+    ext = _format_of(name)
+    if ext not in _MEMORY_FORMATS:
+        raise ValueError(f"{name}: no in-memory decoder for this format")
+    return nifti.read_bytes(data, name)
+
+
+def encode_image_bytes(image: MedicalImage, ext: str) -> bytes:
+    """Encode ``image`` to file-format bytes entirely in memory (the inverse
+    of :func:`load_input_bytes`; same :data:`_MEMORY_FORMATS` support)."""
+    if ext not in _MEMORY_FORMATS:
+        raise ValueError(f"{ext}: no in-memory encoder for this format")
+    payload = nifti.encode(image)
+    if ext.endswith(".gz"):
+        # Level 1: masks are runs of small labels — higher levels cost ~3x
+        # the CPU for a few percent smaller body on this payload class.
+        payload = gzip.compress(payload, compresslevel=1)
+    return payload
 
 
 def _format_of(path: str) -> Optional[str]:

@@ -128,7 +128,30 @@ def read(path: str) -> MedicalImage:
         # pass was its second-largest host cost).
         with open(path, "rb") as f:
             data = f.read(544)  # covers NIfTI-1 (348) and NIfTI-2 (540)
-    h = _parse_header(path, data)
+    return _decode(path, data, from_file=True)
+
+
+def read_bytes(data, name: str = "<bytes>") -> MedicalImage:
+    """Decode a whole in-memory .nii / .nii.gz stream (serving-lane fast
+    path: the upload already sits in RAM, so spooling it to a temp file just
+    to ``read()`` it back would add two full passes over ~100 MB).
+
+    ``data`` may be ``bytes``, ``bytearray`` or ``memoryview``; a writable
+    buffer (the serve lane hands a ``bytearray``) is wrapped zero-copy —
+    the returned array aliases it. Detached .hdr/.img pairs are rejected
+    (two-file formats have no single-buffer representation).
+    """
+    buf = memoryview(data)
+    if len(buf) >= 2 and buf[0] == 0x1F and buf[1] == 0x8B:
+        buf = memoryview(gzip.decompress(buf))
+    return _decode(name, buf, from_file=False)
+
+
+def _decode(path: str, data, from_file: bool) -> MedicalImage:
+    """Shared header→array→geometry decode. ``from_file``: voxels are
+    streamed from ``path`` with np.fromfile (``data`` is just the header
+    prefix); otherwise ``data`` is the complete stream."""
+    h = _parse_header(path, bytes(data[:544]) if not from_file else data)
 
     dim = h["dim"]
     ndim = dim[0]
@@ -143,6 +166,11 @@ def read(path: str) -> MedicalImage:
     dtype = np.dtype(_DTYPES[h["datatype"]]).newbyteorder(h["bo"])
     count = nx * ny * nz
     if h["detached"]:
+        if not from_file:
+            raise ValueError(
+                f"{path}: detached .hdr/.img pair cannot be decoded from a "
+                "single in-memory buffer"
+            )
         # Detached header/data pair: voxels live in the sibling .img file.
         base = path[:-7] if path.endswith(".hdr.gz") else path.rsplit(".", 1)[0]
         img_path = base + ".img"
@@ -153,7 +181,9 @@ def read(path: str) -> MedicalImage:
         # For detached pairs, vox_offset is the byte offset INTO the .img
         # file (NIfTI spec) — keep it, unlike the single-file case where it
         # offsets into this same buffer past the header.
-    if h["detached"] or path.endswith(".gz"):
+    if h["detached"] or not from_file or path.endswith(".gz"):
+        if not from_file and len(data) < h["vox_offset"] + count * dtype.itemsize:
+            raise ValueError(f"{path}: truncated NIfTI voxel data")
         arr = np.frombuffer(
             data, dtype=dtype, count=count, offset=h["vox_offset"]
         ).reshape(nz, ny, nx)
@@ -204,6 +234,14 @@ def read(path: str) -> MedicalImage:
 
 
 def write(image: MedicalImage, path: str) -> None:
+    with _open(path, "wb") as f:
+        f.write(encode(image))
+
+
+def encode(image: MedicalImage) -> bytes:
+    """Image → uncompressed NIfTI-1 stream bytes (what :func:`write` puts on
+    disk). The serving lane returns this directly as the HTTP response body
+    instead of writing a temp file and reading it back."""
     arr = coerce_for_write(image.array, _CODES)
     nz, ny, nx = arr.shape
 
@@ -224,5 +262,4 @@ def write(image: MedicalImage, path: str) -> None:
     struct.pack_into("<12f", hdr, 280, *srow.reshape(-1))
     hdr[344:348] = b"n+1\x00"
 
-    with _open(path, "wb") as f:
-        f.write(bytes(hdr) + b"\x00" * 4 + arr.tobytes())
+    return bytes(hdr) + b"\x00" * 4 + arr.tobytes()

@@ -85,6 +85,16 @@ def _scratch_base(need_bytes: int, reserved_bytes: int = 0) -> Optional[str]:
     return None  # tempfile default
 
 
+def _safe_name(name: str) -> str:
+    """Sanitize a client-supplied upload name: it selects the decoder by
+    extension and names the spool file, so it must not escape the scratch
+    dir or smuggle path separators."""
+    base = os.path.basename(name)
+    if base in ("", ".", "..") or any(c in base for c in "/\\\x00"):
+        return "volume.nii.gz"  # untrusted name must stay inside tmp
+    return base
+
+
 class InferenceService:
     """Thread-safe segmentation service around one :class:`LMInferer`.
 
@@ -153,24 +163,44 @@ class InferenceService:
             )
         t0 = time.monotonic()
         need = length * 3 + (1 << 30)
+        safe = _safe_name(name)
         with self._stats_lock:
             base = _scratch_base(length, self._scratch_reserved)
             reserved = need if base == "/dev/shm" else 0
             self._scratch_reserved += reserved
-        tmp = tempfile.mkdtemp(prefix="lungmask_serve_", dir=base)
+            # In-memory fast lane: when the upload's format decodes from a
+            # single buffer AND RAM admission passed (the same probe that
+            # would have put the spool file in tmpfs — identical RAM
+            # footprint, the bytes just skip the filesystem), read the body
+            # straight into a bytearray and decode zero-copy. Saves two
+            # full passes over ~100 MB per request vs spool→file→read.
+            in_memory = bool(reserved) and loader.supports_memory_io(safe)
+        tmp = None
         try:
-            src = self._materialize(stream, length, name, tmp)
-            t1 = time.monotonic()
-            self._count("spool_seconds", t1 - t0)
-            try:
-                image = loader.load_input_image(src)
-            except ValueError:
-                raise
-            except (OSError, EOFError, KeyError, IndexError) as e:
-                # Malformed upload bytes surface as format-specific errors
-                # (BadGzipFile, struct truncations, …) — client errors, not
-                # server faults.
-                raise ValueError(f"could not decode {name!r}: {e}") from e
+            if in_memory:
+                buf = self._slurp(stream, length)
+                t1 = time.monotonic()
+                self._count("spool_seconds", t1 - t0)
+                try:
+                    image = loader.load_input_bytes(buf, safe)
+                except ValueError:
+                    raise
+                except (OSError, EOFError, KeyError, IndexError) as e:
+                    raise ValueError(f"could not decode {name!r}: {e}") from e
+            else:
+                tmp = tempfile.mkdtemp(prefix="lungmask_serve_", dir=base)
+                src = self._materialize(stream, length, safe, tmp)
+                t1 = time.monotonic()
+                self._count("spool_seconds", t1 - t0)
+                try:
+                    image = loader.load_input_image(src)
+                except ValueError:
+                    raise
+                except (OSError, EOFError, KeyError, IndexError) as e:
+                    # Malformed upload bytes surface as format-specific
+                    # errors (BadGzipFile, struct truncations, …) — client
+                    # errors, not server faults.
+                    raise ValueError(f"could not decode {name!r}: {e}") from e
             t2 = time.monotonic()
             self._count("decode_seconds", t2 - t1)
             pre = self.inferer.preprocess_image(image)
@@ -187,7 +217,12 @@ class InferenceService:
             result.metadata = {}
             t4 = time.monotonic()
             self._count("finish_seconds", t4 - t3)
-            payload = self._encode(result, out_ext, tmp)
+            if loader.supports_memory_io(out_ext):
+                payload = loader.encode_image_bytes(result, out_ext)
+            else:
+                if tmp is None:
+                    tmp = tempfile.mkdtemp(prefix="lungmask_serve_", dir=base)
+                payload = self._encode(result, out_ext, tmp)
             self._count("encode_seconds", time.monotonic() - t4)
             self._count("volumes_segmented")
             self._count("busy_seconds", time.monotonic() - t0)
@@ -195,16 +230,36 @@ class InferenceService:
                 "application/zip" if out_ext == ".dcm" else "application/octet-stream"
             )
         finally:
-            shutil.rmtree(tmp, ignore_errors=True)
+            if tmp is not None:
+                shutil.rmtree(tmp, ignore_errors=True)
             if reserved:
                 with self._stats_lock:
                     self._scratch_reserved -= reserved
 
+    def _slurp(self, stream, length: int) -> bytearray:
+        """Read exactly ``length`` body bytes into one RAM buffer (in-memory
+        fast lane — the buffer is what the decoder aliases, zero-copy)."""
+        buf = bytearray(length)
+        view = memoryview(buf)
+        readinto = getattr(stream, "readinto", None)
+        got = 0
+        while got < length:
+            window = view[got : got + (8 << 20)]
+            if readinto is not None:
+                n = readinto(window)
+            else:
+                chunk = stream.read(len(window))
+                n = len(chunk)
+                window[:n] = chunk
+            if not n:
+                raise ValueError(f"truncated upload ({got} of {length} bytes)")
+            got += n
+        return buf
+
     def _materialize(self, stream, length: int, name: str, tmp: str) -> str:
-        """Spool the upload into ``tmp``; returns the path to load."""
-        base = os.path.basename(name)
-        if base in ("", ".", "..") or any(c in base for c in "/\\\x00"):
-            base = "volume.nii.gz"  # untrusted name must stay inside tmp
+        """Spool the upload into ``tmp``; returns the path to load.
+        ``name`` must already be sanitized (:func:`_safe_name`)."""
+        base = name
         upload = os.path.join(tmp, "upload.bin" if base.lower().endswith(".zip") else base)
         remaining = length
         with open(upload, "wb") as f:

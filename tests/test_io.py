@@ -87,6 +87,67 @@ def test_nifti_roundtrip(tmp_path, ext, rng):
     np.testing.assert_allclose(back.direction, img.direction, atol=1e-5)
 
 
+@pytest.mark.parametrize("ext", [".nii", ".nii.gz"])
+def test_nifti_read_bytes_matches_read(tmp_path, ext, rng):
+    # In-memory decode (serve fast lane) must agree with the file reader on
+    # voxels AND geometry, for both compressed and raw streams.
+    arr = rng.integers(-1024, 600, size=(5, 12, 9)).astype(np.int16)
+    img = image.MedicalImage(
+        arr,
+        spacing=(0.6, 0.7, 2.0),
+        origin=(-100.0, 50.0, 30.0),
+        direction=np.diag([-1.0, 1.0, 1.0]),
+    )
+    p = str(tmp_path / f"vol{ext}")
+    nifti.write(img, p)
+    with open(p, "rb") as f:
+        data = f.read()
+    ref = nifti.read(p)
+    got = nifti.read_bytes(bytearray(data), name=f"vol{ext}")
+    np.testing.assert_array_equal(got.array, ref.array)
+    np.testing.assert_allclose(got.spacing, ref.spacing)
+    np.testing.assert_allclose(got.origin, ref.origin)
+    np.testing.assert_allclose(got.direction, ref.direction)
+    assert got.array.flags.writeable
+
+
+def test_nifti_read_bytes_truncated(tmp_path, rng):
+    arr = rng.integers(0, 50, size=(3, 6, 5)).astype(np.int16)
+    p = str(tmp_path / "t.nii")
+    nifti.write(image.MedicalImage(arr), p)
+    with open(p, "rb") as f:
+        data = f.read()
+    with pytest.raises(ValueError, match="truncated"):
+        nifti.read_bytes(data[:-7], name="t.nii")
+
+
+def test_nifti_encode_matches_write(tmp_path, rng):
+    arr = rng.integers(0, 4, size=(4, 7, 6)).astype(np.uint8)
+    img = image.MedicalImage(arr, spacing=(1.5, 1.5, 3.0), origin=(1.0, 2.0, 3.0))
+    p = str(tmp_path / "e.nii")
+    nifti.write(img, p)
+    with open(p, "rb") as f:
+        assert f.read() == nifti.encode(img)
+
+
+def test_loader_memory_io_dispatch(rng):
+    arr = rng.integers(-500, 500, size=(3, 8, 8)).astype(np.int16)
+    img = image.MedicalImage(arr, spacing=(0.8, 0.8, 2.5))
+    assert loader.supports_memory_io("v.nii") and loader.supports_memory_io(
+        "v.nii.gz"
+    )
+    assert not loader.supports_memory_io("v.nrrd")
+    for ext in (".nii", ".nii.gz"):
+        payload = loader.encode_image_bytes(img, ext)
+        back = loader.load_input_bytes(payload, f"v{ext}")
+        np.testing.assert_array_equal(back.array, arr)
+        np.testing.assert_allclose(back.spacing, img.spacing, atol=1e-5)
+    with pytest.raises(ValueError, match="in-memory"):
+        loader.load_input_bytes(b"xx", "v.nrrd")
+    with pytest.raises(ValueError, match="in-memory"):
+        loader.encode_image_bytes(img, ".mha")
+
+
 @pytest.mark.parametrize("dtype", [np.uint8, np.int16, np.float32])
 def test_nifti_dtypes(tmp_path, dtype, rng):
     arr = rng.integers(0, 100, size=(2, 4, 4)).astype(dtype)

@@ -195,6 +195,34 @@ def test_hostile_name_and_truncated_stream(server, tmp_path):
         service.segment_stream(Short(b"abc"), 100, "v.nii.gz", ".nii.gz")
 
 
+def test_memory_lane_matches_spool_lane(server, tmp_path, monkeypatch):
+    """The in-memory fast lane (.nii straight from the socket buffer, reply
+    encoded without a temp file) must return the same voxels as the
+    spool-to-scratch lane (forced via LUNGMASK_TPU_SERVE_SPOOL_DIR)."""
+    base, service = server
+    from lungmask_tpu.io import loader
+
+    masks = {}
+    for lane in ("memory", "spool"):
+        if lane == "spool":
+            monkeypatch.setenv("LUNGMASK_TPU_SERVE_SPOOL_DIR", str(tmp_path / "sp"))
+        else:
+            monkeypatch.delenv("LUNGMASK_TPU_SERVE_SPOOL_DIR", raising=False)
+        for up_ext, out_ext in ((".nii", ".nii"), (".nii.gz", ".nii.gz")):
+            payload = _nii_bytes(_testvol(), tmp_path, name=f"v{up_ext}")
+            status, body, _ = _post(
+                base + f"/v1/segment?name=v{up_ext}&out={out_ext}", payload
+            )
+            assert status == 200, body
+            p = tmp_path / f"m_{lane}{out_ext}"
+            p.write_bytes(body)
+            masks[(lane, up_ext)] = loader.load_input_image(str(p)).array
+    for up_ext in (".nii", ".nii.gz"):
+        np.testing.assert_array_equal(
+            masks[("memory", up_ext)], masks[("spool", up_ext)]
+        )
+
+
 def test_concurrent_requests_identical(server, tmp_path):
     """Two simultaneous uploads of the same volume return identical masks —
     the device lock serializes forwards; host phases overlap."""
