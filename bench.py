@@ -371,10 +371,17 @@ def main():
         # HTTP serving lane (runtime/serve.py): the same volumes through the
         # REST endpoint — loopback upload, decode, device forward (serialized
         # by the service lock), device postprocess, encode, download. The
-        # delta vs the cohort number is the serving overhead.
-        serve_vph, serve_errors = _bench_serve(
-            dev_inferer, e2e_vol, n=2 if small else 9, threads=3
-        )
+        # delta vs the cohort number is the serving overhead. Best-of-2,
+        # same policy as the e2e stages: the lane is host-bound on this
+        # 1-core VM and any concurrent process (the driving harness
+        # included) steals its core — the min is the hardware number.
+        serve_vph, serve_errors = 0.0, 0
+        for _ in range(1 if small else 2):
+            vph_i, err_i = _bench_serve(
+                dev_inferer, e2e_vol, n=2 if small else 9, threads=3
+            )
+            serve_vph = max(serve_vph, vph_i)
+            serve_errors += err_i
 
         # Accuracy contract, measured per run: device-mode postprocessing vs
         # the exact path on the same prediction (lungmask_tpu.metrics).
