@@ -103,10 +103,18 @@ def prefault_host_heap(mb: int | None = None) -> int:
     return _prefaulted_mb
 
 
+def start_cache_telemetry():
+    """Record compile-cache hit/miss traffic (see runtime/cache_telemetry.py)."""
+    from lungmask_tpu.runtime.cache_telemetry import start_cache_telemetry as _s
+
+    return _s()
+
+
 __all__ = [
     "UNetRunner",
     "volume_argmax",
     "enable_compile_cache",
     "tune_host_allocator",
     "prefault_host_heap",
+    "start_cache_telemetry",
 ]

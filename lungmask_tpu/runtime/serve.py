@@ -111,6 +111,13 @@ class InferenceService:
         self.max_upload_bytes = max_upload_mb * 1024 * 1024
         self._device_lock = threading.Lock()
         self._stats_lock = threading.Lock()
+        # Admission lock: serializes the RAM/tmpfs free-space probe with the
+        # reservation update (check-then-reserve must be atomic under
+        # concurrency). Dedicated lock — _scratch_base runs filesystem
+        # syscalls (makedirs, disk_usage), and holding _stats_lock across
+        # those would stall every _count() and the /metrics endpoint when a
+        # spool filesystem is slow or hung.
+        self._reserve_lock = threading.Lock()
         # tmpfs bytes promised to in-flight requests (see _scratch_base):
         # concurrent 2 GB uploads must not all pass the same free-space
         # probe and then ENOSPC each other mid-spool.
@@ -148,9 +155,12 @@ class InferenceService:
     ) -> Tuple[bytes, str]:
         """Segment an uploaded volume; returns (response bytes, content type).
 
-        ``stream`` is read exactly ``length`` bytes and spooled to disk — a
-        whole CT series never sits in request-buffer memory (2 GB cap ×
-        concurrent request threads would otherwise be the server's RSS).
+        ``stream`` is read exactly ``length`` bytes and either buffered in
+        memory (single-buffer formats, when the tmpfs RAM-admission probe +
+        reservation passes — the same RAM the spool file would have used,
+        minus two filesystem passes) or spooled to a scratch file (zip
+        series, RAM-tight hosts). Either way the bytes a request may hold
+        are bounded by the admission reservation, not by trust in clients.
         Raises ``ValueError`` for client errors (bad format/extension/bytes).
         """
         from lungmask_tpu.io import loader
@@ -164,7 +174,7 @@ class InferenceService:
         t0 = time.monotonic()
         need = length * 3 + (1 << 30)
         safe = _safe_name(name)
-        with self._stats_lock:
+        with self._reserve_lock:
             base = _scratch_base(length, self._scratch_reserved)
             reserved = need if base == "/dev/shm" else 0
             self._scratch_reserved += reserved
@@ -233,7 +243,7 @@ class InferenceService:
             if tmp is not None:
                 shutil.rmtree(tmp, ignore_errors=True)
             if reserved:
-                with self._stats_lock:
+                with self._reserve_lock:
                     self._scratch_reserved -= reserved
 
     def _slurp(self, stream, length: int) -> bytearray:

@@ -16,6 +16,7 @@ import sys
 import tempfile
 import threading
 import time
+import urllib.error
 import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -62,7 +63,11 @@ def main():
         f"http://127.0.0.1:{httpd.server_address[1]}/v1/segment"
         "?name=vol.nii&out=.nii"
     )
-    errors = [0]
+    # Transport-level failures only (connection refused/reset, timeouts) —
+    # anything the SERVER saw, including non-200 replies, is already counted
+    # in service.metrics()["errors"]; counting both double-books a failed
+    # request. Guarded by the jobs lock (threads share the counter).
+    transport_errors = [0]
     jobs = list(range(n))
     lock = threading.Lock()
 
@@ -75,11 +80,15 @@ def main():
             try:
                 req = urllib.request.Request(url, data=payload, method="POST")
                 with urllib.request.urlopen(req, timeout=600) as r:
-                    if r.status != 200 or not r.read():
-                        errors[0] += 1
+                    r.read()
+            except urllib.error.HTTPError as e:
+                # Server replied with an error status: the service already
+                # counted it; just surface it for the log.
+                print(f"server error reply: {e.code}", file=sys.stderr)
             except Exception as e:
                 print(f"client error: {e!r}", file=sys.stderr)
-                errors[0] += 1
+                with lock:
+                    transport_errors[0] += 1
 
     t0 = time.perf_counter()
     workers = [threading.Thread(target=client) for _ in range(threads)]
@@ -103,7 +112,8 @@ def main():
             {
                 "volumes": n,
                 "threads": threads,
-                "errors": errors[0] + m["errors"],
+                "errors": m["errors"],
+                "transport_errors": transport_errors[0],
                 "wall_s": round(wall, 2),
                 "vph": round(n / wall * 3600.0, 1),
                 "sec_per_vol_wall": round(wall / n, 3),
