@@ -17,6 +17,13 @@ from lungmask_tpu.train import init_train_state, make_train_step
 
 pytestmark = pytest.mark.slow  # deselect with -m "not slow" for the smoke tier
 
+# Full-size (wf=6) programs compiled for an 8-device CPU mesh take minutes
+# each on the 1-core bench host and duplicate what the driver's
+# dryrun_multichip validates every round — they live in the explicit
+# `glacial` tier (pytest -m glacial). The tiny-param tests above them keep
+# sharding SEMANTICS covered inside the slow-tier budget.
+glacial = pytest.mark.glacial
+
 @pytest.fixture(scope="module")
 def tiny_params():
     return unet.init_params(jax.random.PRNGKey(0), n_classes=3, wf=2)
@@ -75,6 +82,7 @@ def test_train_step_unsharded(tiny_params):
     assert int(state2.step) == 1
 
 
+@glacial
 def test_inferer_with_mesh(tmp_path, tiny_params):
     """LMInferer end-to-end over an 8-device mesh matches single-device."""
     import numpy as np
@@ -123,6 +131,7 @@ def test_sharded_postprocess_matches_single_device():
     assert single[1, 29, 29] == 0  # satellite removed
 
 
+@glacial
 def test_inferer_mesh_device_postprocess(tmp_path):
     """LMInferer(mesh=..., postprocessing_mode='device') — the fully sharded
     pipeline (preprocess, U-Net, postprocess all on the mesh) — matches the
@@ -170,6 +179,7 @@ def test_stage_timer():
     assert not t.totals
 
 
+@glacial
 def test_graft_entry_hooks():
     import sys
 
@@ -182,6 +192,7 @@ def test_graft_entry_hooks():
     g.dryrun_multichip(8)
 
 
+@glacial
 def test_fused_inferer_with_mesh(tmp_path):
     """The fused (base+fill) path over an 8-device mesh matches the
     single-device fused result voxel-for-voxel. Mesh runners fall back to
