@@ -278,6 +278,42 @@ def main():
         best = min(best, time.perf_counter() - t0)
     seq_slices_per_sec = n_slices / best
 
+    # The same lane with the mask download replaced by a 4-byte scalar
+    # fetch: isolates the chip from the tunnel. The r5 lane study
+    # (tools/lane_probe.py, docs/PERF.md) attributed the r3→r4
+    # single-volume swing (845.6 → 667.7 slices/s on identical code) to
+    # link-download speed: the lane moves ~16 KB of packed mask per slice
+    # through a tunnel measured anywhere from 24.5 MB/s down to ~1 MB/s
+    # across days, so the download floor — not the schedule — sets the
+    # captured number. This device-only figure plus
+    # `single_volume_download_mb` lets a reader reconstruct the split:
+    # captured ≈ 1 / (1/device_rate + download_mb/link_MBps/n_slices).
+    from lungmask_tpu.runtime.engine import split_parts as _split_parts
+
+    @jax.jit
+    def _consume(*outs):
+        return sum(jnp.sum(o, dtype=jnp.float32) for o in outs)
+
+    def _device_only():
+        slices, n, n_chunks = runner._pad(vol_dev)
+        fwd, _ = runner._packing(slices.shape[2])
+        outs = []
+        start = 0
+        for p in _split_parts(n_chunks):
+            outs.append(fwd(runner.params, slices[start : start + p * runner.batch_size],
+                            runner.batch_size, runner.compute_dtype))
+            start += p * runner.batch_size
+        return float(np.asarray(_consume(*outs)))
+
+    _device_only()
+    best_dev = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _device_only()
+        best_dev = min(best_dev, time.perf_counter() - t0)
+    device_only_slices_per_sec = n_slices / best_dev
+    single_volume_download_mb = n_slices * 256 * 256 / 4 / 1e6  # 2-bit crumbs
+
     # Reference-comparable configuration (BASELINE.json: bs=20).
     runner20 = UNetRunner(params, 3, batch_size=20, compute_dtype=jnp.bfloat16)
     runner20.run_numpy(vol_dev)
@@ -585,6 +621,10 @@ def main():
                     # unet_compile_s is diagnosable from the artifact alone.
                     "compile_cache": cache_telemetry.snapshot(),
                     "single_volume_slices_per_sec": round(seq_slices_per_sec, 1),
+                    "single_volume_device_slices_per_sec": round(
+                        device_only_slices_per_sec, 1
+                    ),
+                    "single_volume_download_mb": round(single_volume_download_mb, 2),
                     "single_volume_slices_per_sec_bs20": round(
                         bs20_slices_per_sec, 1
                     ),

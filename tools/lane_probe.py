@@ -1,22 +1,21 @@
 #!/usr/bin/env python
-"""Single-dispatch lane probe: decompose run_numpy's per-volume cost.
+"""Decompose the single-volume U-Net lane (UNetRunner.run_numpy).
 
-VERDICT r4 weak-#2: the driver captured `single_volume_slices_per_sec` at
-667.7 while the stream headline sat at ~948 — same XLA programs, so the gap
-is host-side per-call work. This probe times each candidate component on the
-real TPU:
+VERDICT r4 weak-#2: `single_volume_slices_per_sec` fell 845.6 (r3 capture)
+to 667.7 (r4) while the streaming headline rose. This tool measures, on the
+real chip, every part-split policy the engine could use for one volume plus
+the stage costs around it, so the regression can be attributed and the
+policy re-tuned on data:
 
-  A. run_numpy as shipped (the regressed lane)
-  B. stream-style: pre-sliced half-volumes, all dispatches enqueued, fetch
-     after (the headline's timed region, per-volume)
-  C. run_numpy minus device-side slicing (parts pre-sliced outside the loop)
-  D. run_numpy minus unpack (fetch packed only)
-  E. part-size sweep: {2,3,5,10}-chunk dispatches, pre-sliced
-  F. fetch strategy: np.asarray in enqueue order vs jax.block_until_ready
-     then asarray
+  * split_parts variants: [2,2,2] (production), [3,3], [6], [1]*6
+  * packing: 2-bit crumbs (production) vs dense uint8
+  * host unpack + concat cost in isolation
+  * the stream lane on the same volume count for reference
 
-Run:  python tools/lane_probe.py [N_SLICES]
+Run: python tools/lane_probe.py [n_slices]
 """
+
+from __future__ import annotations
 
 import os
 import sys
@@ -31,116 +30,98 @@ import jax
 import jax.numpy as jnp
 
 from lungmask_tpu.models import synthetic
-from lungmask_tpu.runtime import enable_compile_cache, prefault_host_heap
+from lungmask_tpu.runtime import enable_compile_cache
 from lungmask_tpu.runtime.engine import (
-    DEFAULT_CHUNK,
     UNetRunner,
     unpack_crumbs,
+    volume_argmax,
     volume_argmax_packed2,
 )
 
 enable_compile_cache()
-prefault_host_heap()
-
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 320
-CHUNK = DEFAULT_CHUNK
-REPS = 5
 
 
-def best_of(fn, reps=REPS):
-    fn()  # warm
+def bench(label, fn, reps=5):
+    fn()  # warm/compile
     best = float("inf")
-    times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         fn()
-        dt = time.perf_counter() - t0
-        times.append(dt)
-        best = min(best, dt)
-    return best, times
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main():
+    n_slices = int(sys.argv[1]) if len(sys.argv) > 1 else 192
+    chunk = 32
     device = jax.devices()[0]
-    params = synthetic.threshold_params(n_classes=3)
+    params = synthetic.threshold_params(3)
     params = jax.device_put(jax.tree_util.tree_map(jnp.asarray, params), device)
     vol = jax.device_put(
         jnp.asarray(
-            np.random.default_rng(0).uniform(0, 1, (N, 256, 256)), jnp.float32
+            np.random.default_rng(0).uniform(0, 1, (n_slices, 256, 256)),
+            jnp.float32,
         ),
         device,
     )
+    n_chunks = n_slices // chunk
+    print(f"volume {n_slices} slices, chunk {chunk} -> {n_chunks} chunks")
+
+    def split_run(parts):
+        outs = []
+        start = 0
+        for p in parts:
+            outs.append(
+                volume_argmax_packed2(
+                    params, vol[start : start + p * chunk], chunk, jnp.bfloat16
+                )
+            )
+            start += p * chunk
+        return np.concatenate([np.asarray(o) for o in outs], axis=0)
+
+    for parts in ([2] * (n_chunks // 2), [3] * (n_chunks // 3), [n_chunks],
+                  [1] * n_chunks):
+        t = bench(f"parts={parts}", lambda parts=parts: split_run(parts))
+        print(f"parts {str(parts):20s}: {t*1e3:7.1f} ms  "
+              f"{n_slices/t:7.1f} slices/s")
+
+    # unpack cost on host (included above? no — split_run skips unpack)
+    packed = [np.asarray(volume_argmax_packed2(params, vol[:2 * chunk], chunk,
+                                               jnp.bfloat16))]
+
+    def unpack_all():
+        return [unpack_crumbs(p) for p in packed * (n_chunks // 2)]
+
+    t = bench("unpack", unpack_all)
+    print(f"host unpack_crumbs for volume       : {t*1e3:7.1f} ms")
+
+    # dense download for comparison
+    def dense_run():
+        out = volume_argmax(params, vol, chunk, jnp.bfloat16)
+        return np.asarray(out)
+
+    t = bench("dense", dense_run)
+    print(f"one dispatch, dense uint8 download  : {t*1e3:7.1f} ms  "
+          f"{n_slices/t:7.1f} slices/s")
+
+    # production path end-to-end (includes pad, packing policy, unpack)
     runner = UNetRunner(params, 3, compute_dtype=jnp.bfloat16)
-    cast = runner.params  # pre-cast bf16 kernels, like run_numpy uses
+    t = bench("run_numpy", lambda: runner.run_numpy(vol))
+    print(f"UNetRunner.run_numpy (production)   : {t*1e3:7.1f} ms  "
+          f"{n_slices/t:7.1f} slices/s")
 
-    t0 = time.perf_counter()
-    runner.run_numpy(vol)
-    print(f"first-call (compile or cache load): {time.perf_counter() - t0:.2f}s")
-
-    # A: shipped lane
-    best, times = best_of(lambda: runner.run_numpy(vol))
-    print(f"A run_numpy           : {N/best:7.1f} slices/s  best={best*1e3:6.1f}ms  times={[f'{t*1e3:.0f}' for t in times]}")
-
-    # B: stream-style per-volume (halves pre-sliced, enqueue all, fetch)
-    half = N // 2
-    parts_h = [vol[:half], vol[half:]]
-    parts_h = [jax.device_put(p, device) for p in parts_h]
+    # stream lane reference: halves over 4 volumes
+    half = n_slices // 2
+    streams = [vol[:half], vol[half:]] * 4
 
     def stream():
-        outs = [volume_argmax_packed2(cast, p, CHUNK, jnp.bfloat16) for p in parts_h]
+        outs = [volume_argmax_packed2(params, v, chunk, jnp.bfloat16)
+                for v in streams]
         return [unpack_crumbs(np.asarray(o)) for o in outs]
 
-    best, times = best_of(stream)
-    print(f"B halves presliced    : {N/best:7.1f} slices/s  best={best*1e3:6.1f}ms  times={[f'{t*1e3:.0f}' for t in times]}")
-
-    # C/E: part-size sweep, pre-sliced
-    for pc in (2, 3, 5, 10):
-        if (N // CHUNK) % pc:
-            continue
-        step = pc * CHUNK
-        parts = [jax.device_put(vol[i : i + step], device) for i in range(0, N, step)]
-
-        def presliced(parts=parts):
-            outs = [volume_argmax_packed2(cast, p, CHUNK, jnp.bfloat16) for p in parts]
-            return [unpack_crumbs(np.asarray(o)) for o in outs]
-
-        best, times = best_of(presliced)
-        print(f"C parts={pc:2d} presliced  : {N/best:7.1f} slices/s  best={best*1e3:6.1f}ms  times={[f'{t*1e3:.0f}' for t in times]}")
-
-    # C2: same as run_numpy (slice on device inside loop), 2-chunk parts
-    step = 2 * CHUNK
-
-    def sliced_in_loop():
-        outs = []
-        for i in range(0, N, step):
-            outs.append(
-                volume_argmax_packed2(cast, vol[i : i + step], CHUNK, jnp.bfloat16)
-            )
-        return [unpack_crumbs(np.asarray(o)) for o in outs]
-
-    best, times = best_of(sliced_in_loop)
-    print(f"C2 slice-in-loop p=2  : {N/best:7.1f} slices/s  best={best*1e3:6.1f}ms  times={[f'{t*1e3:.0f}' for t in times]}")
-
-    # D: run_numpy-style but no unpack, no concat (fetch packed parts only)
-    def no_unpack():
-        outs = []
-        for i in range(0, N, step):
-            outs.append(
-                volume_argmax_packed2(cast, vol[i : i + step], CHUNK, jnp.bfloat16)
-            )
-        return [np.asarray(o) for o in outs]
-
-    best, times = best_of(no_unpack)
-    print(f"D no-unpack p=2       : {N/best:7.1f} slices/s  best={best*1e3:6.1f}ms  times={[f'{t*1e3:.0f}' for t in times]}")
-
-    # F: single dispatch whole volume (kbatch k=1 shape)
-    def one_dispatch():
-        return unpack_crumbs(
-            np.asarray(volume_argmax_packed2(cast, vol, CHUNK, jnp.bfloat16))
-        )
-
-    best, times = best_of(one_dispatch)
-    print(f"F one dispatch        : {N/best:7.1f} slices/s  best={best*1e3:6.1f}ms  times={[f'{t*1e3:.0f}' for t in times]}")
+    t = bench("stream", stream)
+    print(f"stream lane (4 volumes, halves)     : {t*1e3:7.1f} ms  "
+          f"{half*len(streams)/t:7.1f} slices/s")
 
 
 if __name__ == "__main__":
