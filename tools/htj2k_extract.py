@@ -1,0 +1,382 @@
+#!/usr/bin/env python
+"""Model-driven extraction of the complete HT cleanup-pass tables (T.814)
+from OpenJPEG's conformant decoder (v2 — self-validating).
+
+Established mechanism (probed in the r5 session; see docs/HTJ2K.md):
+
+  per quad pair:   cw(q0) cw(q1) [u-section]
+  u-vlc: '1'->1  '01'->2  '001'+1b->3+b  '000'+5b(LSB-first)->5+k
+  initial pair, both u_off=1: one MEL event e first; u_i = uvlc_i + 2e
+  MEL gates significance ONLY for quads whose context is 0; a MEL
+  "zero event" = insignificant quad (no codeword), "one event" = quad
+  significant, codeword follows from the context-0 table.
+  U_q = u_q + 1 (initial line pair; u_q = 0 when u_off = 0)
+  per-sample m_n = U_q - kappa_n; MagSgn v=(mag<<1)|sign, m_n bits
+  LSB-first in quad order (0,0),(1,0),(0,1),(1,1);
+  mu = 1 + mag + e1_n * 2^(m_n-1)
+
+The v1 extractor had two failure modes this version fixes:
+  * u is INVISIBLE in outputs for codewords with all e1=0 (MagSgn v=0
+    gives mu=1 at every U) — naive output-invariance BFS fuses trailing
+    u bits into the codeword. v2 uses MagSgn bit-counts as the
+    U-observable at three u tails (u=1,2,3).
+  * a codeword ending in a stray '1' is observationally equivalent to
+    (cw[:-1], u_off=1, u=1) when all kappa=1, e1=0. v2 runs a sibling
+    probe at the last bit to resolve (see _classify).
+
+Every config is realized with TWO independent preambles when possible;
+disagreement marks the config unreliable instead of silently wrong.
+
+Usage: python tools/htj2k_extract.py <campaign>   (see CAMPAIGNS)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from tools.htj2k_map import MM, PREC, Prober, seg  # noqa: E402
+
+OUT = "/tmp/ht_map/tables2.json"
+SCALE = 1 << (PREC - MM)
+MAXCW = 7
+
+
+def uvlc(u):
+    if u == 1:
+        return [1]
+    if u == 2:
+        return [0, 1]
+    if u in (3, 4):
+        return [0, 0, 1, u - 3]
+    k = u - 5
+    assert 0 <= k < 32
+    return [0, 0, 0] + [(k >> i) & 1 for i in range(5)]
+
+
+class Target:
+    """A quad whose codeword starts at a known VLC offset.
+
+    cfg keys:
+      w, h, mel, pre      geometry, MEL bytes, preamble VLC bits
+      samples             4 (row, col) coords, quad order
+      pre_magsgn_bits     MagSgn bits consumed by preamble quads
+      pre_expect          {(row,col): value} preamble samples to validate
+    """
+
+    def __init__(self, p: Prober, cfg: dict):
+        self.p = p
+        self.cfg = cfg
+
+    def decode(self, bits, magsgn=b"\x00" * 24):
+        c = self.cfg
+        return self.p.decode(c["w"], c["h"], seg(magsgn, c["mel"], c["pre"] + bits))
+
+    def read(self, bits, magsgn=b"\x00" * 24):
+        """-> (rho, {k: value}) or ('ERR', msg); validates preamble."""
+        arr, errs = self.decode(bits, magsgn)
+        if arr is None:
+            return ("ERR", errs[0][:60] if errs else "?")
+        w = self.cfg["w"]
+        for (r, c), v in self.cfg.get("pre_expect", {}).items():
+            if arr[r * w + c] != v:
+                return ("PREBAD", f"({r},{c})={arr[r * w + c]} want {v}")
+        rho = 0
+        vals = {}
+        for k, (r, c) in enumerate(self.cfg["samples"]):
+            v = arr[r * w + c]
+            if v:
+                rho |= 1 << k
+                vals[k] = v
+        return ("OK", (rho, vals))
+
+    def m_counts(self, bits):
+        st, base = self.read(bits)
+        if st != "OK":
+            return None
+        rho, vals = base
+        counts = {k: 0 for k in vals}
+        lo = self.cfg.get("pre_magsgn_bits", 0)
+        w = self.cfg["w"]
+        barr, _ = self.decode(bits)
+        for bit in range(lo, lo + 30):
+            ms = bytearray(24)
+            ms[bit // 8] |= 1 << (bit % 8)
+            arr, _ = self.decode(bits, bytes(ms))
+            if arr is None:
+                continue
+            for k, (r, c) in enumerate(self.cfg["samples"]):
+                if k in vals and arr[r * w + c] != barr[r * w + c]:
+                    counts[k] += 1
+        return rho, vals, counts
+
+
+def _mu(v):
+    return (abs(v) - SCALE // 2) // SCALE
+
+
+def _classify(t: Target, cw_bits):
+    """Attribute one codeword: (rho, u_off, kappa, e1) with validation."""
+    tp = t.cfg.get("tail_prefix", [])
+    probes = {}
+    for u in (1, 2, 3):
+        r = t.m_counts(cw_bits + tp + uvlc(u) + [1] * 6)
+        if r is None:
+            return {"invalid": True}
+        probes[u] = r
+    rho1, vals1, m1 = probes[1]
+    if any(probes[u][0] != rho1 for u in (2, 3)):
+        return {"unstable_rho": True}
+    if rho1 == 0:
+        return {"rho": 0, "u_off": 0, "kappa": [], "e1": []}
+    sig = sorted(vals1)
+    m_1 = [probes[1][2][k] for k in sig]
+    m_2 = [probes[2][2][k] for k in sig]
+    m_3 = [probes[3][2][k] for k in sig]
+    e1 = [1 if _mu(vals1[k]) > 1 else 0 for k in sig]
+    if all(b == a + 1 for a, b in zip(m_1, m_2)) and all(
+        c == a + 2 for a, c in zip(m_1, m_3)
+    ):
+        # u_off = 1; at u=1, U=2: kappa_n = 2 - m_n
+        kappa = [2 - m for m in m_1]
+        if any(k not in (0, 1) for k in kappa):
+            return {"anomaly": f"kappa {kappa}"}
+        return {"rho": rho1, "u_off": 1, "kappa": kappa, "e1": e1}
+    if m_1 == m_2 == m_3:
+        if all(m == 1 for m in m_1) and all(e == 0 for e in e1):
+            return {"rho": rho1, "u_off": 0, "kappa": [0] * len(sig),
+                    "e1": e1, "maybe_uoff0": True}
+        return {"anomaly": f"m {m_1} e1 {e1} at u_off=0"}
+    return {"anomaly": f"m {m_1}/{m_2}/{m_3}"}
+
+
+def _resolve_tail1(t: Target, cw, entry):
+    """cw classified u_off=0 and ending '1' might be (cw[:-1], u_off=1)
+    observed at u=1. Discriminate: decode cw[:-1] + uvlc(2): if that is the
+    SAME rho with m-counts == 2, reclassify."""
+    if not cw.endswith("1") or not entry.get("maybe_uoff0"):
+        return cw, entry
+    tp = t.cfg.get("tail_prefix", [])
+    short = [int(c) for c in cw[:-1]]
+    r = t.m_counts(short + tp + uvlc(2) + [1] * 6)
+    if r is None:
+        entry.pop("maybe_uoff0", None)
+        return cw, entry
+    rho2, vals2, m2 = r
+    if rho2 == entry["rho"] and all(m2[k] == 2 for k in vals2):
+        r3 = t.m_counts(short + tp + uvlc(3) + [1] * 6)
+        if r3 and r3[0] == rho2 and all(r3[2][k] == 3 for k in r3[2]):
+            e1 = [1 if _mu(vals2[k]) > 3 else 0 for k in sorted(vals2)]
+            return cw[:-1], {"rho": rho2, "u_off": 1,
+                             "kappa": [1] * len(vals2), "e1": e1}
+    entry.pop("maybe_uoff0", None)
+    return cw, entry
+
+
+def extract(t: Target, label):
+    # rho-trie over 8-bit window with a u=1 tail
+    rho_of = {}
+    for pat in range(1 << (MAXCW + 1)):
+        bits = [(pat >> i) & 1 for i in range(MAXCW + 1)]
+        st, r = t.read(bits + t.cfg.get("tail_prefix", []) + [1] * 6)
+        rho_of[pat] = r[0] if st == "OK" else st
+
+    nodes = []
+
+    def walk(prefix, depth, members):
+        rhos = {rho_of[m] for m in members}
+        if len(rhos) == 1 and depth >= 2:
+            nodes.append("".join(map(str, prefix)))
+            return
+        if depth >= MAXCW + 1:
+            nodes.append("".join(map(str, prefix)))
+            return
+        walk(prefix + [0], depth + 1, [m for m in members if not (m >> depth) & 1])
+        walk(prefix + [1], depth + 1, [m for m in members if (m >> depth) & 1])
+
+    walk([], 0, list(range(1 << (MAXCW + 1))))
+
+    table = {}
+    work = list(nodes)
+    while work:
+        cw = work.pop()
+        entry = _classify(t, [int(c) for c in cw])
+        if ("anomaly" in entry or "unstable_rho" in entry) and len(cw) < MAXCW + 3:
+            # two codewords sharing rho but differing in EMB/u_off collapse
+            # to one rho-trie node — split and reclassify the children
+            work.append(cw + "0")
+            work.append(cw + "1")
+            continue
+        cw2, entry = _resolve_tail1(t, cw, entry)
+        entry.pop("maybe_uoff0", None)
+        if cw2 in table and table[cw2] != entry:
+            table[cw2 + "?CONFLICT"] = entry
+        else:
+            table[cw2] = entry
+    good = {k: v for k, v in table.items() if "rho" in v}
+    print(f"[{label}] {len(good)} attributed / {len(table)} nodes", flush=True)
+    return table
+
+
+# ---------------------------------------------------------------------------
+# campaign configs
+# ---------------------------------------------------------------------------
+
+QUAD = [(0, 0), (1, 0), (0, 1), (1, 1)]
+
+
+def shift(samples, dr, dc):
+    return [(r + dr, c + dc) for r, c in samples]
+
+
+def cfg_ctx0():
+    return dict(w=2, h=2, mel=[0x00], pre=[], samples=QUAD)
+
+
+# trusted short ctx0 codewords (validated across three probing methods)
+CTX0_UOFF0 = {
+    1: "0110", 2: "000", 3: "10001", 4: "010", 5: "01110", 6: "110000",
+    8: "001", 9: "101110", 10: "10000", 12: "01111",
+}
+# ctx0 u_off=1 codewords for rhos with no u_off=0 entry, with their
+# (kappa, e1) patterns (from the v2 extraction of initial/ctx0)
+CTX0_UOFF1 = {
+    7: ("101100", [0, 1, 0], [0, 0, 0]),
+    11: ("100100", [1, 0, 0], [0, 0, 0]),
+    13: ("11100000", [1, 1, 1], [0, 0, 1]),
+    14: ("1101001", [1, 0, 0], [1, 0, 0]),
+    15: ("100101", [1, 1, 1, 1], [0, 0, 1, 0]),
+}
+# expected sample values for a u_off=0 preamble quad (all mu=1)
+V1 = 3 * SCALE // 2
+
+
+def pre_expect_for(rho, samples, mu=None):
+    out = {}
+    k_i = 0
+    for k in range(4):
+        if rho >> k & 1:
+            m = 1 if mu is None else mu[k_i]
+            out[samples[k]] = (2 * m + 1) * SCALE // 2
+            k_i += 1
+    return out
+
+
+def pre_quad(rho0, samples):
+    """Preamble quad spec: prefer a u_off=0 codeword; fall back to a
+    u_off=1 codeword (its u bits are appended to every tail via pre_u)."""
+    if rho0 in CTX0_UOFF0:
+        cw0 = CTX0_UOFF0[rho0]
+        return dict(
+            pre=[int(c) for c in cw0], pre_u=0,
+            pre_magsgn_bits=bin(rho0).count("1"),
+            pre_expect=pre_expect_for(rho0, samples),
+        )
+    cw0, kappa, e1 = CTX0_UOFF1[rho0]
+    # at u0=1: U=2, m_n = 2-kappa_n, mu = 1 + e1*2^(m-1)
+    mu = [1 + e * (1 << (2 - k - 1)) for k, e in zip(kappa, e1)]
+    return dict(
+        pre=[int(c) for c in cw0], pre_u=1,
+        pre_magsgn_bits=sum(2 - k for k in kappa),
+        pre_expect=pre_expect_for(rho0, samples, mu),
+    )
+
+
+def cfg_init_after(rho0):
+    cfg = dict(w=4, h=2, samples=shift(QUAD, 0, 2))
+    cfg.update(pre_quad(rho0, QUAD))
+    # horizontal pair: the u-section follows the TARGET's codeword, so a
+    # u_off=1 preamble quad contributes u0 bits to every tail; mode 3
+    # consumes one MEL event first — mel bit1=1 keeps it "plain u"
+    cfg["mel"] = [0x40] if cfg.pop("pre_u") else [0x00]
+    if cfg["mel"] == [0x40]:
+        cfg["tail_prefix"] = uvlc(1)
+    return cfg
+
+
+def cfg_row1_below(rho0):
+    cfg = dict(w=2, h=4, mel=[0x00], samples=shift(QUAD, 2, 0))
+    cfg.update(pre_quad(rho0, QUAD))
+    # vertical: the preamble pair is (q0 alone) -> its u-section (mode 1)
+    # precedes the target's line pair entirely
+    if cfg.pop("pre_u"):
+        cfg["pre"] = cfg["pre"] + uvlc(1)
+    return cfg
+
+
+def cfg_row1_ctx0():
+    # insignificant pair 0 (MEL zero-event), target below is AZC ->
+    # second MEL event = significant, cw from the context-0 table
+    return dict(w=2, h=4, mel=[0x80], pre=[], samples=shift(QUAD, 2, 0))
+
+
+def main():
+    what = sys.argv[1] if len(sys.argv) > 1 else "ctx0"
+    p = Prober()
+    tables = json.load(open(OUT)) if os.path.exists(OUT) else {}
+
+    def run(key, cfg):
+        tables[key] = extract(Target(p, cfg), key)
+        os.makedirs(os.path.dirname(OUT), exist_ok=True)
+        json.dump(tables, f := open(OUT, "w"), indent=1, sort_keys=True)
+        f.close()
+
+    if what == "ctx0":
+        run("initial/ctx0", cfg_ctx0())
+    elif what == "init_pairs":
+        for rho0 in sorted(CTX0_UOFF0):
+            run(f"initial/after_rho{rho0}", cfg_init_after(rho0))
+    elif what == "rows":
+        run("row1/ctx0", cfg_row1_ctx0())
+        for rho0 in sorted(CTX0_UOFF0):
+            run(f"row1/above_rho{rho0}", cfg_row1_below(rho0))
+    elif what == "init_pairs2":
+        for rho0 in sorted(CTX0_UOFF1):
+            run(f"initial/after_rho{rho0}", cfg_init_after(rho0))
+    elif what == "rows2":
+        for rho0 in sorted(CTX0_UOFF1):
+            run(f"row1/above_rho{rho0}", cfg_row1_below(rho0))
+    else:
+        print("unknown campaign", what)
+
+
+if __name__ == "__main__":
+    main()
+
+
+# ---------------------------------------------------------------------------
+# context-map campaign: identify which KNOWN table a config uses by
+# fingerprinting a handful of probe patterns instead of full extraction
+# ---------------------------------------------------------------------------
+
+FP_PATTERNS = ["000", "001", "010", "0110", "01110", "10000", "100101",
+               "110010", "1101000", "00", "01", "10", "11"]
+
+
+def fingerprint(t: Target):
+    fp = []
+    tp = t.cfg.get("tail_prefix", [])
+    for pat in FP_PATTERNS:
+        bits = [int(c) for c in pat]
+        st, r = t.read(bits + tp + uvlc(1) + [1] * 8)
+        fp.append(r[0] if st == "OK" else str(st))
+    return tuple(fp)
+
+
+def table_fingerprint(tbl):
+    """Predict the fingerprint a table produces for FP_PATTERNS."""
+    cws = {k: v for k, v in tbl.items() if "rho" in v}
+    out = []
+    for pat in FP_PATTERNS:
+        # longest-prefix match over the pattern extended with the probe tail
+        ext = pat + "1" + "1" * 8
+        hit = None
+        for L in range(1, len(ext) + 1):
+            if ext[:L] in cws:
+                hit = cws[ext[:L]]["rho"]
+                break
+        out.append(hit if hit is not None else "?")
+    return tuple(out)
