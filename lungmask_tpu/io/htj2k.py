@@ -23,7 +23,10 @@ OpenJPEG in tests/test_htj2k.py):
     significance instead of carrying a rho=0 codeword.
   * u-VLC: '1'->1, '01'->2, '001'+1bit->3+b, '000'+5bits(LSB-first)->5+k;
     in the INITIAL line pair, if both quads of a pair have u_off=1 one MEL
-    event e is decoded first and u_i = uvlc_i + 2e.
+    event e is decoded first: e=1 (both u>2) -> u_i = uvlc_i + 2 read
+    sequentially; e=0 -> u0's prefix, then (if the prefix says u0>2) u1-1
+    as ONE bit (u1<=2 is implied when u0>2), then u0's suffix bits, then
+    (if u0<=2) u1 as a full u-VLC.
   * U_q = u_q + kappa_q (kappa_q = 1 in the initial line pair; see
     decode() for the non-initial rule). Per significant sample n:
     m_n = U_q - kappa_n bits are read LSB-first from MagSgn as
@@ -100,6 +103,9 @@ class MELEncoder:
         self.run = 0
 
     def event(self, e: int):
+        if not hasattr(self, "events"):
+            self.events = []
+        self.events.append(e)
         if e == 0:
             self.run += 1
             if self.run == (1 << MELDecoder.E[self.state]):
@@ -142,9 +148,11 @@ class VLCReader:
     """Backward bit reader for the VLC segment.
 
     Physically: bits are served LSB-first from the high nibble of
-    B[Scup-2], then LSB-first from each previous byte. Unstuffing: when the
-    previously-consumed (higher-address) byte is > 0x8F, the next byte
-    contributes only 7 bits (its MSB is a stuffed 0).
+    B[Scup-2], then LSB-first from each previous byte. Unstuffing: when
+    the previously-consumed byte (higher address) is > 0x8F, the next byte
+    contributes 7 bits and its MSB is a stuffed 0 (fuzz-confirmed: without
+    this rule OpenJPEG desyncs exactly on streams whose packed VLC bytes
+    exceed 0x8F).
     """
 
     def __init__(self, segment: bytes):
@@ -160,7 +168,7 @@ class VLCReader:
             self.ipos -= 1
             byte = self.data[self.ipos]
             prev = self.data[self.ipos + 1]
-            take = 7 if prev > 0x8F else 8
+            take = 7 if (prev & 0x7F) == 0x7F else 8
             self.acc |= (byte & ((1 << take) - 1)) << self.nbits
             self.nbits += take
 
@@ -194,31 +202,33 @@ class VLCWriter:
         self.bits.extend(bitlist)
 
     def flush(self) -> bytes:
-        """Pack into the backward byte order with >0x8F unstuffing."""
+        """Pack into the backward byte order (last byte = the one whose
+        high nibble holds the first 4 VLC bits; the caller merges it with
+        the Scup low nibble)."""
         out: List[int] = []  # bytes from the END toward the start
         bits = list(self.bits)
         idx = 0
-        first = True
-        prev_byte: Optional[int] = None
-        # first nibble lives in the high nibble of B[Scup-2]
         nib = 0
         for i in range(4):
             if idx < len(bits) and bits[idx]:
                 nib |= 1 << i
             idx += 1
-        out.append(nib << 4)  # low nibble patched by caller with Scup bits
-        prev_byte = out[0] | 0x0F  # worst case for the stuffing decision?
-        # NOTE: the stuffing rule keys on the actual byte value including
-        # the Scup low nibble; the caller re-flushes once Scup is known.
+        out.append(nib << 4)
+        # NOTE: the caller merges Scup's low nibble into the LAST byte; the
+        # stuffing decision for the byte BEFORE it must use that final
+        # value, so the nibble byte is conservatively treated as >0x8F
+        # only when its high nibble alone already exceeds it (the low
+        # nibble is <= 0xF and cannot push 0x80.. over 0x8F unless the
+        # high nibble >= 0x9).
         while idx < len(bits):
-            take = 7 if prev_byte > 0x8F else 8
+            prev = out[-1] if len(out) > 1 else (nib << 4)
+            take = 7 if (prev & 0x7F) == 0x7F else 8
             b = 0
             for i in range(take):
                 if idx < len(bits) and bits[idx]:
                     b |= 1 << i
                 idx += 1
             out.append(b)
-            prev_byte = b
         return bytes(reversed(out))
 
 
@@ -285,6 +295,19 @@ def load_tables() -> dict:
         return json.load(f)
 
 
+def uvlc_encode_joint(u0: int, u1: int) -> List[int]:
+    """Inverse of uvlc_decode_joint (e=0: not both u>2)."""
+    p0 = uvlc_encode(u0)
+    if u0 <= 2:
+        return p0 + uvlc_encode(u1)
+    if not 1 <= u1 <= 2:
+        raise ValueError("u1 must be <=2 when u0>2 and e=0")
+    # u0's code = prefix + suffix; insert the u1 bit between them
+    if u0 in (3, 4):
+        return [0, 0, 1, u1 - 1, u0 - 3]
+    return [0, 0, 0, u1 - 1] + [(u0 - 5 >> i) & 1 for i in range(5)]
+
+
 def uvlc_encode(u: int) -> List[int]:
     if u == 1:
         return [1]
@@ -306,3 +329,356 @@ def uvlc_decode(r: VLCReader) -> int:
     if r.read(1):
         return 3 + r.read(1)
     return 5 + r.read(5)
+
+
+def uvlc_decode_joint(r: VLCReader):
+    """Initial-pair, both u_off=1, MEL event 0: u0 prefix; if u0>2 its
+    suffix bits FOLLOW a 1-bit u1 (u1<=2 implied); else u1 is a full
+    u-VLC."""
+    if r.read(1):
+        return 1, uvlc_decode(r)
+    if r.read(1):
+        return 2, uvlc_decode(r)
+    if r.read(1):
+        u1 = 1 + r.read(1)
+        return 3 + r.read(1), u1
+    u1 = 1 + r.read(1)
+    return 5 + r.read(5), u1
+
+
+# ---------------------------------------------------------------------------
+# cleanup-pass codec (single code-block)
+# ---------------------------------------------------------------------------
+
+
+class HTTables:
+    """Codeword table banks + context maps (see docs/HTJ2K.md).
+
+    Schema: {"banks": {name: {cw: {"rho","u_off","kappa","e1"}}},
+             "ctx_initial": {"<rho_left>": bank-name, "azc": ...},
+             "ctx_row": {"<n1><n3>...": bank-name}}
+    """
+
+    def __init__(self, data: dict):
+        self.banks = {}
+        for name, tbl in data["banks"].items():
+            fwd = {}
+            for cw, e in tbl.items():
+                if "rho" not in e:
+                    continue
+                fwd[cw] = (e["rho"], e.get("u_off", 0),
+                           tuple(e.get("kappa", [])), tuple(e.get("e1", [])))
+            self.banks[name] = fwd
+        self.ctx_initial = data["ctx_initial"]
+        self.ctx_row = data["ctx_row"]
+        # reverse index for the encoder: bank -> (rho, u_off) -> [(cw, kappa, e1)]
+        self.enc = {}
+        for name, fwd in self.banks.items():
+            by = {}
+            for cw, (rho, uoff, kappa, e1) in fwd.items():
+                by.setdefault((rho, uoff), []).append((cw, kappa, e1))
+            for v in by.values():
+                v.sort(key=lambda t: len(t[0]))
+            self.enc[name] = by
+
+
+def _exp(mu: int) -> int:
+    return mu.bit_length()
+
+
+class CleanupDecoder:
+    """Decode one code-block's cleanup pass -> (mu, sign) int arrays."""
+
+    def __init__(self, tables: HTTables, w: int, h: int):
+        self.T = tables
+        self.w = w
+        self.h = h
+
+    def decode(self, data: bytes):
+        w, h = self.w, self.h
+        if len(data) < 2:
+            raise ValueError("cleanup segment too short")
+        lcup = len(data)
+        scup = (data[lcup - 1] << 4) | (data[lcup - 2] & 0x0F)
+        if not (2 <= scup <= min(lcup, 4079)):
+            raise ValueError(f"bad Scup {scup}")
+        mel = MELDecoder(data[lcup - scup:])
+        vlc = VLCReader(data[lcup - scup:])
+        mag = MagSgnReader(data[: lcup - scup])
+
+        qw = (w + 1) // 2
+        qh = (h + 1) // 2
+        mu = np.zeros((h, w), np.int64)
+        sg = np.zeros((h, w), np.uint8)
+        # per-quad state for context/kappa: rho and per-sample m of each quad
+        rho_row = [[0] * qw for _ in range(qh)]
+        m_row = np.zeros((qh, 2, 2 * qw), np.int32)  # m per sample position
+
+        for qy in range(qh):
+            initial = qy == 0
+            qx = 0
+            while qx < qw:
+                pair = [qx] + ([qx + 1] if qx + 1 < qw else [])
+                specs = []
+                for i, x in enumerate(pair):
+                    ctx = self._ctx(rho_row, m_row, qy, x, initial)
+                    if ctx == "azc":
+                        if mel.event() == 0:
+                            specs.append((0, 0, (), ()))
+                            rho_row[qy][x] = 0
+                            continue
+                        bank = self.T.banks[
+                            self.T.ctx_initial["azc"] if initial
+                            else self.T.ctx_row["azc"]]
+                    else:
+                        bank = self.T.banks[ctx]
+                    cw = ""
+                    while True:
+                        cw += str(vlc.read(1))
+                        if cw in bank:
+                            specs.append(bank[cw])
+                            break
+                        if len(cw) > 10:
+                            raise ValueError(
+                                f"unknown codeword {cw!r} (quad {qy},{x})")
+                    # the pair-mate's context depends on this quad's rho
+                    rho_row[qy][x] = specs[-1][0]
+                # u section
+                uoffs = [s[1] for s in specs]
+                us = [0] * len(specs)
+                if initial and len(specs) == 2 and uoffs == [1, 1]:
+                    e = mel.event()
+                    if e:
+                        us[0] = uvlc_decode(vlc) + 2
+                        us[1] = uvlc_decode(vlc) + 2
+                    else:
+                        us[0], us[1] = uvlc_decode_joint(vlc)
+                else:
+                    for i, uo in enumerate(uoffs):
+                        if uo:
+                            us[i] = uvlc_decode(vlc)
+                # magnitudes
+                for i, x in enumerate(pair):
+                    rho, uoff, kappa, e1 = specs[i]
+                    rho_row[qy][x] = rho
+                    if rho == 0:
+                        continue
+                    kq = 1
+                    if not initial:
+                        e_above = int(m_row[qy - 1, 1, 2 * x:2 * x + 2].max())
+                        kq = max(1, e_above)
+                    U = us[i] + kq
+                    si = 0
+                    for k in range(4):
+                        if not rho >> k & 1:
+                            continue
+                        m = U - kappa[si]
+                        v = mag.read(m) if m > 0 else 0
+                        s = v & 1
+                        mg = v >> 1
+                        muv = 1 + mg + (e1[si] << (m - 1) if m > 0 else 0)
+                        r = qy * 2 + (k & 1)
+                        c = x * 2 + (k >> 1)
+                        if r < h and c < w:
+                            mu[r, c] = muv
+                            sg[r, c] = s
+                        m_row[qy, k & 1, 2 * x + (k >> 1)] = m
+                        si += 1
+                qx += len(pair)
+        return mu, sg
+
+    def _ctx(self, rho_row, m_row, qy, qx, initial):
+        if initial:
+            left = rho_row[0][qx - 1] if qx > 0 else 0
+            key = str(left)
+            name = self.T.ctx_initial.get(key)
+            if name is None:
+                raise ValueError(f"no initial ctx for left rho {left}")
+            return name
+        above = rho_row[qy - 1][qx]
+        n1 = (above >> 1) & 1
+        n3 = (above >> 3) & 1
+        left = rho_row[qy][qx - 1] if qx > 0 else 0
+        key = f"{n1}{n3}"
+        name = self.T.ctx_row.get(key)
+        if name is None:
+            raise ValueError(f"no row ctx for key {key}")
+        return name
+
+
+class CleanupEncoder:
+    """Encode (mu, sign) -> a cleanup segment the decoder above (and
+    OpenJPEG) reconstructs exactly. Encoder policy: smallest usable U per
+    quad, e1=0 codings preferred; chooses only table entries whose
+    (rho, u_off) exist in the bank."""
+
+    def __init__(self, tables: HTTables, w: int, h: int):
+        self.T = tables
+        self.w = w
+        self.h = h
+
+    def encode(self, mu, sg, trace=None) -> bytes:
+        """trace: optional dict; if given, trace[(qy,qx)] = (vlc_bits,
+        mel_events, magsgn_bits) BEFORE that quad's codeword is emitted."""
+        w, h = self.w, self.h
+        qw = (w + 1) // 2
+        qh = (h + 1) // 2
+        melw = MELEncoder()
+        vlcw = VLCWriter()
+        magw = MagSgnWriter()
+        rho_row = [[0] * qw for _ in range(qh)]
+        m_row = np.zeros((qh, 2, 2 * qw), np.int32)
+
+        dec = CleanupDecoder(self.T, w, h)  # reuse ctx logic
+        for qy in range(qh):
+            initial = qy == 0
+            qx = 0
+            while qx < qw:
+                pair = [qx] + ([qx + 1] if qx + 1 < qw else [])
+                # gather quad info
+                infos = []
+                for x in pair:
+                    rho = 0
+                    mus = []
+                    for k in range(4):
+                        r = qy * 2 + (k & 1)
+                        c = x * 2 + (k >> 1)
+                        v = int(mu[r, c]) if r < h and c < w else 0
+                        if v:
+                            rho |= 1 << k
+                            mus.append(v)
+                    infos.append((rho, mus))
+                    rho_row[qy][x] = rho
+                # contexts + MEL significance
+                specs = []
+                for i, x in enumerate(pair):
+                    rho, mus = infos[i]
+                    ctx = dec._ctx(rho_row, m_row, qy, x, initial)
+                    if ctx == "azc":
+                        melw.event(1 if rho else 0)
+                        if rho == 0:
+                            specs.append(None)
+                            continue
+                        bank_name = (self.T.ctx_initial["azc"] if initial
+                                     else self.T.ctx_row["azc"])
+                    else:
+                        bank_name = ctx
+                    specs.append(("bank", bank_name, rho, mus, x))
+                    if ctx != "azc" and rho == 0:
+                        pass
+                # pick codewords + u values
+                chosen = []
+                for i, sp in enumerate(specs):
+                    if trace is not None:
+                        trace[(qy, pair[i])] = (
+                            len(vlcw.bits), list(getattr(melw, "events", [])),
+                            len(magw.bits))
+                    if sp is None:
+                        chosen.append(None)
+                        continue
+                    _, bank_name, rho, mus, x = sp
+                    kq = 1
+                    if not initial:
+                        e_above = int(m_row[qy - 1, 1,
+                                            2 * x:2 * x + 2].max())
+                        kq = max(1, e_above)
+                    emax = max((_exp(v) for v in mus), default=1) if rho else 0
+                    cand = self._pick(bank_name, rho, emax, kq, mus)
+                    chosen.append(cand + (kq,))
+                # u coding
+                uoffs = [(c[3] if c else 0) for c in chosen]
+
+                for i, c in enumerate(chosen):
+                    if trace is not None and c:
+                        trace[("cw", qy, pair[i])] = c[0]
+                    if c:
+                        vlcw.write_bits([int(b) for b in c[0]])
+                us = [(c[4] if c else 0) for c in chosen]
+                if initial and len(chosen) == 2 and uoffs == [1, 1]:
+                    if us[0] > 2 and us[1] > 2:
+                        melw.event(1)
+                        vlcw.write_bits(uvlc_encode(us[0] - 2))
+                        vlcw.write_bits(uvlc_encode(us[1] - 2))
+                    else:
+                        melw.event(0)
+                        vlcw.write_bits(uvlc_encode_joint(us[0], us[1]))
+                else:
+                    for i, uo in enumerate(uoffs):
+                        if uo:
+                            vlcw.write_bits(uvlc_encode(us[i]))
+                # magnitudes
+                for i, c in enumerate(chosen):
+                    if not c:
+                        continue
+                    cw, kappa, e1, uoff, u, kq = c
+                    x = pair[i]
+                    rho = rho_row[qy][x]
+                    U = u + kq
+                    si = 0
+                    for k in range(4):
+                        if not rho >> k & 1:
+                            continue
+                        r = qy * 2 + (k & 1)
+                        cc = x * 2 + (k >> 1)
+                        muv = int(mu[r, cc])
+                        m = U - kappa[si]
+                        base = (e1[si] << (m - 1)) if m > 0 else 0
+                        mg = muv - 1 - base
+                        assert 0 <= mg < (1 << max(m - 1, 0)) or (
+                            m == 0 and mg == 0), (muv, m, base)
+                        v = (mg << 1) | int(sg[r, cc])
+                        magw.write(v, m)
+                        m_row[qy, k & 1, 2 * x + (k >> 1)] = m
+                        si += 1
+                qx += len(pair)
+
+        return assemble_segment(magw.flush(), melw.flush(), vlcw)
+
+    def _pick(self, bank_name, rho, emax, kq, mus):
+        """Choose (cw, kappa, e1, u_off, u) able to code these magnitudes.
+
+        A sample with m bits codes mu in [1+b, 2^(m-1)+b] where
+        b = e1*2^(m-1); m may be 0 only for mu == 1 (zero bits read)."""
+        by = self.T.enc[bank_name]
+
+        def fits(kappa, e1, U):
+            for si, v in enumerate(mus):
+                m = U - kappa[si]
+                if m < 0:
+                    return False
+                if m == 0:
+                    if v != 1 or e1[si]:
+                        return False
+                    continue
+                base = e1[si] << (m - 1)
+                mg = v - 1 - base
+                if mg < 0 or mg >= (1 << (m - 1)):
+                    return False
+            return True
+
+        for uoff in (0, 1):
+            umax = 1 if uoff == 0 else 37
+            for u in range(0 if uoff == 0 else 1, umax):
+                U = u + kq
+                for cw, kappa, e1 in by.get((rho, uoff), []):
+                    if fits(kappa, e1, U):
+                        return (cw, kappa, e1, uoff, u)
+        raise ValueError(f"no codeword for rho={rho} mus={mus} in {bank_name}")
+
+
+def assemble_segment(mag_bytes: bytes, mel_bytes: bytes, vlcw: VLCWriter) -> bytes:
+    vlc_bytes = vlcw.flush()  # deepest-first; last byte holds the first nibble
+    if vlc_bytes:
+        scup = len(mel_bytes) + len(vlc_bytes) + 1  # X replaces the nibble byte
+        first_nib = vlc_bytes[-1] >> 4
+        body = mel_bytes + vlc_bytes[:-1]
+    else:
+        scup = len(mel_bytes) + 2
+        first_nib = 0
+        body = mel_bytes
+    if scup > 4079:
+        raise ValueError("cleanup MEL+VLC too long")
+    tail = bytes([(first_nib << 4) | (scup & 0x0F), scup >> 4])
+    out = mag_bytes + body + tail
+    assert len(out) == len(mag_bytes) + scup
+    return out

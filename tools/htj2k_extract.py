@@ -188,7 +188,10 @@ def extract(t: Target, label):
 
     def walk(prefix, depth, members):
         rhos = {rho_of[m] for m in members}
-        if len(rhos) == 1 and depth >= 2:
+        # ERR outcomes come from u-overflow in the enumeration tail, not
+        # from table structure — ignore them for the uniformity test
+        real = {r for r in rhos if isinstance(r, int)}
+        if len(real) <= 1 and depth >= 2:
             nodes.append("".join(map(str, prefix)))
             return
         if depth >= MAXCW + 1:
@@ -204,7 +207,8 @@ def extract(t: Target, label):
     while work:
         cw = work.pop()
         entry = _classify(t, [int(c) for c in cw])
-        if ("anomaly" in entry or "unstable_rho" in entry) and len(cw) < MAXCW + 3:
+        if ("anomaly" in entry or "unstable_rho" in entry
+                or "invalid" in entry) and len(cw) < MAXCW + 3:
             # two codewords sharing rho but differing in EMB/u_off collapse
             # to one rho-trie node — split and reclassify the children
             work.append(cw + "0")
@@ -339,12 +343,13 @@ def main():
     elif what == "rows2":
         for rho0 in sorted(CTX0_UOFF1):
             run(f"row1/above_rho{rho0}", cfg_row1_below(rho0))
+    elif what.startswith("wide:"):
+        campaign_wide(p, what.split(":", 1)[1])
     else:
         print("unknown campaign", what)
 
 
-if __name__ == "__main__":
-    main()
+
 
 
 # ---------------------------------------------------------------------------
@@ -380,3 +385,176 @@ def table_fingerprint(tbl):
                 break
         out.append(hit if hit is not None else "?")
     return tuple(out)
+
+
+# ---------------------------------------------------------------------------
+# wide-geometry campaign: preambles built by the (already-validated) encoder
+# ---------------------------------------------------------------------------
+
+
+def build_wide_cfg(layout, target, tables_path="/tmp/ht_map/htj2k_tables.json"):
+    """layout: {(qy,qx): rho} for preamble quads (all mu=1 so the encoder
+    picks u_off=0 codewords); target=(qy,qx). Returns a Target cfg whose
+    preamble = encoder bits up to the target's codeword position."""
+    import numpy as np
+    from lungmask_tpu.io.htj2k import CleanupEncoder, HTTables, MELEncoder
+
+    T = HTTables(json.load(open(tables_path)))
+    qw = 1 + max(x for _, x in list(layout) + [target])
+    qh = 1 + max(y for y, _ in list(layout) + [target])
+    w, h = 2 * qw, 2 * qh
+    mu = np.zeros((h, w), np.int64)
+    sg = np.zeros((h, w), np.uint8)
+    for (qy, qx), rho in layout.items():
+        for k in range(4):
+            if rho >> k & 1:
+                mu[2 * qy + (k & 1), 2 * qx + (k >> 1)] = 1
+    trace = {}
+    enc = CleanupEncoder(T, w, h)
+    enc.encode(mu, sg, trace=trace)
+    ty, tx = target
+    pair_x = tx - (tx % 2)
+    vbits_at, mel_events, mag_bits = trace[(ty, tx)]
+    # preamble VLC bits: everything before the target's PAIR, plus the
+    # pair-mate's codeword when the target is the second quad of its pair
+    # (trace offset is taken before the pair's codewords are emitted)
+    # Re-derive: bits before pair = trace[(ty, pair_x)][0]
+    pre_bits_n = trace[(ty, pair_x)][0]
+    # full bit stream of the truncated encode:
+    full = trace.get(("_bits",))
+    # reconstruct from a second encode pass capturing the writer
+    from lungmask_tpu.io.htj2k import VLCWriter
+    enc2 = CleanupEncoder(T, w, h)
+    tr2 = {}
+    # monkey: capture vlc bits by re-running and reading the writer via trace
+    # simpler: recompute using a copy of encode that returns bits — instead we
+    # regenerate the full segment and track bits with a patched writer
+    bits_log = []
+    orig_write = VLCWriter.write_bits
+    def spy(self, bl):
+        bits_log.extend(bl)
+        orig_write(self, bl)
+    VLCWriter.write_bits = spy
+    try:
+        enc2.encode(mu, sg, trace=tr2)
+    finally:
+        VLCWriter.write_bits = orig_write
+    pre = list(bits_log[:pre_bits_n])
+    if tx != pair_x:
+        cw0 = tr2.get(("cw", ty, pair_x))
+        if cw0 is None:
+            pre_mate = []  # pair mate insignificant & AZC -> no codeword
+        else:
+            pre_mate = [int(c) for c in cw0]
+        pre = pre + pre_mate
+    # MEL prefix: events up to the target + one 'significant' event (used
+    # only if the target turns out to be MEL-gated; harmless otherwise)
+    melw = MELEncoder()
+    for e in mel_events:
+        melw.event(e)
+    melw.event(1)
+    mel = list(melw.flush()) or [0x00]
+    samples = [(2 * ty, 2 * tx), (2 * ty + 1, 2 * tx),
+               (2 * ty, 2 * tx + 1), (2 * ty + 1, 2 * tx + 1)]
+    expect = {}
+    V1 = 3 * SCALE // 2
+    for (qy, qx), rho in layout.items():
+        if (qy, qx) == (ty, pair_x) and tx != pair_x:
+            pass  # pair mate decodes before target; values expected
+        for k in range(4):
+            if rho >> k & 1:
+                expect[(2 * qy + (k & 1), 2 * qx + (k >> 1))] = V1
+    # only validate quads decoded BEFORE the target
+    expect = {rc: v for rc, v in expect.items()
+              if (rc[0] // 2, rc[1] // 2) in layout and
+                 ((rc[0] // 2) < ty or ((rc[0] // 2) == ty and (rc[1] // 2) <= tx))}
+    return dict(w=w, h=h, mel=mel, pre=pre, samples=samples,
+                pre_magsgn_bits=mag_bits + (
+                    bin(layout.get((ty, pair_x), 0)).count("1")
+                    if tx != pair_x else 0),
+                pre_expect=expect)
+
+
+FPPATS = ["000", "001", "010", "011", "100", "101", "110", "111"]
+
+
+def bank_rho_tuple(bank):
+    """Predicted (rho per FPPATS pattern) via longest-prefix matching."""
+    out = []
+    for pat in FPPATS:
+        ext = pat + "1" * 10
+        hit = "?"
+        for L in range(2, len(ext) + 1):
+            e = bank.get(ext[:L])
+            if e is not None and "rho" in e:
+                hit = e["rho"]
+                break
+        out.append(hit)
+    return tuple(out)
+
+
+def campaign_wide(p, which):
+    import itertools
+    tables = json.load(open(OUT)) if os.path.exists(OUT) else {}
+    art = json.load(open("/tmp/ht_map/htj2k_tables.json"))
+    known = {name: bank_rho_tuple(tbl) for name, tbl in art["banks"].items()}
+
+    def fp_of(cfg):
+        t = Target(p, cfg)
+        out = []
+        for pat in FPPATS:
+            st, r = t.read([int(c) for c in pat] + [1] * 10)
+            out.append(r[0] if st == "OK" else str(st)[:6])
+        return tuple(out)
+
+    novel = {}
+    if which == "rowpair":
+        # 4x4: A0 (0,0), A1 (0,1), B0 (1,0), target B1 (1,1)
+        cases = []
+        for a1 in (0, 2, 8, 10, 4):
+            for b0 in (0, 2, 4, 8, 12):
+                for a0 in (1, 8):
+                    cases.append({(0, 0): a0, (0, 1): a1, (1, 0): b0})
+        target = (1, 1)
+    elif which == "init3":
+        # 6x2: q0, q1, target q2
+        cases = []
+        for q1 in (1, 2, 4, 8, 12, 10, 5, 3):
+            for q0 in (2, 8):
+                cases.append({(0, 0): q0, (0, 1): q1})
+        target = (0, 2)
+    elif which == "rownext":
+        # 2x6: A above, B middle (row1), target C (row2): kappa/ctx chain
+        cases = [{(0, 0): a, (1, 0): b} for a in (2, 8) for b in (0, 2, 8, 10)]
+        target = (2, 0)
+    else:
+        raise SystemExit(f"unknown wide campaign {which}")
+
+    for case in cases:
+        lay = {k: v for k, v in case.items() if v}
+        try:
+            cfg = build_wide_cfg(lay, target)
+        except Exception as e:
+            print(f"case {case}: BUILD FAIL {e}", flush=True)
+            continue
+        fp = fp_of(cfg)
+        matches = [n for n, kfp in known.items() if kfp == fp]
+        print(f"case {case}: fp={fp} -> {matches or 'NOVEL'}", flush=True)
+        if not matches:
+            key = f"wide/{which}/" + "_".join(
+                f"{k[0]}{k[1]}r{v}" for k, v in sorted(case.items()))
+            novel[key] = cfg
+    # fully extract one representative per distinct novel fingerprint
+    seen = set()
+    for key, cfg in novel.items():
+        fp = fp_of(cfg)
+        if fp in seen:
+            continue
+        seen.add(fp)
+        tables[key] = extract(Target(p, cfg), key)
+        json.dump(tables, open(OUT, "w"), indent=1, sort_keys=True)
+    print("done", flush=True)
+
+
+if __name__ == "__main__":
+    main()
