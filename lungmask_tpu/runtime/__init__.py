@@ -23,7 +23,18 @@ def enable_compile_cache(path: str | None = None) -> None:
     os.makedirs(path, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # Persist EVERYTHING: on the tunnel-attached TPU even tiny
+        # programs cost seconds of remote-compile RPC, but jax measures
+        # compile time in a way that leaves most of them under the default
+        # 1.0s persistence threshold — the r5 warm-bench capture showed 74
+        # misses with only 1 cache write per run, i.e. the same programs
+        # recompiled every run forever. Zero threshold fixes the leak.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        try:
+            jax.config.update(
+                "jax_persistent_cache_min_entry_size_bytes", -1)
+        except Exception:
+            pass
         _cache_enabled = True
     except Exception:
         pass
