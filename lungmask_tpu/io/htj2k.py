@@ -148,29 +148,42 @@ class VLCReader:
     """Backward bit reader for the VLC segment.
 
     Physically: bits are served LSB-first from the high nibble of
-    B[Scup-2], then LSB-first from each previous byte. Unstuffing: when
-    the previously-consumed byte (higher address) is > 0x8F, the next byte
-    contributes 7 bits and its MSB is a stuffed 0 (fuzz-confirmed: without
-    this rule OpenJPEG desyncs exactly on streams whose packed VLC bytes
-    exceed 0x8F).
+    B[Scup-2], then LSB-first from each previous byte. Two stuffing rules
+    (fuzz-confirmed vs OpenJPEG):
+
+      * initial nibble: if its low 3 bits are all 1, its MSB is a stuffed
+        0 and only 3 bits are usable;
+      * a byte contributes 7 bits (MSB stuffed 0) when the
+        previously-consumed byte (higher address) exceeds 0x8F. For the
+        nibble byte the comparison uses (nibble<<4)|0xF — its low nibble
+        belongs to Scup and is treated pessimistically — i.e. nibble >= 9.
     """
 
     def __init__(self, segment: bytes):
         # segment = the Scup-byte MEL+VLC region; VLC reads from the end
         self.data = segment
         self.ipos = len(segment) - 2  # byte holding the first nibble
-        self.acc = (segment[self.ipos] >> 4) if len(segment) >= 2 else 0
-        self.nbits = 4
-        self.last = segment[-1] if segment else 0
+        nib = (segment[self.ipos] >> 4) if len(segment) >= 2 else 0
+        if STUFF_RULE == "new" and (nib & 7) == 7:
+            self.acc = nib & 7
+            self.nbits = 3
+        else:
+            self.acc = nib
+            self.nbits = 4
+        self.unstuff = nib >= 9
 
     def _refill(self):
         while self.nbits <= 24 and self.ipos > 0:
             self.ipos -= 1
             byte = self.data[self.ipos]
-            prev = self.data[self.ipos + 1]
-            take = 7 if (prev & 0x7F) == 0x7F else 8
+            if STUFF_RULE == "new":
+                take = 7 if self.unstuff else 8
+            else:
+                prev = self.data[self.ipos + 1]
+                take = 7 if (prev & 0x7F) == 0x7F else 8
             self.acc |= (byte & ((1 << take) - 1)) << self.nbits
             self.nbits += take
+            self.unstuff = byte > 0x8F
 
     def read(self, n: int) -> int:
         if n > self.nbits:
@@ -203,32 +216,39 @@ class VLCWriter:
 
     def flush(self) -> bytes:
         """Pack into the backward byte order (last byte = the one whose
-        high nibble holds the first 4 VLC bits; the caller merges it with
-        the Scup low nibble)."""
+        high nibble holds the first VLC bits; the caller merges it with
+        the Scup low nibble). Mirrors VLCReader's stuffing exactly:
+        a nibble whose low 3 bits are all 1 keeps a stuffed-0 MSB, and a
+        byte after one that the reader sees as > 0x8F (nibble byte:
+        nibble >= 9, since its Scup low nibble reads as 0xF) carries only
+        7 bits with a stuffed-0 MSB."""
         out: List[int] = []  # bytes from the END toward the start
         bits = list(self.bits)
         idx = 0
         nib = 0
-        for i in range(4):
+        for i in range(3):
             if idx < len(bits) and bits[idx]:
                 nib |= 1 << i
             idx += 1
+        if STUFF_RULE != "new" or (nib & 7) != 7:
+            if idx < len(bits) and bits[idx]:
+                nib |= 1 << 3
+            idx += 1
         out.append(nib << 4)
-        # NOTE: the caller merges Scup's low nibble into the LAST byte; the
-        # stuffing decision for the byte BEFORE it must use that final
-        # value, so the nibble byte is conservatively treated as >0x8F
-        # only when its high nibble alone already exceeds it (the low
-        # nibble is <= 0xF and cannot push 0x80.. over 0x8F unless the
-        # high nibble >= 0x9).
+        unstuff = nib >= 9
         while idx < len(bits):
-            prev = out[-1] if len(out) > 1 else (nib << 4)
-            take = 7 if (prev & 0x7F) == 0x7F else 8
+            if STUFF_RULE == "new":
+                take = 7 if unstuff else 8
+            else:
+                prev = out[-1] if len(out) > 1 else (nib << 4)
+                take = 7 if (prev & 0x7F) == 0x7F else 8
             b = 0
             for i in range(take):
                 if idx < len(bits) and bits[idx]:
                     b |= 1 << i
                 idx += 1
             out.append(b)
+            unstuff = b > 0x8F
         return bytes(reversed(out))
 
 
@@ -308,17 +328,23 @@ def uvlc_encode_joint(u0: int, u1: int) -> List[int]:
     return [0, 0, 0, u1 - 1] + [(u0 - 5 >> i) & 1 for i in range(5)]
 
 
-def uvlc_encode(u: int) -> List[int]:
+def uvlc_parts(u: int) -> Tuple[List[int], List[int]]:
+    """(prefix bits, suffix bits) of the u-VLC for u in [1, 36]."""
     if u == 1:
-        return [1]
+        return [1], []
     if u == 2:
-        return [0, 1]
+        return [0, 1], []
     if u in (3, 4):
-        return [0, 0, 1, u - 3]
+        return [0, 0, 1], [u - 3]
     k = u - 5
     if not 0 <= k < 32:
         raise ValueError(f"u={u} out of range")
-    return [0, 0, 0] + [(k >> i) & 1 for i in range(5)]
+    return [0, 0, 0], [(k >> i) & 1 for i in range(5)]
+
+
+def uvlc_encode(u: int) -> List[int]:
+    pfx, sfx = uvlc_parts(u)
+    return pfx + sfx
 
 
 def uvlc_decode(r: VLCReader) -> int:
@@ -329,6 +355,43 @@ def uvlc_decode(r: VLCReader) -> int:
     if r.read(1):
         return 3 + r.read(1)
     return 5 + r.read(5)
+
+
+def _uvlc_read_prefix(r: VLCReader) -> int:
+    """Read just the u-VLC prefix; returns base u (suffix still pending)."""
+    if r.read(1):
+        return 1
+    if r.read(1):
+        return 2
+    if r.read(1):
+        return 3
+    return 5
+
+
+def _uvlc_read_suffix(r: VLCReader, base: int) -> int:
+    if base == 3:
+        return base + r.read(1)
+    if base == 5:
+        return base + r.read(5)
+    return base
+
+
+def uvlc_decode_pair(r: VLCReader) -> Tuple[int, int]:
+    """Interleaved two-u form (initial pair, MEL e=1, both u>2):
+    pfx0 pfx1 sfx0 sfx1; u_i = value_i + 2 applied by the caller.
+    (Probed: sequential parsing is wrong for values with suffixes —
+    OpenJPEG reads both prefixes before either suffix.)"""
+    b0 = _uvlc_read_prefix(r)
+    b1 = _uvlc_read_prefix(r)
+    u0 = _uvlc_read_suffix(r, b0)
+    u1 = _uvlc_read_suffix(r, b1)
+    return u0, u1
+
+
+def uvlc_encode_pair(v0: int, v1: int) -> List[int]:
+    p0, s0 = uvlc_parts(v0)
+    p1, s1 = uvlc_parts(v1)
+    return p0 + p1 + s0 + s1
 
 
 def uvlc_decode_joint(r: VLCReader):
@@ -382,8 +445,38 @@ class HTTables:
             self.enc[name] = by
 
 
+# Rule toggles for differential-fuzz A/B (tools/htj2k_fuzz.py arbitrates;
+# the winning combination is the committed default).
+E_RULE = os.environ.get("HTJ2K_E_RULE", "exp")  # "exp"=bitlen(2mu-1)|"m"
+KAPPA_RULE = os.environ.get("HTJ2K_KAPPA_RULE", "gamma")  # "gamma"|"emax"
+STUFF_RULE = os.environ.get("HTJ2K_STUFF_RULE", "old")  # "new"|"old"
+
+
 def _exp(mu: int) -> int:
-    return mu.bit_length()
+    """Magnitude exponent E_n of a decoded magnitude: bitlen(2*mu - 1),
+    i.e. E = ceil(log2(2*mu)). 0 for insignificant samples."""
+    return (2 * mu - 1).bit_length() if mu > 0 else 0
+
+
+def _kappa_q(rho: int, e_row, qy: int, qx: int, initial: bool) -> int:
+    """U_q = u_q + kappa_q. Initial line pair: kappa_q = 1. Non-initial:
+    kappa_q = max(1, E_q - 1) if the quad has more than one significant
+    sample (gamma_q = 1), else 1; E_q is the largest exponent of the two
+    samples directly above the quad (bottom row of the quad line above)."""
+    if initial:
+        return 1
+    e_above = int(e_row[qy - 1, 1, 2 * qx:2 * qx + 2].max())
+    if KAPPA_RULE == "emax":
+        return max(1, e_above)
+    gamma = (rho & (rho - 1)) != 0
+    if not gamma:
+        return 1
+    return max(1, e_above - 1)
+
+
+def _estore(m: int, muv: int) -> int:
+    """Per-sample exponent recorded for the next quad line's kappa."""
+    return m if E_RULE == "m" else _exp(muv)
 
 
 class CleanupDecoder:
@@ -410,9 +503,10 @@ class CleanupDecoder:
         qh = (h + 1) // 2
         mu = np.zeros((h, w), np.int64)
         sg = np.zeros((h, w), np.uint8)
-        # per-quad state for context/kappa: rho and per-sample m of each quad
+        # per-quad state for context/kappa: rho and per-sample magnitude
+        # exponent E_n = bitlen(2*mu_n - 1) (0 for insignificant samples)
         rho_row = [[0] * qw for _ in range(qh)]
-        m_row = np.zeros((qh, 2, 2 * qw), np.int32)  # m per sample position
+        e_row = np.zeros((qh, 2, 2 * qw), np.int32)  # E per sample position
 
         for qy in range(qh):
             initial = qy == 0
@@ -421,7 +515,7 @@ class CleanupDecoder:
                 pair = [qx] + ([qx + 1] if qx + 1 < qw else [])
                 specs = []
                 for i, x in enumerate(pair):
-                    ctx = self._ctx(rho_row, m_row, qy, x, initial)
+                    ctx = self._ctx(rho_row, e_row, qy, x, initial)
                     if ctx == "azc":
                         if mel.event() == 0:
                             specs.append((0, 0, (), ()))
@@ -449,8 +543,9 @@ class CleanupDecoder:
                 if initial and len(specs) == 2 and uoffs == [1, 1]:
                     e = mel.event()
                     if e:
-                        us[0] = uvlc_decode(vlc) + 2
-                        us[1] = uvlc_decode(vlc) + 2
+                        v0, v1 = uvlc_decode_pair(vlc)
+                        us[0] = v0 + 2
+                        us[1] = v1 + 2
                     else:
                         us[0], us[1] = uvlc_decode_joint(vlc)
                 else:
@@ -463,10 +558,7 @@ class CleanupDecoder:
                     rho_row[qy][x] = rho
                     if rho == 0:
                         continue
-                    kq = 1
-                    if not initial:
-                        e_above = int(m_row[qy - 1, 1, 2 * x:2 * x + 2].max())
-                        kq = max(1, e_above)
+                    kq = _kappa_q(rho, e_row, qy, x, initial)
                     U = us[i] + kq
                     si = 0
                     for k in range(4):
@@ -482,12 +574,12 @@ class CleanupDecoder:
                         if r < h and c < w:
                             mu[r, c] = muv
                             sg[r, c] = s
-                        m_row[qy, k & 1, 2 * x + (k >> 1)] = m
+                        e_row[qy, k & 1, 2 * x + (k >> 1)] = _estore(m, muv)
                         si += 1
                 qx += len(pair)
         return mu, sg
 
-    def _ctx(self, rho_row, m_row, qy, qx, initial):
+    def _ctx(self, rho_row, e_row, qy, qx, initial):
         if initial:
             left = rho_row[0][qx - 1] if qx > 0 else 0
             key = str(left)
@@ -527,7 +619,7 @@ class CleanupEncoder:
         vlcw = VLCWriter()
         magw = MagSgnWriter()
         rho_row = [[0] * qw for _ in range(qh)]
-        m_row = np.zeros((qh, 2, 2 * qw), np.int32)
+        e_row = np.zeros((qh, 2, 2 * qw), np.int32)
 
         dec = CleanupDecoder(self.T, w, h)  # reuse ctx logic
         for qy in range(qh):
@@ -553,7 +645,7 @@ class CleanupEncoder:
                 specs = []
                 for i, x in enumerate(pair):
                     rho, mus = infos[i]
-                    ctx = dec._ctx(rho_row, m_row, qy, x, initial)
+                    ctx = dec._ctx(rho_row, e_row, qy, x, initial)
                     if ctx == "azc":
                         melw.event(1 if rho else 0)
                         if rho == 0:
@@ -577,11 +669,7 @@ class CleanupEncoder:
                         chosen.append(None)
                         continue
                     _, bank_name, rho, mus, x = sp
-                    kq = 1
-                    if not initial:
-                        e_above = int(m_row[qy - 1, 1,
-                                            2 * x:2 * x + 2].max())
-                        kq = max(1, e_above)
+                    kq = _kappa_q(rho, e_row, qy, x, initial)
                     emax = max((_exp(v) for v in mus), default=1) if rho else 0
                     cand = self._pick(bank_name, rho, emax, kq, mus)
                     chosen.append(cand + (kq,))
@@ -597,8 +685,8 @@ class CleanupEncoder:
                 if initial and len(chosen) == 2 and uoffs == [1, 1]:
                     if us[0] > 2 and us[1] > 2:
                         melw.event(1)
-                        vlcw.write_bits(uvlc_encode(us[0] - 2))
-                        vlcw.write_bits(uvlc_encode(us[1] - 2))
+                        vlcw.write_bits(uvlc_encode_pair(us[0] - 2,
+                                                         us[1] - 2))
                     else:
                         melw.event(0)
                         vlcw.write_bits(uvlc_encode_joint(us[0], us[1]))
@@ -628,7 +716,7 @@ class CleanupEncoder:
                             m == 0 and mg == 0), (muv, m, base)
                         v = (mg << 1) | int(sg[r, cc])
                         magw.write(v, m)
-                        m_row[qy, k & 1, 2 * x + (k >> 1)] = m
+                        e_row[qy, k & 1, 2 * x + (k >> 1)] = _estore(m, muv)
                         si += 1
                 qx += len(pair)
 
