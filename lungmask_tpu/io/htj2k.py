@@ -134,7 +134,10 @@ class MELEncoder:
             acc = (acc << 1) | b
             n += 1
             if n == limit:
-                out.append(acc << (8 - limit) if limit < 8 else acc)
+                # after an 0xFF byte only 7 bits are carried, in bit
+                # positions 6..0 (the MSB is a stuffed 0 — the stream may
+                # not contain 0xFF followed by a byte > 0x8F)
+                out.append(acc)
                 limit = 7 if out[-1] == 0xFF else 8
                 acc = 0
                 n = 0
@@ -164,7 +167,12 @@ class VLCReader:
         self.data = segment
         self.ipos = len(segment) - 2  # byte holding the first nibble
         nib = (segment[self.ipos] >> 4) if len(segment) >= 2 else 0
-        if STUFF_RULE == "new" and (nib & 7) == 7:
+        # first-nibble stuffing (probed via the reconstructed true ctx0
+        # table): when the nibble's low 3 bits are all ones, bit 3 is a
+        # stuffed 0 and only 3 data bits are carried. The unstuff flag for
+        # the next byte is pessimistic (the X byte's low nibble belongs
+        # to Scup and reads as if it were 0xF).
+        if STUFF_RULE in ("new", "t814") and (nib & 7) == 7:
             self.acc = nib & 7
             self.nbits = 3
         else:
@@ -176,7 +184,12 @@ class VLCReader:
         while self.nbits <= 24 and self.ipos > 0:
             self.ipos -= 1
             byte = self.data[self.ipos]
-            if STUFF_RULE == "new":
+            if STUFF_RULE == "t814":
+                # a byte carries 7 bits (MSB = stuffed 0) only when the
+                # previously-consumed byte exceeded 0x8F AND this byte's
+                # low 7 bits are all ones
+                take = 7 if (self.unstuff and (byte & 0x7F) == 0x7F) else 8
+            elif STUFF_RULE == "new":
                 take = 7 if self.unstuff else 8
             else:
                 prev = self.data[self.ipos + 1]
@@ -230,23 +243,41 @@ class VLCWriter:
             if idx < len(bits) and bits[idx]:
                 nib |= 1 << i
             idx += 1
-        if STUFF_RULE != "new" or (nib & 7) != 7:
+        if STUFF_RULE not in ("new", "t814") or (nib & 7) != 7:
             if idx < len(bits) and bits[idx]:
                 nib |= 1 << 3
             idx += 1
         out.append(nib << 4)
         unstuff = nib >= 9
         while idx < len(bits):
-            if STUFF_RULE == "new":
+            if STUFF_RULE == "t814":
+                # gather 7 bits; if the previous byte exceeded 0x8F and
+                # they are all ones, emit them as 0x7F (stuffed-0 MSB);
+                # otherwise the byte carries an 8th bit
+                b = 0
+                for i in range(7):
+                    if idx < len(bits) and bits[idx]:
+                        b |= 1 << i
+                    idx += 1
+                if not (unstuff and b == 0x7F):
+                    if idx < len(bits) and bits[idx]:
+                        b |= 1 << 7
+                    idx += 1
+            elif STUFF_RULE == "new":
                 take = 7 if unstuff else 8
+                b = 0
+                for i in range(take):
+                    if idx < len(bits) and bits[idx]:
+                        b |= 1 << i
+                    idx += 1
             else:
                 prev = out[-1] if len(out) > 1 else (nib << 4)
                 take = 7 if (prev & 0x7F) == 0x7F else 8
-            b = 0
-            for i in range(take):
-                if idx < len(bits) and bits[idx]:
-                    b |= 1 << i
-                idx += 1
+                b = 0
+                for i in range(take):
+                    if idx < len(bits) and bits[idx]:
+                        b |= 1 << i
+                    idx += 1
             out.append(b)
             unstuff = b > 0x8F
         return bytes(reversed(out))
@@ -449,7 +480,8 @@ class HTTables:
 # the winning combination is the committed default).
 E_RULE = os.environ.get("HTJ2K_E_RULE", "exp")  # "exp"=bitlen(2mu-1)|"m"
 KAPPA_RULE = os.environ.get("HTJ2K_KAPPA_RULE", "gamma")  # "gamma"|"emax"
-STUFF_RULE = os.environ.get("HTJ2K_STUFF_RULE", "old")  # "new"|"old"
+STUFF_RULE = os.environ.get("HTJ2K_STUFF_RULE", "t814")  # "t814"|"new"|"old"
+UPAIR_RULE = os.environ.get("HTJ2K_UPAIR_RULE", "ilv")  # "ilv"|"seq"
 
 
 def _exp(mu: int) -> int:
@@ -461,11 +493,16 @@ def _exp(mu: int) -> int:
 def _kappa_q(rho: int, e_row, qy: int, qx: int, initial: bool) -> int:
     """U_q = u_q + kappa_q. Initial line pair: kappa_q = 1. Non-initial:
     kappa_q = max(1, E_q - 1) if the quad has more than one significant
-    sample (gamma_q = 1), else 1; E_q is the largest exponent of the two
-    samples directly above the quad (bottom row of the quad line above)."""
+    sample (gamma_q = 1), else 1; E_q is the largest exponent over the
+    above-row samples spanning the quad's context neighborhood — the NW
+    sample, the two samples directly above, and the NE sample (probed:
+    tools/htj2k_kappa_probe.py and the NE/NW sweeps in docs/HTJ2K.md)."""
     if initial:
         return 1
-    e_above = int(e_row[qy - 1, 1, 2 * qx:2 * qx + 2].max())
+    ncols = e_row.shape[2]
+    lo = max(0, 2 * qx - 1)
+    hi = min(ncols, 2 * qx + 3)
+    e_above = int(e_row[qy - 1, 1, lo:hi].max())
     if KAPPA_RULE == "emax":
         return max(1, e_above)
     gamma = (rho & (rho - 1)) != 0
@@ -548,6 +585,11 @@ class CleanupDecoder:
                         us[1] = v1 + 2
                     else:
                         us[0], us[1] = uvlc_decode_joint(vlc)
+                elif (UPAIR_RULE == "ilv" and not initial
+                      and len(specs) == 2 and uoffs == [1, 1]):
+                    # non-initial both-u_off: interleaved pfx0 pfx1 sfx0
+                    # sfx1, no MEL event, no +2 offset
+                    us[0], us[1] = uvlc_decode_pair(vlc)
                 else:
                     for i, uo in enumerate(uoffs):
                         if uo:
@@ -587,14 +629,24 @@ class CleanupDecoder:
             if name is None:
                 raise ValueError(f"no initial ctx for left rho {left}")
             return name
+        # Non-initial context (probed; tools/htj2k_ctx.py sweep):
+        #   bit0 = sig(NW sample) | sig(sample above n0-column)
+        #   bit1 = sig(sample above n2-column) | sig(NE sample)
+        #   bit2 = sig(left quad's right column: n2 | n3)
+        # NW = above-left quad's n3; NE = above-right quad's n1; the left
+        # quad's LEFT column and the above quads' TOP rows do not enter.
+        qw = len(rho_row[qy])
         above = rho_row[qy - 1][qx]
-        n1 = (above >> 1) & 1
-        n3 = (above >> 3) & 1
+        nw = (rho_row[qy - 1][qx - 1] >> 3) & 1 if qx > 0 else 0
+        n0 = (above >> 1) & 1
+        n1 = (above >> 3) & 1
+        ne = (rho_row[qy - 1][qx + 1] >> 1) & 1 if qx + 1 < qw else 0
         left = rho_row[qy][qx - 1] if qx > 0 else 0
-        key = f"{n1}{n3}"
-        name = self.T.ctx_row.get(key)
+        wbit = 1 if left & 0b1100 else 0
+        c = (nw | n0) | ((n1 | ne) << 1) | (wbit << 2)
+        name = self.T.ctx_row.get(str(c))
         if name is None:
-            raise ValueError(f"no row ctx for key {key}")
+            raise ValueError(f"no row ctx for context {c}")
         return name
 
 
@@ -690,6 +742,9 @@ class CleanupEncoder:
                     else:
                         melw.event(0)
                         vlcw.write_bits(uvlc_encode_joint(us[0], us[1]))
+                elif (UPAIR_RULE == "ilv" and not initial
+                      and len(chosen) == 2 and uoffs == [1, 1]):
+                    vlcw.write_bits(uvlc_encode_pair(us[0], us[1]))
                 else:
                     for i, uo in enumerate(uoffs):
                         if uo:
@@ -756,6 +811,15 @@ class CleanupEncoder:
 
 def assemble_segment(mag_bytes: bytes, mel_bytes: bytes, vlcw: VLCWriter) -> bytes:
     vlc_bytes = vlcw.flush()  # deepest-first; last byte holds the first nibble
+    # MEL/VLC boundary marker rule: the MEL reader reads forward past its
+    # logical end into the VLC region, and no byte > 0x8F may follow an
+    # 0xFF anywhere it can reach. Pad with 0x7F (seven 1-bits = harmless
+    # zero-event run continuations) when the boundary would violate that.
+    if mel_bytes and mel_bytes[-1] == 0xFF:
+        nxt = vlc_bytes[0] if len(vlc_bytes) > 1 else (
+            ((vlc_bytes[-1] >> 4) << 4) | 0xF if vlc_bytes else 0xFF)
+        if nxt > 0x8F:
+            mel_bytes = mel_bytes + b"\x7f"
     if vlc_bytes:
         scup = len(mel_bytes) + len(vlc_bytes) + 1  # X replaces the nibble byte
         first_nib = vlc_bytes[-1] >> 4

@@ -1,17 +1,16 @@
 """HT cleanup-pass codec: self-consistency + OpenJPEG differential pins.
 
-Status (r5): the codec handles the probed geometry — initial line pairs of
-any width and 2-wide columns — with the table banks reconstructed from
-OpenJPEG (docs/HTJ2K.md). The differential fuzz passes ~60-70% of random
-cases on that geometry; the remainder are concentrated in (a) deep-row
-kappa/context chains and (b) a not-yet-pinned VLC stuffing corner. These
-tests pin what IS verified:
+Status (r5 final): the cleanup codec is bit-exact against OpenJPEG on
+every fuzzed geometry — arbitrary block sizes, all context classes, the
+full kappa/E chain (whose exponent window spans NW/N0/N1/NE, probed),
+both initial u-pair joint forms, and the nibble/byte stuffing rules
+(docs/HTJ2K.md). These tests pin:
 
   * bit-stream primitives round-trip exactly (MEL, u-VLC incl. the
     joint initial-pair form, MagSgn with 0xFF stuffing),
-  * encoder->decoder self-consistency on randomized blocks,
-  * encoder->OpenJPEG round-trips on pinned seeds (skipped when the
-    system libopenjp2 is absent).
+  * encoder->decoder self-consistency on randomized blocks (exact),
+  * encoder->OpenJPEG bit-exact round-trips on pinned seeds (skipped
+    when the system libopenjp2 is absent).
 """
 
 import json
@@ -110,7 +109,8 @@ def _random_block(rng, w, h):
     return mu, sg
 
 
-SIZES = ((2, 2), (4, 2), (8, 2), (16, 2), (2, 4), (2, 8))
+SIZES = ((2, 2), (4, 2), (8, 2), (16, 2), (2, 4), (2, 8), (4, 4),
+         (8, 8), (16, 8))
 
 
 def test_self_consistency(tables):
@@ -124,8 +124,7 @@ def test_self_consistency(tables):
         ok = np.array_equal(mu2, mu) and np.array_equal(
             sg2 & (mu > 0).astype(np.uint8), sg)
         bad += not ok
-    # residual self-inconsistencies live in untabulated deep-row contexts
-    assert bad <= 3, f"{bad}/120 self-decode mismatches"
+    assert bad == 0, f"{bad}/120 self-decode mismatches"
 
 
 @pytest.mark.slow
@@ -138,6 +137,4 @@ def test_openjpeg_differential():
     from tools.htj2k_fuzz import run
 
     fails = run(n_iters=60, sizes=SIZES, seed=11)
-    # pins the r5 state: >=55% of random covered-geometry cases round-trip
-    # bit-exactly through OpenJPEG; docs/HTJ2K.md lists the open corners
-    assert fails <= 27, f"{fails}/60 differential failures (regression)"
+    assert fails == 0, f"{fails}/60 differential failures (regression)"

@@ -484,7 +484,7 @@ def bank_rho_tuple(bank):
     for pat in FPPATS:
         ext = pat + "1" * 10
         hit = "?"
-        for L in range(2, len(ext) + 1):
+        for L in range(1, len(ext) + 1):
             e = bank.get(ext[:L])
             if e is not None and "rho" in e:
                 hit = e["rho"]

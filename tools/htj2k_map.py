@@ -58,25 +58,39 @@ class Prober:
         return out
 
 
-def seg(magsgn, mel, vlc_bits, pad_to=None):
+def seg(magsgn, mel, vlc_bits, pad_to=None, conformant=True):
     """Assemble a cleanup segment. vlc_bits: list of bits in consumption
-    order. Packs them into the backward byte stream: first 4 bits -> high
-    nibble of X (LSB-first), next 8 -> previous byte (LSB-first), etc."""
+    order.
+
+    conformant=True (default) routes the bits through the codec's
+    VLCWriter so the physical stream carries the standard's bit-stuffing
+    (first-nibble 111 stuffing + the no-0xFF-then->0x8F byte rule) — the
+    decoder then consumes exactly the logical bits. conformant=False is
+    the historical flat packing (4 bits to the nibble, 8 per byte), which
+    silently embeds stuffed bits inside logical offsets whenever a
+    stuffing trigger is crossed — kept only to reproduce old campaigns."""
     bits = list(vlc_bits)
-    # X high nibble
-    nib = 0
-    for i in range(4):
-        if i < len(bits) and bits[i]:
-            nib |= 1 << i
-    rest = bits[4:]
-    vbytes = []
-    while rest:
-        b = 0
-        for i in range(8):
-            if i < len(rest) and rest[i]:
-                b |= 1 << i
-        vbytes.append(b)
-        rest = rest[8:]
+    if conformant:
+        from lungmask_tpu.io.htj2k import VLCWriter
+        w = VLCWriter()
+        w.write_bits(bits)
+        vlc = w.flush()  # [deepest ... nibble-byte]
+        nib = vlc[-1] >> 4
+        vbytes = list(reversed(vlc[:-1]))  # consumption order after nibble
+    else:
+        nib = 0
+        for i in range(4):
+            if i < len(bits) and bits[i]:
+                nib |= 1 << i
+        rest = bits[4:]
+        vbytes = []
+        while rest:
+            b = 0
+            for i in range(8):
+                if i < len(rest) and rest[i]:
+                    b |= 1 << i
+            vbytes.append(b)
+            rest = rest[8:]
     # layout: [magsgn][mel][vN..v1][X][L]; VLC reads backward from X's nibble
     scup = len(mel) + len(vbytes) + 2
     if pad_to is not None and scup < pad_to:
