@@ -16,11 +16,18 @@
 //   * code-block styles: default, segmentation symbols, predictable
 //     termination is tolerated (it changes encoder-side flushes only).
 //
+// Also decodes High-Throughput JPEG 2000 (ITU-T T.814 / DICOM
+// 1.2.840.10008.1.2.4.201/.202/.203) code-blocks via the HT cleanup-pass
+// block decoder (HTDec below) — a port of the probe-validated Python
+// reference in lungmask_tpu/io/htj2k.py (fuzz-pinned bit-exact against
+// OpenJPEG). HT blocks carrying SigProp/MagRef refinement passes are
+// refused (-27) rather than decoded lossily.
+//
 // Rejected with distinct error codes (mapped to clear messages in
 // lungmask_tpu/io/codecs.py): irreversible 9/7 (-20, lossy), multi-component
 // (-21), selective-bypass / termall / vertically-causal code-block styles
 // (-22), PPM/PPT packed headers (-23), PCRL/CPRL progressions (-24),
-// ROI shifts (-25).
+// ROI shifts (-25), HT refinement passes (-27), malformed HT block (-28).
 //
 // Validated bit-for-bit against OpenJPEG (via Pillow) on random and
 // CT-windowed fixtures in tests/test_codecs.py.
@@ -488,6 +495,328 @@ struct T1 {
 // Codestream structures.
 // ---------------------------------------------------------------------------
 
+// ---------------------------------------------------------------------------
+// HTJ2K (ITU-T T.814) cleanup-pass block decoder.
+//
+// Port of the probe-validated Python reference (lungmask_tpu/io/htj2k.py):
+// every coding rule was reconstructed empirically against OpenJPEG's HT
+// decoder and the Python codec round-trips bit-exactly (tests/test_htj2k.py,
+// tools/htj2k_fuzz.py). The codeword LUTs are generated from the probed
+// tables by tools/htj2k_gen_tables.py. Scope: the cleanup pass only —
+// blocks carrying SigProp/MagRef refinement passes are refused loudly
+// (-27) rather than decoded lossily.
+// ---------------------------------------------------------------------------
+
+#include "htj2k_tables.inc"
+
+struct HTMel {  // adaptive run-length coder, MSB-first, 0xFF stuffing
+  const uint8_t* d = nullptr;
+  int64_t n = 0, pos = 0;
+  int bit = 7, state = 0, one = 0;
+  int64_t zeros = 0;
+  static const int E[13];
+  void init(const uint8_t* p, int64_t len) { d = p; n = len; }
+  int read_bit() {
+    if (pos >= n) return 1;  // pad behaves as max-run continuation
+    int b = (d[pos] >> bit) & 1;
+    if (bit == 0) {
+      bool skip7 = d[pos] == 0xFF;
+      pos++;
+      bit = skip7 ? 6 : 7;
+    } else {
+      bit--;
+    }
+    return b;
+  }
+  int event() {
+    while (zeros == 0 && !one) {
+      int e = E[state];
+      if (read_bit()) {
+        zeros += (int64_t)1 << e;
+        state = state < 12 ? state + 1 : 12;
+      } else {
+        int run = 0;
+        for (int i = e - 1; i >= 0; --i) run |= read_bit() << i;
+        zeros += run;
+        one = 1;
+        state = state > 0 ? state - 1 : 0;
+      }
+    }
+    if (zeros) {
+      zeros--;
+      return 0;
+    }
+    one = 0;
+    return 1;
+  }
+};
+const int HTMel::E[13] = {0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 4, 5};
+
+struct HTVlc {  // backward bit reader with the marker-pair stuffing rules
+  const uint8_t* d = nullptr;
+  int64_t ipos = 0;
+  uint64_t acc = 0;
+  int nbits = 0;
+  bool unstuff = false;
+  void init(const uint8_t* seg, int64_t scup) {
+    d = seg;
+    ipos = scup - 2;  // byte holding the first nibble
+    int nib = ipos >= 0 ? (d[ipos] >> 4) : 0;
+    if ((nib & 7) == 7) {  // low 3 bits all ones: bit 3 is a stuffed 0
+      acc = nib & 7;
+      nbits = 3;
+    } else {
+      acc = nib;
+      nbits = 4;
+    }
+    unstuff = nib >= 9;  // X byte's low nibble belongs to Scup (worst case)
+  }
+  void refill() {
+    while (nbits <= 56 && ipos > 0) {
+      ipos--;
+      uint32_t b = d[ipos];
+      int take = (unstuff && (b & 0x7F) == 0x7F) ? 7 : 8;
+      acc |= (uint64_t)(b & ((1u << take) - 1)) << nbits;
+      nbits += take;
+      unstuff = b > 0x8F;
+    }
+  }
+  uint32_t read(int m) {
+    if (m > nbits) refill();
+    if (m > nbits) nbits = m;  // zero-pad past the stream
+    uint32_t v = (uint32_t)(acc & (((uint64_t)1 << m) - 1));
+    acc >>= m;
+    nbits -= m;
+    return v;
+  }
+  uint32_t peek7() {
+    if (nbits < 7) refill();
+    return (uint32_t)(acc & 0x7F);
+  }
+  void drop(int m) {
+    if (m > nbits) nbits = m;  // zero-pad (only reachable near stream end)
+    acc >>= m;
+    nbits -= m;
+  }
+};
+
+struct HTMag {  // forward LSB-first reader; byte after 0xFF carries 7 bits
+  const uint8_t* d = nullptr;
+  int64_t n = 0, pos = 0;
+  uint64_t acc = 0;
+  int nbits = 0;
+  bool prev_ff = false;
+  void init(const uint8_t* p, int64_t len) { d = p; n = len; }
+  uint32_t read(int m) {
+    while (nbits < m) {
+      if (pos < n) {
+        int take = prev_ff ? 7 : 8;
+        acc |= (uint64_t)(d[pos] & ((1u << take) - 1)) << nbits;
+        nbits += take;
+        prev_ff = d[pos] == 0xFF;
+        pos++;
+      } else {
+        nbits = m;  // zero-pad
+      }
+    }
+    uint32_t v = (uint32_t)(acc & (((uint64_t)1 << m) - 1));
+    acc >>= m;
+    nbits -= m;
+    return v;
+  }
+};
+
+static uint32_t ht_uvlc(HTVlc& v) {
+  if (v.read(1)) return 1;
+  if (v.read(1)) return 2;
+  if (v.read(1)) return 3 + v.read(1);
+  return 5 + v.read(5);
+}
+static uint32_t ht_uvlc_pfx(HTVlc& v) {
+  if (v.read(1)) return 1;
+  if (v.read(1)) return 2;
+  if (v.read(1)) return 3;
+  return 5;
+}
+static uint32_t ht_uvlc_sfx(HTVlc& v, uint32_t base) {
+  if (base == 3) return 3 + v.read(1);
+  if (base == 5) return 5 + v.read(5);
+  return base;
+}
+// interleaved pair form: pfx0 pfx1 sfx0 sfx1
+static void ht_uvlc_pair(HTVlc& v, uint32_t* u0, uint32_t* u1) {
+  uint32_t b0 = ht_uvlc_pfx(v), b1 = ht_uvlc_pfx(v);
+  *u0 = ht_uvlc_sfx(v, b0);
+  *u1 = ht_uvlc_sfx(v, b1);
+}
+// initial line pair, both u_off, MEL event 0: u0's prefix; when it says
+// u0 > 2, u1-1 is ONE bit and precedes u0's suffix; else u1 is a full code
+static void ht_uvlc_joint(HTVlc& v, uint32_t* u0, uint32_t* u1) {
+  if (v.read(1)) {
+    *u0 = 1;
+    *u1 = ht_uvlc(v);
+    return;
+  }
+  if (v.read(1)) {
+    *u0 = 2;
+    *u1 = ht_uvlc(v);
+    return;
+  }
+  if (v.read(1)) {
+    *u1 = 1 + v.read(1);
+    *u0 = 3 + v.read(1);
+    return;
+  }
+  *u1 = 1 + v.read(1);
+  *u0 = 5 + v.read(5);
+}
+
+// eqn-1 context class from the left quad's rho
+static inline int ht_init_ctx(int left_rho) {
+  return ((left_rho & 3) ? 1 : 0) | (((left_rho >> 2) & 1) << 1) |
+         (((left_rho >> 3) & 1) << 2);
+}
+
+static inline int ht_exp_of(int64_t mu) {  // bitlen(2*mu - 1), 0 for mu==0
+  if (mu <= 0) return 0;
+  uint64_t v = 2 * (uint64_t)mu - 1;
+  int e = 0;
+  while (v) {
+    v >>= 1;
+    e++;
+  }
+  return e;
+}
+
+struct HTDec {
+  int w = 0, h = 0;
+  std::vector<int32_t> mu;   // decoded magnitudes
+  std::vector<int8_t> sign;  // 0 positive, 1 negative
+
+  // Decode one cleanup segment. max_u: conformance bound on U_q
+  // (zero-bitplanes + 1); returns false on malformed input.
+  bool run(const uint8_t* seg, int64_t len, int max_u) {
+    if (len < 2) return false;
+    int64_t lcup = len;
+    int64_t scup = ((int64_t)seg[lcup - 1] << 4) | (seg[lcup - 2] & 0xF);
+    if (scup < 2 || scup > lcup || scup > 4079) return false;
+    HTMel mel;
+    mel.init(seg + lcup - scup, scup);
+    HTVlc vlc;
+    vlc.init(seg + lcup - scup, scup);
+    HTMag mag;
+    mag.init(seg, lcup - scup);
+
+    int qw = (w + 1) / 2, qh = (h + 1) / 2;
+    mu.assign((size_t)w * h, 0);
+    sign.assign((size_t)w * h, 0);
+    std::vector<int> prev_rho(qw, 0), cur_rho(qw, 0);
+    std::vector<int> prev_e(2 * qw, 0), cur_e(2 * qw, 0);
+
+    for (int qy = 0; qy < qh; ++qy) {
+      bool initial = qy == 0;
+      if (qy) {
+        prev_rho.swap(cur_rho);
+        prev_e.swap(cur_e);
+        std::fill(cur_rho.begin(), cur_rho.end(), 0);
+        std::fill(cur_e.begin(), cur_e.end(), 0);
+      }
+      for (int qx = 0; qx < qw;) {
+        int npair = (qx + 1 < qw) ? 2 : 1;
+        uint16_t ent[2] = {0, 0};
+        bool have_cw[2] = {false, false};
+        for (int i = 0; i < npair; ++i) {
+          int x = qx + i;
+          int c;
+          if (initial) {
+            c = ht_init_ctx(x ? cur_rho[x - 1] : 0);
+          } else {
+            int above = prev_rho[x];
+            int nw = x ? (prev_rho[x - 1] >> 3) & 1 : 0;
+            int n0 = (above >> 1) & 1;
+            int n1 = (above >> 3) & 1;
+            int ne = (x + 1 < qw) ? (prev_rho[x + 1] >> 1) & 1 : 0;
+            int left = x ? cur_rho[x - 1] : 0;
+            int wbit = (left & 0xC) ? 1 : 0;
+            c = (nw | n0) | ((n1 | ne) << 1) | (wbit << 2);
+          }
+          if (c == 0 && mel.event() == 0) {
+            cur_rho[x] = 0;
+            continue;  // wholly insignificant, no codeword
+          }
+          const uint16_t* tab = kHTVlcTables[(initial ? 0 : 8) + c];
+          uint16_t e = tab[vlc.peek7()];
+          if (!e) return false;
+          vlc.drop(e & 7);
+          ent[i] = e;
+          have_cw[i] = true;
+          cur_rho[x] = (e >> 3) & 0xF;
+        }
+        // u-section
+        uint32_t us[2] = {0, 0};
+        bool uoff0 = have_cw[0] && (ent[0] & 0x80);
+        bool uoff1 = npair == 2 && have_cw[1] && (ent[1] & 0x80);
+        if (npair == 2 && uoff0 && uoff1) {
+          if (initial) {
+            if (mel.event()) {
+              ht_uvlc_pair(vlc, &us[0], &us[1]);
+              us[0] += 2;
+              us[1] += 2;
+            } else {
+              ht_uvlc_joint(vlc, &us[0], &us[1]);
+            }
+          } else {
+            ht_uvlc_pair(vlc, &us[0], &us[1]);
+          }
+        } else {
+          if (uoff0) us[0] = ht_uvlc(vlc);
+          if (uoff1) us[1] = ht_uvlc(vlc);
+        }
+        // magnitudes
+        for (int i = 0; i < npair; ++i) {
+          int x = qx + i;
+          int rho = cur_rho[x];
+          if (!have_cw[i] || rho == 0) continue;
+          int kq;
+          if (initial) {
+            kq = 1;
+          } else {
+            int lo = 2 * x - 1 < 0 ? 0 : 2 * x - 1;
+            int hi = 2 * x + 3 > 2 * qw ? 2 * qw : 2 * x + 3;
+            int ev = 0;
+            for (int j = lo; j < hi; ++j) ev = std::max(ev, prev_e[j]);
+            bool gamma = (rho & (rho - 1)) != 0;
+            kq = gamma ? std::max(1, ev - 1) : 1;
+          }
+          int64_t U = (int64_t)us[i] + kq;
+          if (U > max_u || U > 31) return false;
+          for (int k = 0; k < 4; ++k) {
+            if (!(rho >> k & 1)) continue;
+            int kn = (ent[i] >> (8 + k)) & 1;
+            int e1 = (ent[i] >> (12 + k)) & 1;
+            int m = (int)U - kn;
+            if (m < 0) return false;
+            uint32_t v = mag.read(m);
+            int s = (int)(v & 1);
+            int64_t mg = v >> 1;
+            int64_t muv = 1 + mg + (m > 0 ? ((int64_t)e1 << (m - 1)) : 0);
+            int r = qy * 2 + (k & 1);
+            int col = x * 2 + (k >> 1);
+            if (r < h && col < w) {
+              mu[(size_t)r * w + col] = (int32_t)muv;
+              sign[(size_t)r * w + col] = (int8_t)s;
+            }
+            cur_e[2 * x + (k >> 1)] =
+                (k & 1) ? ht_exp_of(muv) : cur_e[2 * x + (k >> 1)];
+          }
+        }
+        qx += npair;
+      }
+    }
+    return true;
+  }
+};
+
 static inline int ceildiv(int64_t a, int64_t b) {
   return (int)((a + b - 1) / b);
 }
@@ -507,6 +836,7 @@ struct CodeBlock {
   int lblock = 3;
   int numbps = 0;          // Mb - zero bitplanes (once known)
   int npasses = 0;         // total passes accumulated
+  int64_t seg1len = -1;    // HT: length of the cleanup codeword segment
   std::vector<uint8_t> segment;  // concatenated body bytes
 };
 
@@ -540,6 +870,7 @@ struct COD {
   int xcb = 6, ycb = 6;  // code-block exponents (log2 of dimensions)
   int cstyle = 0;      // code-block style flags
   int wavelet = 1;     // 0 = 9/7 irreversible, 1 = 5/3 reversible
+  bool ht = false;     // HT (T.814) block coder (cstyle bit 6)
   bool sop = false, eph = false;
   bool have_precincts = false;
   std::vector<uint8_t> prec_sizes;  // packed PPx|PPy<<4 per resolution
@@ -676,11 +1007,14 @@ int32_t lm_j2k_decode(const uint8_t* src, int64_t n, int32_t* out,
         cod.cstyle = src[seg + 8];
         cod.wavelet = src[seg + 9] == 1 ? 1 : 0;
         if (src[seg + 9] == 0) return -20;  // 9/7 irreversible
+        cod.ht = (cod.cstyle & 0x40) != 0;  // HT (T.814) block coder
         // 0x01 bypass, 0x02 per-pass context reset, 0x04 termall, 0x08
         // vertically causal: each changes MQ decoding in ways this T1 does
         // not implement — decoding anyway would desynchronize silently.
         // (0x10 predictable termination is an encoder-side constraint and
         // 0x20 segmentation symbols ARE implemented — both decode normally.)
+        // For HT code-blocks those bits select HT-mixed / causal variants
+        // this decoder does not implement either.
         if (cod.cstyle & (0x01 | 0x02 | 0x04 | 0x08))
           return -22;  // bypass / reset / termall / vertically causal
         if (cod.prog > 2) return -24;  // PCRL / CPRL
@@ -952,10 +1286,26 @@ int32_t lm_j2k_decode(const uint8_t* src, int64_t n, int32_t* out,
                     newpasses = 37 + (int)br.bits(7);
                 }
               }
-              // Lblock update + length (single codeword segment).
-              while (br.bit()) ++C.lblock;
-              int lenbits = C.lblock + floorlog2((uint32_t)newpasses);
-              int64_t len = br.bits(lenbits);
+              // Lblock update + length. An HT code-block terminates its
+              // cleanup pass, so a first contribution with more passes
+              // carries TWO codeword segments (cleanup | SigProp+MagRef),
+              // each with its own comma run + length field.
+              int64_t len = 0;
+              bool has_cleanup = C.npasses == 0;
+              if (cod.ht && has_cleanup && newpasses > 1) {
+                while (br.bit()) ++C.lblock;
+                int64_t len1 = br.bits(C.lblock);
+                while (br.bit()) ++C.lblock;
+                int64_t len2 =
+                    br.bits(C.lblock + floorlog2((uint32_t)(newpasses - 1)));
+                C.seg1len = len1;
+                len = len1 + len2;
+              } else {
+                while (br.bit()) ++C.lblock;
+                int lenbits = C.lblock + floorlog2((uint32_t)newpasses);
+                len = br.bits(lenbits);
+                if (cod.ht && has_cleanup) C.seg1len = len;
+              }
               order.push_back({&C, len, newpasses});
               if (j2k_debug())
                 fprintf(stderr,
@@ -1013,9 +1363,37 @@ int32_t lm_j2k_decode(const uint8_t* src, int64_t n, int32_t* out,
             PrecinctBand& P = R.pband[(size_t)b * R.npw * R.nph + pidx];
             for (auto& C : P.cblks) {
               if (!C.included || C.npasses == 0 || C.numbps <= 0) continue;
-              t1.w = C.x1 - C.x0;
-              t1.h = C.y1 - C.y0;
-              if (t1.w <= 0 || t1.h <= 0) continue;
+              int cw = C.x1 - C.x0, ch = C.y1 - C.y0;
+              if (cw <= 0 || ch <= 0) continue;
+              if (cod.ht) {
+                // Cleanup-only HT decode; refinement passes would refine
+                // bit-planes this decoder does not implement — decoding
+                // without them silently truncates, so refuse loudly.
+                if (C.npasses > 1) return -27;
+                HTDec ht;
+                ht.w = cw;
+                ht.h = ch;
+                int p = C.numbps - 1;  // cleanup bit-plane
+                int max_u = B.numbps - C.numbps + 1;  // zero bitplanes + 1
+                if (p < 0 || p > 30) return -28;
+                if (C.seg1len < 0 || C.seg1len > (int64_t)C.segment.size())
+                  return -28;
+                if (!ht.run(C.segment.data(), C.seg1len, max_u)) return -28;
+                for (int y = 0; y < ch; ++y)
+                  for (int x = 0; x < cw; ++x) {
+                    int64_t m = ht.mu[(size_t)y * cw + x];
+                    if (!m) continue;
+                    if (p > 0 && m > (int64_t)(INT32_MAX >> p)) return -28;
+                    int32_t val =
+                        (int32_t)((m << p) | (p > 0 ? 1 << (p - 1) : 0));
+                    if (ht.sign[(size_t)y * cw + x]) val = -val;
+                    B.coef[(size_t)(C.y0 - B.y0 + y) * bw +
+                           (C.x0 - B.x0 + x)] = val;
+                  }
+                continue;
+              }
+              t1.w = cw;
+              t1.h = ch;
               if (!t1.run(C.segment.data(), (int64_t)C.segment.size(),
                           C.numbps, C.npasses, B.orient, segsym))
                 return -4;

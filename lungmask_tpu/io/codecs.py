@@ -261,6 +261,10 @@ _J2K_ERRORS = {
     -24: "PCRL/CPRL progression or POC marker",
     -25: "ROI shift (RGN marker)",
     -26: "per-tile or per-component COD/QCD overrides (COC/QCC)",
+    -27: "HTJ2K code-block with SigProp/MagRef refinement passes — this "
+         "build decodes the HT cleanup pass only; decoding without the "
+         "refinement passes would silently truncate HU values",
+    -28: "malformed HTJ2K code-block (corrupt cleanup segment)",
 }
 
 
@@ -302,6 +306,13 @@ def j2k_decode(data: bytes) -> np.ndarray:
         )
     data = _unwrap_jp2(data)
     rows, cols = _peek_siz_dims(data)
+    # A corrupt SIZ can declare absurd dimensions; allocating for them is a
+    # denial-of-service on untrusted bytes. 2^26 samples (e.g. 8192 x 8192)
+    # is far above any CT frame.
+    if rows <= 0 or cols <= 0 or (int(rows) * int(cols)) > (1 << 26):
+        raise ValueError(
+            f"JPEG 2000 decode failed: implausible image size {rows}x{cols}"
+        )
     src = np.frombuffer(data, dtype=np.uint8)
     out = np.empty((rows, cols), dtype=np.int32)
     r = ctypes.c_int32()
@@ -348,6 +359,14 @@ def j2k_encode(pixels: np.ndarray) -> bytes:
     except TypeError:  # older Pillow without no_jp2
         im.save(buf, "JPEG2000", irreversible=False)
     return _unwrap_jp2(buf.getvalue())
+
+
+def htj2k_encode(pixels: np.ndarray) -> bytes:
+    """Encode (rows, cols) integer samples as a lossless HTJ2K codestream
+    (cleanup-pass-only HT block coding; see io/htj2k_stream.py)."""
+    from lungmask_tpu.io import htj2k_stream
+
+    return htj2k_stream.encode_codestream(pixels)
 
 
 def _peek_siz_dims(data: bytes):

@@ -12,6 +12,7 @@ pixel word is byte-swapped), RLE Lossless (1.2.840.10008.1.2.5), JPEG
 Lossless process 14 (1.2.840.10008.1.2.4.57 and .70), JPEG-LS
 lossless/near-lossless (1.2.840.10008.1.2.4.80/.81), and JPEG 2000
 (1.2.840.10008.1.2.4.90 always; .91 when the stream is reversible 5/3 —
+HTJ2K .201/.202/.203 via the native HT cleanup-pass decoder —
 irreversible 9/7 is rejected with a lossy-HU error), and lossy sequential-DCT
 JPEG (1.2.840.10008.1.2.4.50 baseline 8-bit / .51 extended 12-bit, decoded
 with a logged HU-accuracy warning; the libjpeg-islow-exact decoder lives in
@@ -72,13 +73,15 @@ _ENCAPSULATED = {
 }
 CT_STORAGE_UID = "1.2.840.10008.5.1.4.1.1.2"
 
-# Part-15 High-Throughput JPEG 2000 — recognized so the rejection names the
-# codec (see the dispatch below and FUTURE.md's HTJ2K entry).
-_HTJ2K_SYNTAXES = {
-    "1.2.840.10008.1.2.4.201",  # HTJ2K Lossless
-    "1.2.840.10008.1.2.4.202",  # HTJ2K with RPCL options (lossless)
-    "1.2.840.10008.1.2.4.203",  # HTJ2K (lossy permitted)
-}
+# Part-15 High-Throughput JPEG 2000 (ITU-T T.814). Decoded natively: the
+# HT cleanup-pass block coder lives in csrc/jpeg2000.cpp (HTDec) behind
+# codecs.j2k_decode; blocks carrying SigProp/MagRef refinement passes are
+# refused with a clear error rather than decoded lossily (docs/HTJ2K.md).
+HTJ2K_LOSSLESS = "1.2.840.10008.1.2.4.201"
+HTJ2K_LOSSLESS_RPCL = "1.2.840.10008.1.2.4.202"
+HTJ2K = "1.2.840.10008.1.2.4.203"  # lossy permitted
+_HTJ2K_SYNTAXES = {HTJ2K_LOSSLESS, HTJ2K_LOSSLESS_RPCL, HTJ2K}
+_ENCAPSULATED |= _HTJ2K_SYNTAXES
 
 # VRs whose explicit encoding uses a 2-byte reserved field + 4-byte length.
 _LONG_VRS = {b"OB", b"OW", b"OF", b"OL", b"OD", b"SQ", b"UC", b"UR", b"UT", b"UN"}
@@ -428,18 +431,6 @@ def _parse_dataset(
         bo = ">"
     elif transfer_syntax == EXPLICIT_VR_LE or transfer_syntax in _ENCAPSULATED:
         explicit = True  # encapsulated syntaxes encode the dataset explicit LE
-    elif transfer_syntax in _HTJ2K_SYNTAXES:
-        # Part-15 High-Throughput JPEG 2000. Deliberately unimplemented: no
-        # HT codec exists in this environment to generate or cross-check
-        # fixtures, and a block decoder written blind against T.814 would
-        # ship unverified (see FUTURE.md). Fail loudly with a name, not a
-        # generic "unsupported" — transcoding to classic J2K is lossless.
-        raise DicomError(
-            f"{path}: transfer syntax {transfer_syntax} is High-Throughput "
-            "JPEG 2000 (HTJ2K), which this build does not decode; transcode "
-            "the series to classic JPEG 2000 lossless (1.2.840.10008.1.2.4.90)"
-            " or an uncompressed syntax"
-        )
     else:
         raise DicomError(
             f"{path}: transfer syntax {transfer_syntax} not supported "
@@ -611,7 +602,16 @@ def _decode_encapsulated(
                     f"({rows}, {cols})"
                 )
             samples = decoded  # uint8 (8-bit) or uint16 (12-bit)
-        elif transfer_syntax in (JPEG_2000_LOSSLESS, JPEG_2000):
+        elif (transfer_syntax in (JPEG_2000_LOSSLESS, JPEG_2000)
+              or transfer_syntax in _HTJ2K_SYNTAXES):
+            if transfer_syntax == HTJ2K:
+                # .203 permits lossy HT coding; a truncated stream decodes
+                # to approximate HU (the lossless .201/.202 syntaxes carry
+                # the lossless guarantee in the UID itself).
+                logger.warning(
+                    f"{path}: transfer syntax {transfer_syntax} permits "
+                    "lossy HTJ2K — decoded values may approximate HU"
+                )
             decoded = codecs.j2k_decode(data)  # int32, signedness applied
             if decoded.shape != (rows, cols):
                 raise DicomError(
@@ -724,6 +724,7 @@ def write_slice(
         EXPLICIT_VR_LE, DEFLATED_EXPLICIT_VR_LE, EXPLICIT_VR_BE,
         RLE_LOSSLESS, JPEG_LOSSLESS_SV1, JPEG_LS_LOSSLESS,
         JPEG_2000_LOSSLESS, JPEG_2000, JPEG_BASELINE, JPEG_EXTENDED,
+        HTJ2K_LOSSLESS,
     ):
         raise DicomError(f"writer does not support {transfer_syntax}")
     bo = ">" if transfer_syntax == EXPLICIT_VR_BE else "<"
@@ -812,6 +813,8 @@ def write_slice(
                 frame = codecs.jpegls_encode(fr.view(np.uint16), precision=16)
             elif transfer_syntax in (JPEG_2000_LOSSLESS, JPEG_2000):
                 frame = codecs.j2k_encode(fr.view(np.uint16))
+            elif transfer_syntax == HTJ2K_LOSSLESS:
+                frame = codecs.htj2k_encode(fr.view(np.uint16))
             else:
                 frame = codecs.jpegll_encode(fr.view(np.uint16), precision=16)
             if len(frame) % 2:

@@ -726,3 +726,124 @@ def test_jpegls_near_lossless_reports_near(rng):
     lossless = codecs.jpegls_encode(arr, precision=12, near=0)
     _, near0 = codecs.jpegls_decode(lossless, with_near=True)
     assert near0 == 0
+
+
+# ---------------------------------------------------------------------------
+# HTJ2K (ITU-T T.814) — cleanup-pass HT block coding
+# ---------------------------------------------------------------------------
+# The HT block decoder (csrc/jpeg2000.cpp HTDec) is a port of the
+# probe-reconstructed Python reference (lungmask_tpu/io/htj2k.py) whose
+# bit-exactness against OpenJPEG is fuzz-pinned in tests/test_htj2k.py;
+# these tests cover the codestream/tier-2 wrapper and the DICOM surface.
+# Reference: HTJ2K DICOM is read through ITK/GDCM by the reference
+# (/root/reference/lungmask/utils.py:215-222).
+
+
+def test_htj2k_codestream_roundtrip(rng):
+    for shape, dtype, lo, hi in [
+        ((96, 128), np.int16, -1024, 3071),
+        ((64, 64), np.uint16, 0, 65535),
+        ((33, 77), np.uint8, 0, 255),
+        ((130, 70), np.int16, -2000, 2000),
+    ]:
+        img = rng.integers(lo, hi + 1, size=shape).astype(dtype)
+        data = codecs.htj2k_encode(img)
+        dec = codecs.j2k_decode(data)
+        assert np.array_equal(dec, img.astype(np.int32)), (shape, dtype)
+
+
+def test_htj2k_matches_openjpeg_decode(rng):
+    """Our HT streams must decode identically under OpenJPEG — the
+    independent conformance oracle for the whole HT reconstruction."""
+    pytest.importorskip("PIL.Image")
+    import io as _io
+
+    from PIL import Image
+
+    img = rng.integers(0, 4096, size=(70, 90), dtype=np.uint16)
+    data = codecs.htj2k_encode(img)
+    try:
+        pil = Image.open(_io.BytesIO(data))
+        arr = np.array(pil)
+    except Exception:
+        pytest.skip("Pillow build cannot open raw HTJ2K codestreams")
+    assert np.array_equal(arr.astype(np.int32), img.astype(np.int32))
+
+
+def test_htj2k_dicom_roundtrip(tmp_path, ct_slice):
+    p = str(tmp_path / "ht.dcm")
+    dicom.write_slice(p, ct_slice, transfer_syntax="1.2.840.10008.1.2.4.201")
+    df = dicom.read_file(p)
+    assert df.pixels.dtype == np.int16
+    assert np.array_equal(df.pixels, ct_slice)
+
+
+def test_htj2k_dicom_multiframe_roundtrip(tmp_path):
+    rng = np.random.default_rng(3)
+    vol = rng.integers(-1024, 3072, size=(3, 64, 64)).astype(np.int16)
+    p = str(tmp_path / "ht3.dcm")
+    dicom.write_slice(p, vol, transfer_syntax="1.2.840.10008.1.2.4.201")
+    df = dicom.read_file(p)
+    assert np.array_equal(df.pixels, vol)
+
+
+def test_htj2k_refuses_refinement_passes(rng):
+    """A block declaring SigProp/MagRef passes must be refused loudly —
+    decoding the cleanup alone would silently truncate HU values."""
+    import json as _json
+    import os as _os
+    import sys as _sys
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+    from lungmask_tpu.io.htj2k import CleanupEncoder, HTTables, _TABLE_PATH
+    from tools.htj2k_probe import build_stream
+
+    T = HTTables(_json.load(open(_TABLE_PATH)))
+    mu = np.zeros((4, 4), np.int64)
+    mu[1, 1] = 2
+    seg = CleanupEncoder(T, 4, 4).encode(mu, np.zeros((4, 4), np.uint8))
+    stream = build_stream(4, 4, prec=14, sgnd=True, cblk_exp=(2, 2),
+                          missing_msbs=8, guard_bits=2,
+                          passes=[seg, b"\x00\x00", b"\x00"])
+    with pytest.raises(ValueError, match="SigProp|refinement"):
+        codecs.j2k_decode(bytes(stream))
+
+
+@pytest.fixture
+def htj2k_stream_bytes():
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 3000, size=(64, 64), dtype=np.uint16)
+    data = codecs.htj2k_encode(img)
+    assert np.array_equal(codecs.j2k_decode(data), img.astype(np.int32))
+    return data
+
+
+def test_htj2k_fuzz_truncation(htj2k_stream_bytes):
+    n = len(htj2k_stream_bytes)
+    for cut in range(0, n, max(1, n // 64)):
+        try:
+            codecs.j2k_decode(htj2k_stream_bytes[:cut])
+        except ValueError:
+            pass
+
+
+@pytest.mark.slow
+def test_htj2k_fuzz_bitflips(htj2k_stream_bytes):
+    """Corrupt HT cleanup segments must decode-or-ValueError, never crash:
+    the HTDec readers are bounds-checked against hostile U/length fields."""
+    rng = np.random.default_rng(13)
+    n = len(htj2k_stream_bytes)
+    offsets = sorted(set(rng.integers(0, n, size=256).tolist()))
+    for off in offsets:
+        data = bytearray(htj2k_stream_bytes)
+        data[off] ^= 0xFF
+        try:
+            codecs.j2k_decode(bytes(data))
+        except ValueError:
+            pass
+    for off in offsets[:64]:
+        data = bytearray(htj2k_stream_bytes)
+        data[off] = int(rng.integers(0, 256))
+        try:
+            codecs.j2k_decode(bytes(data))
+        except ValueError:
+            pass

@@ -318,25 +318,25 @@ def test_dicom_rejects_compressed_syntax(tmp_path, rng):
         "1.2.840.10008.1.2.4.203",
     ],
 )
-def test_dicom_htj2k_rejected_by_name(tmp_path, uid):
-    """HTJ2K syntaxes (Part 15) are recognized and rejected with an error
-    that names the codec and the transcode path — not the generic message."""
-    import struct
-
-    meta = b""
-    for (g, e), vr, v in [
-        ((0x0002, 0x0001), b"OB", b"\x00\x01"),
-        ((0x0002, 0x0010), b"UI", uid.encode() + (b"\x00" if len(uid) % 2 else b"")),
-    ]:
-        meta += dicom._encode_element(g, e, vr, v)
-    group_len = dicom._encode_element(
-        0x0002, 0x0000, b"UL", struct.pack("<I", len(meta))
-    )
+def test_dicom_htj2k_syntaxes_decode(tmp_path, uid, rng):
+    """All three HTJ2K transfer syntaxes decode through the native HT
+    cleanup-pass block decoder (csrc/jpeg2000.cpp HTDec). The stream is
+    written as .201 then relabeled — the codestream itself is identical
+    across the three UIDs; .203 additionally logs a lossy-permitted
+    warning (it is the only HTJ2K syntax whose UID does not guarantee
+    lossless coding)."""
+    arr = rng.integers(-1024, 3072, size=(32, 48)).astype(np.int16)
     p = str(tmp_path / "ht.dcm")
-    with open(p, "wb") as f:
-        f.write(b"\x00" * 128 + b"DICM" + group_len + meta)
-    with pytest.raises(dicom.DicomError, match="HTJ2K"):
-        dicom.read_file(p)
+    dicom.write_slice(p, arr, transfer_syntax="1.2.840.10008.1.2.4.201")
+    if uid != "1.2.840.10008.1.2.4.201":
+        data = bytearray(open(p, "rb").read())
+        idx = data.find(b"1.2.840.10008.1.2.4.201")
+        assert idx >= 0
+        data[idx : idx + 23] = uid.encode()
+        with open(p, "wb") as f:
+            f.write(bytes(data))
+    df = dicom.read_file(p)
+    assert np.array_equal(df.pixels, arr)
 
 
 @pytest.mark.parametrize("compressed", [False, True])

@@ -268,18 +268,36 @@ def build_stream(
             bw.put_bits(npasses - 3, 2)
         else:
             raise ValueError("npasses > 5 not needed here")
-        # Lblock: start 3; emit k '1's to raise, then '0';
-        # length on (lblock + floor(log2(npasses))) bits
+        # Codeword segments: an HT code-block terminates the cleanup pass,
+        # so pass 1 is its own segment and passes 2..3 (SigProp+MagRef)
+        # form a second segment; each segment's length is signaled with
+        # its own Lblock run + (lblock + floor(log2(seg passes))) bits.
         import math
 
-        lb_bits = int(math.floor(math.log2(npasses)))
+        if (cblk_style & 0x40) and npasses > 1:
+            seg_split = int(os.environ.get("HT_SEG_SPLIT", "2"))
+            if seg_split == 3:
+                segs = [[p] for p in passes]
+            else:
+                segs = [passes[:1], passes[1:]]
+        else:
+            segs = [passes]
         lblock = 3
-        while len(data) >= (1 << (lblock + lb_bits)):
-            lblock += 1
-        for _ in range(lblock - 3):
-            bw.put(1)
-        bw.put(0)
-        bw.put_bits(len(data), lblock + lb_bits)
+        for seg in segs:
+            seg_len = sum(len(s) for s in seg)
+            lb_bits = int(math.floor(math.log2(len(seg))))
+            while seg_len >= (1 << (lblock + lb_bits)):
+                lblock += 1
+        emitted_raise = False
+        for seg in segs:
+            seg_len = sum(len(s) for s in seg)
+            lb_bits = int(math.floor(math.log2(len(seg))))
+            if not emitted_raise:
+                for _ in range(lblock - 3):
+                    bw.put(1)
+                emitted_raise = True
+            bw.put(0)
+            bw.put_bits(seg_len, lblock + lb_bits)
         body += bw.flush()
         body += data
     psot = 12 + 2 + len(body)
