@@ -68,7 +68,8 @@ def test_bitflip_sweep(valid_bytes, tmp_path):
 
 
 @pytest.mark.parametrize(
-    "syntax", [dicom.DEFLATED_EXPLICIT_VR_LE, dicom.EXPLICIT_VR_BE]
+    "syntax", [dicom.DEFLATED_EXPLICIT_VR_LE, dicom.EXPLICIT_VR_BE,
+               dicom.HTJ2K_LOSSLESS]
 )
 def test_truncation_and_bitflip_sweep_new_syntaxes(tmp_path, syntax):
     """Deflated and big-endian streams get the same clean-failure contract:
