@@ -23,10 +23,11 @@ OpenJPEG in tests/test_htj2k.py):
     significance instead of carrying a rho=0 codeword.
   * u-VLC: '1'->1, '01'->2, '001'+1bit->3+b, '000'+5bits(LSB-first)->5+k;
     in the INITIAL line pair, if both quads of a pair have u_off=1 one MEL
-    event e is decoded first: e=1 (both u>2) -> u_i = uvlc_i + 2 read
-    sequentially; e=0 -> u0's prefix, then (if the prefix says u0>2) u1-1
-    as ONE bit (u1<=2 is implied when u0>2), then u0's suffix bits, then
-    (if u0<=2) u1 as a full u-VLC.
+    event e is decoded first: e=1 (both u>2) -> interleaved pair
+    (pfx0 pfx1 sfx0 sfx1) with u_i = value_i + 2; e=0 -> u0's prefix,
+    then (if the prefix says u0>2) u1-1 as ONE bit before u0's suffix
+    bits, else a full u-VLC for u1. Non-initial pairs with both u_off=1
+    use the interleaved pair form directly (no MEL event, no offset).
   * U_q = u_q + kappa_q (kappa_q = 1 in the initial line pair; see
     decode() for the non-initial rule). Per significant sample n:
     m_n = U_q - kappa_n bits are read LSB-first from MagSgn as
@@ -71,7 +72,6 @@ class MELDecoder:
             return 1  # pad: behaves as max-run continuation
         b = (self.data[self.pos] >> self.bit) & 1
         # unstuffing: after an 0xFF byte only 7 bits of the next byte count
-        limit = 0 if not (self.pos > 0 and self.data[self.pos] == 0x00) else 0
         if self.bit == 0:
             skip7 = self.data[self.pos] == 0xFF
             self.pos += 1
@@ -154,12 +154,14 @@ class VLCReader:
     B[Scup-2], then LSB-first from each previous byte. Two stuffing rules
     (fuzz-confirmed vs OpenJPEG):
 
-      * initial nibble: if its low 3 bits are all 1, its MSB is a stuffed
-        0 and only 3 bits are usable;
+      * initial nibble: if its low 3 bits are all 1, its bit 3 is a
+        stuffed 0 and only 3 data bits are carried;
       * a byte contributes 7 bits (MSB stuffed 0) when the
-        previously-consumed byte (higher address) exceeds 0x8F. For the
-        nibble byte the comparison uses (nibble<<4)|0xF — its low nibble
-        belongs to Scup and is treated pessimistically — i.e. nibble >= 9.
+        previously-consumed byte (higher address) exceeds 0x8F AND its own
+        low 7 bits are all ones (the marker-pair rule: the stream may not
+        contain 0xFF followed by a byte above 0x8F). For the nibble byte
+        the >0x8F comparison is pessimistic (nibble >= 9) — its low nibble
+        belongs to Scup; the two forms are provably equivalent there.
     """
 
     def __init__(self, segment: bytes):
