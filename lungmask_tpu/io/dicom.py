@@ -573,6 +573,13 @@ def _decode_encapsulated(
             f"{path}: lossy JPEG transfer syntax {transfer_syntax} — decoded "
             "values approximate the originally acquired HU"
         )
+    if transfer_syntax == HTJ2K:
+        # .203 permits lossy HT coding; the lossless .201/.202 syntaxes
+        # carry the lossless guarantee in the UID itself.
+        logger.warning(
+            f"{path}: transfer syntax {transfer_syntax} permits "
+            "lossy HTJ2K — decoded values may approximate HU"
+        )
 
     decoded_frames = []
     for data in frames:
@@ -604,14 +611,6 @@ def _decode_encapsulated(
             samples = decoded  # uint8 (8-bit) or uint16 (12-bit)
         elif (transfer_syntax in (JPEG_2000_LOSSLESS, JPEG_2000)
               or transfer_syntax in _HTJ2K_SYNTAXES):
-            if transfer_syntax == HTJ2K:
-                # .203 permits lossy HT coding; a truncated stream decodes
-                # to approximate HU (the lossless .201/.202 syntaxes carry
-                # the lossless guarantee in the UID itself).
-                logger.warning(
-                    f"{path}: transfer syntax {transfer_syntax} permits "
-                    "lossy HTJ2K — decoded values may approximate HU"
-                )
             decoded = codecs.j2k_decode(data)  # int32, signedness applied
             if decoded.shape != (rows, cols):
                 raise DicomError(

@@ -56,10 +56,8 @@ class _HeaderBits:
         self.acc = (self.acc << 1) | (bit & 1)
         self.n += 1
         if self.n == self.limit:
-            if self.limit == 7:
-                self.out.append(self.acc)  # MSB is the stuffed 0
-            else:
-                self.out.append(self.acc)
+            # a 7-bit acc (stuffed byte after 0xFF) naturally has a 0 MSB
+            self.out.append(self.acc)
             self.limit = 7 if self.out[-1] == 0xFF else 8
             self.acc = 0
             self.n = 0
@@ -163,10 +161,10 @@ def encode_codestream(pixels: np.ndarray, signed: Optional[bool] = None) -> byte
     if signed is None:
         signed = px.dtype.kind == "i"
     if signed:
-        px = px.astype(np.int32)
-        prec = 16 if (px.min() < -128 or px.max() > 127) else 8
+        px = px.astype(np.int64)
         if px.min() < -(1 << 15) or px.max() >= (1 << 15):
             raise ValueError("samples exceed 16-bit signed range")
+        prec = 16 if (px.min() < -128 or px.max() > 127) else 8
         coeff = px
     else:
         px = px.astype(np.int64)
@@ -199,7 +197,6 @@ def encode_codestream(pixels: np.ndarray, signed: Optional[bool] = None) -> byte
     incl.set_values([0] * (cbw * cbh))
     imsb = _TagTreeEnc(cbw, cbh)
     imsb.set_values([zbp] * (cbw * cbh))
-    lengths = []
     for cy in range(cbh):
         for cx in range(cbw):
             seg = segments[cy * cbw + cx]
@@ -213,7 +210,6 @@ def encode_codestream(pixels: np.ndarray, signed: Optional[bool] = None) -> byte
                 bw.put(1)
             bw.put(0)
             bw.put_bits(len(seg), lblock)
-            lengths.append(len(seg))
     body = bw.flush() + b"".join(segments)
 
     # --- markers ---
